@@ -1,0 +1,58 @@
+"""Order/nullability-insensitive DataFrame comparison helpers.
+
+Mirrors the reference's chispa ``assert_df_equality(...,
+ignore_row_order=True, ignore_nullable=True)`` strategy (reference:
+spark/spark_test/spark-test.py:83) and the driver's oracle check:
+columns sorted by name, rows sorted by value, values normalized.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+
+import pandas as pd
+
+
+def _norm_cell(v):
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", round(v, 9))
+    if isinstance(v, pd.Timestamp) or isinstance(v, datetime):
+        return ("t", pd.Timestamp(v).floor("us").isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("a", tuple(_norm_cell(x) for x in v))
+    return (type(v).__name__, v)
+
+
+def normalize(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = []
+    for _, row in df[cols].iterrows():
+        out.append(tuple(_norm_cell(row[c]) for c in cols))
+    out.sort()
+    return out
+
+
+def assert_df_matches_oracle(spark_df, duck_rel, context: str = ""):
+    """Compare a Spark DataFrame against a DuckDB relation."""
+    left = normalize(spark_df.toPandas())
+    right = normalize(duck_rel.df())
+    assert len(left) == len(right), (
+        f"{context}: row count {len(left)} != oracle {len(right)}"
+    )
+    mismatches = [(l, r) for l, r in zip(left, right) if l != r]
+    assert not mismatches, (
+        f"{context}: {len(mismatches)} mismatched rows; first: {mismatches[0]}"
+    )
+
+
+def assert_rows_equal(spark_df, expected: pd.DataFrame, context: str = ""):
+    """Compare a Spark DataFrame against golden rows (a pandas frame
+    with matching column names; row/column order ignored)."""
+    actual = normalize(spark_df.toPandas())
+    exp = normalize(expected)
+    assert actual == exp, f"{context}: {actual} != {exp}"
