@@ -1,0 +1,242 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the training-data-pipeline dedup ladder.
+
+Scale design (100 TB posture):
+- Exact dedup groups by a 128-bit fingerprint, not the document
+  body, so the shuffle carries 32 bytes per row instead of the text.
+- MinHash signatures are computed with k parallel min-aggregates
+  over exploded shingles — one shuffle keyed by doc_id, all JVM-side
+  hashing (xxhash64), no Python in the loop.
+- LSH banding turns the quadratic all-pairs comparison into an
+  equi-join on (band_index, band_hash): only documents agreeing on a
+  full band collide, so candidate volume scales with true-duplicate
+  density, not n². AQE skew-join handles hot buckets.
+- Exact-Jaccard verification runs only on LSH candidates (or, in
+  ``ngram_jaccard_pairs``, via an inverted-index join that shares a
+  gram — never a blind cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint, word_ngrams
+
+DEFAULT_NUM_HASHES = 32
+DEFAULT_BANDS = 8
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: one row per distinct content with the kept
+    (minimum) id and the copy count."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Return the surviving rows (minimum id per distinct content) —
+    the actual dedup transform a pipeline applies."""
+    keep = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, shingles array<string>) with distinct word n-grams."""
+    return df.select(
+        F.col(id_col), word_ngrams(text_col, shingle_len).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, sig[i] =
+    min(xxhash64(i, shingle)). Computed as ``num_hashes`` parallel
+    min-aggregates after exploding the shingle set — a single
+    map-side-combined shuffle keyed by doc id."""
+    exploded = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = exploded.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``num_hashes // bands`` rows, hash each band, and equi-join
+    documents sharing any (band_index, band_hash) bucket. Returns
+    distinct candidate pairs (id_a < id_b).
+
+    With r rows per band, a pair of true Jaccard similarity s
+    collides with probability 1 - (1 - s^r)^bands — the standard
+    S-curve; 32 hashes / 8 bands targets s ≳ 0.6.
+    """
+    rows_per_band = num_hashes // bands
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.col("signature")[b * rows_per_band + r]
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via per-row set algebra
+    (array_intersect / array_union) — runs only on the (sparse) LSH
+    candidates, never all pairs."""
+    sh_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dedup: shingle -> MinHash -> LSH candidates ->
+    exact-Jaccard verification >= threshold."""
+    shingled = shingle_sets(df, id_col, text_col, shingle_len)
+    sigs = minhash_signatures(shingled, id_col, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return verify_jaccard(cands, shingled, id_col, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via an
+    inverted-index join: pairs are generated only when they share a
+    shingle (join on the gram), then intersection counts fold into
+    |A∩B| / (|A| + |B| - |A∩B|). The quadratic blowup is bounded by
+    gram-frequency, which the shingle length controls."""
+    shingled = shingle_sets(df, id_col, text_col, shingle_len)
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n"))
+    inv = shingled.select(F.col(id_col), F.explode("shingles").alias("gram"))
+    left = inv.select(F.col(id_col).alias("id_a"), "gram")
+    right = inv.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        left.join(right, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    n_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    n_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        inter.join(n_a, "id_a")
+        .join(n_b, "id_b")
+        .filter(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over the distinct-token set: per bit b, sum +1
+    for tokens whose xxhash64 has bit b set else -1; the sign of the
+    sum is bit b of the fingerprint. 64 parallel sums in one keyed
+    aggregate — near-duplicate docs land within small Hamming
+    distance."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+        ).alias("token"),
+    )
+    h = F.xxhash64("token")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    simhash = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash.bitwiseOR(term)
+    return agg.select(F.col(id_col), simhash.alias("simhash"))

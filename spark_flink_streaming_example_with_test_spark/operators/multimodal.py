@@ -1,0 +1,198 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched pandas
+functions over ``mapInPandas``.
+
+The Spark-side contract is real and tested — schemas, partitioning,
+UDF signatures, batch shapes. The actual media decode is STUBBED
+(``NotImplementedError`` unless ``fake=True``) because no
+image/audio libraries ship in this environment; a deployment swaps
+``_decode_image_real`` for a Pillow/ffmpeg call without touching
+the Spark plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: A multimodal asset row: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("payload", BinaryType()),
+        StructField("source", StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def documents_as_assets(docs: DataFrame) -> DataFrame:
+    """Adapter for the fixtures: treat each document's UTF-8 bytes as
+    an opaque payload so the binary plumbing is exercised end to end
+    on driver data."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.col("source"),
+    )
+
+
+def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
+    raise NotImplementedError(
+        "Media decode requires an image library (e.g. Pillow) that is "
+        "not available in this environment; pass fake=True for the "
+        "deterministic stub, or swap this function in deployment."
+    )
+
+
+def _decode_image_fake(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake decode: dimensions derived from the
+    payload digest. STUB — stands in for a real decoder so the
+    Spark-side batch shape and schema are testable."""
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    channels = 1 + digest[2] % 4
+    return width, height, channels
+
+
+def extract_image_features(
+    assets: DataFrame, fake: bool = False
+) -> DataFrame:
+    """Arrow-batched feature extraction over ``mapInPandas``: bytes
+    in, typed features out. One Python worker per input partition;
+    batch size follows spark.sql.execution.arrow.maxRecordsPerBatch."""
+    decode = _decode_image_fake if fake else _decode_image_real
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            dims = [decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()
+                    ),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return assets.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+def binary_payload_features(assets: DataFrame) -> DataFrame:
+    """Decode-free payload features (size + digest) — the part of the
+    multimodal path that needs no media library, so it runs for real
+    everywhere and is oracle-checkable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()
+                    ),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("sha256", StringType()),
+        ]
+    )
+    return assets.mapInPandas(batches, schema)
+
+
+def resize_images(
+    assets: DataFrame, width: int, height: int, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing: payload -> payload' (same schema, new bytes).
+    The fake path re-digests the payload with the target dims so
+    output is deterministic and size-bounded. STUB decode, real
+    Spark plumbing."""
+    if not fake:
+        # Fail fast at plan time with the same message the real
+        # decode raises, instead of per-task Python exceptions.
+        _decode_image_real(b"")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["payload"] = pdf["payload"].map(
+                lambda p: hashlib.sha256(
+                    bytes(p) + f"{width}x{height}".encode()
+                ).digest()
+            )
+            yield pdf
+
+    return assets.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def sample_video_frames(
+    assets: DataFrame, every_n: int = 10, fake: bool = False
+) -> DataFrame:
+    """Frame-sampling plumbing: one input row -> N frame rows
+    (flatMap shape via mapInPandas). The fake path emits
+    ``len(payload) // (every_n * 32)`` deterministic frame digests."""
+    if not fake:
+        _decode_image_real(b"")
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_index", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_idx, out_frames = [], [], []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                n_frames = max(1, len(payload) // (every_n * 32))
+                for i in range(n_frames):
+                    out_ids.append(row["asset_id"])
+                    out_idx.append(i)
+                    out_frames.append(
+                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_index": out_idx, "frame": out_frames}
+            )
+
+    return assets.mapInPandas(batches, schema)

@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the north-star design:
+- ``cosine_topk``: brute-force exact top-k against a (small) query
+  set. The query side broadcasts; the corpus streams through one
+  scan; dot products are zip_with/aggregate fold expressions —
+  JVM-side, codegen-friendly, no Python. Correct at any corpus size,
+  O(|corpus| x |queries|) work.
+- ``lsh_bucket`` + ``bucketed_similar_pairs``: the scale path for
+  all-pairs similarity — sign-bit LSH buckets (random-hyperplane
+  family degenerate to axis hyperplanes: deterministic, no stored
+  model) so the self-join only compares within buckets. An IVF
+  variant (k-means centroids) would slot in the same join shape.
+
+Norms are precomputed once per row; embeddings are cast float ->
+double before arithmetic so the fold is stable and engines agree
+bit-for-bit with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Sequential left-fold dot product — deterministic accumulation
+    order (element order), double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column | str) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Cast to double and attach the L2 norm (computed once)."""
+    return df.withColumn("v", F.col(vec_col).cast("array<double>")).withColumn(
+        "v_norm", l2_norm("v")
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Output: (q_id, vec_id, cos_sim, rk). Ranking orders on the
+    ROUNDED similarity with id tiebreak so float noise can't flip
+    ranks between runs or engines.
+    """
+    c = with_unit_prep(corpus, vec_col)
+    q = with_unit_prep(queries, vec_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("v_norm").alias("q_norm"),
+    )
+    sim = F.round(dot("v", "qv") / (F.col("v_norm") * F.col("q_norm")), 6)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(F.col("q_id"), F.col(id_col), sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def lsh_bucket(v: Column | str, n_bits: int = 8) -> Column:
+    """Sign-bit LSH bucket id from the first ``n_bits`` components:
+    bucket = sum_i (v[i] > 0) << i. 2^n_bits buckets."""
+    col = F.col(v) if isinstance(v, str) else v
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + F.when(col[i] > 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def bucketed_similar_pairs(
+    df: DataFrame,
+    threshold: float = 0.25,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine >= threshold, restricted to LSH-bucket
+    collisions: the self-join shuffles on the bucket id so each
+    partition only compares its own bucket — O(sum of bucket^2)
+    instead of O(n^2). Recall is tunable via n_bits (fewer bits =
+    more recall, bigger buckets)."""
+    prepped = with_unit_prep(df, vec_col).select(
+        F.col(id_col), "v", "v_norm", lsh_bucket("v", n_bits).alias("bucket")
+    )
+    a = prepped.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("v_norm").alias("norm_a"),
+        "bucket",
+    )
+    b = prepped.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("v_norm").alias("norm_b"),
+        "bucket",
+    )
+    sim = dot("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= threshold)
+        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+    )

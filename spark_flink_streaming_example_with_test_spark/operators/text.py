@@ -1,0 +1,88 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token statistics, quality scoring, language-ID
+heuristics, document fingerprinting.
+
+All hot-path logic is built-in JVM expressions (split / size /
+array_distinct / filter lambdas) — no Python UDFs — so plans stay
+inside whole-stage codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Minimal English stop-list used by the language-ID heuristic.
+EN_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def tokenize(text: Column | str, delimiter: str = " ") -> Column:
+    """Whitespace tokenization as a column expression."""
+    return F.split(text, delimiter)
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach n_tokens / n_chars / avg_token_len / type-token ratio."""
+    toks = tokenize(F.col(text_col))
+    n_tokens = F.size(toks)
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens,
+            "n_chars": F.length(text_col),
+            "avg_token_len": F.round(F.length(text_col) / n_tokens, 4),
+            "ttr": F.round(F.size(F.array_distinct(toks)) / n_tokens, 4),
+        }
+    )
+
+
+def quality_score(n_tokens: Column) -> Column:
+    """Logistic length-based quality prior in (0, 1)."""
+    return F.round(1.0 / (1.0 + F.exp(-(n_tokens / 100.0 - 1.0))), 4)
+
+
+def stopword_hits(text: Column | str, stopwords: Sequence[str] = EN_STOPWORDS) -> Column:
+    """Count of tokens that are stopwords (case-insensitive)."""
+    toks = tokenize(F.lower(text))
+    return F.size(F.filter(toks, lambda t: t.isin(list(stopwords))))
+
+
+def predict_language(stop_ratio: Column) -> Column:
+    """Stopword-density language-ID heuristic: a high density of
+    English function words marks English-like text. (An n-gram
+    profile model would slot in here the same way — another column
+    expression over the token array.)"""
+    return (
+        F.when(stop_ratio >= 0.12, "en")
+        .when(stop_ratio >= 0.04, "latin-ish")
+        .otherwise("other")
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Stable 128-bit content fingerprint (hex MD5). Cheap exact-dup
+    key: grouping by the 32-char digest instead of the full document
+    keeps the dedup shuffle narrow at 100 TB."""
+    return F.md5(F.col(text) if isinstance(text, str) else text)
+
+
+def word_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram (shingle) set as an array column —
+    transform-over-sequence with 1-based element_at, pure Catalyst
+    expressions (no UDF). Documents shorter than ``n`` tokens yield
+    an empty set."""
+    col = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(F.lower(col))
+
+    def gram_at(i: Column) -> Column:
+        return F.concat_ws(
+            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+        )
+
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram_at)
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )

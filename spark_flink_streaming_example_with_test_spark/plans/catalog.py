@@ -1,0 +1,116 @@
+"""Central query registry: every implemented operator from SURVEY.md
+§2 (reference surface + gap map + north-star LLM ops) as a
+``(spark, sf_dir) -> DataFrame`` callable with, where SQL can express
+it, a DuckDB oracle. Queries without an oracle are deterministic but
+depend on Spark-only hash functions (xxhash64) or approximate
+sketches; the driver records a rows-only check for those and unit
+tests cover their semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from spark_flink_streaming_example_with_test_spark.plans import llm, reference_queries as ref, relational as rel
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    headline: bool = False  # included in bench.py
+
+
+_SPECS: list[QuerySpec] = [
+    # -- Reference surface (events table) ------------------------------
+    QuerySpec("activity_windowed_count", ref.activity_windowed_count,
+              ref.ACTIVITY_WINDOWED_ORACLE, headline=True),
+    QuerySpec("activity_passthrough", ref.activity_passthrough,
+              ref.ACTIVITY_PASSTHROUGH_ORACLE),
+    QuerySpec("events_json_kpi", ref.events_json_kpi, ref.EVENTS_JSON_ORACLE,
+              headline=True),
+    QuerySpec("sliding_window_counts", ref.sliding_window_counts,
+              ref.SLIDING_WINDOW_ORACLE),
+    QuerySpec("session_windows_per_user", ref.session_windows_per_user,
+              ref.SESSION_WINDOW_ORACLE, headline=True),
+    # -- Relational gap map ---------------------------------------------
+    QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
+              headline=True),
+    QuerySpec("q3_shipping_priority", rel.q3_shipping_priority, rel.Q3_ORACLE,
+              headline=True),
+    QuerySpec("q5_local_supplier_volume", rel.q5_local_supplier_volume,
+              rel.Q5_ORACLE, headline=True),
+    QuerySpec("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_ORACLE,
+              headline=True),
+    QuerySpec("join_semi_customers", rel.join_semi_customers,
+              rel.JOIN_SEMI_ORACLE),
+    QuerySpec("join_anti_customers", rel.join_anti_customers,
+              rel.JOIN_ANTI_ORACLE),
+    QuerySpec("join_outer_nation_suppliers", rel.join_outer_nation_suppliers,
+              rel.JOIN_OUTER_ORACLE),
+    QuerySpec("join_range_price_bands", rel.join_range_order_events,
+              rel.JOIN_RANGE_ORACLE),
+    QuerySpec("topk_orders_per_customer", rel.topk_orders_per_customer,
+              rel.TOPK_ORACLE, headline=True),
+    QuerySpec("window_running_spend", rel.window_running_spend,
+              rel.WINDOW_RUNNING_ORACLE),
+    QuerySpec("rollup_order_stats", rel.rollup_order_stats, rel.ROLLUP_ORACLE),
+    QuerySpec("cube_part_stats", rel.cube_part_stats, rel.CUBE_ORACLE),
+    QuerySpec("setops_nation_overlap", rel.setops_nation_overlap,
+              rel.SETOPS_INTERSECT_ORACLE),
+    QuerySpec("setops_nation_except", rel.setops_nation_except,
+              rel.SETOPS_EXCEPT_ORACLE),
+    QuerySpec("union_high_balance_parties", rel.union_high_balance_parties,
+              rel.UNION_ORACLE),
+    QuerySpec("distinct_users_per_type", rel.distinct_users_per_type,
+              rel.DISTINCT_USERS_ORACLE),
+    QuerySpec("approx_distinct_users", rel.approx_distinct_users, None),
+    QuerySpec("percentile_event_values", rel.percentile_event_values,
+              rel.PERCENTILE_ORACLE),
+    QuerySpec("scalar_string_math", rel.scalar_string_math,
+              rel.SCALAR_STRING_ORACLE),
+    QuerySpec("scalar_date_functions", rel.scalar_date_functions,
+              rel.SCALAR_DATE_ORACLE),
+    # -- North-star LLM ops ---------------------------------------------
+    QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
+              llm.DEDUP_EXACT_ORACLE, headline=True),
+    QuerySpec("dedup_minhash_lsh", llm.dedup_minhash_lsh, None, headline=True),
+    QuerySpec("dedup_ngram_jaccard", llm.dedup_ngram_jaccard,
+              llm.DEDUP_NGRAM_ORACLE),
+    QuerySpec("dedup_simhash", llm.dedup_simhash, None),
+    QuerySpec("similarity_topk_cosine", llm.similarity_topk_cosine,
+              llm.SIMILARITY_TOPK_ORACLE, headline=True),
+    QuerySpec("similarity_lsh_bucketed", llm.similarity_lsh_bucketed,
+              llm.SIMILARITY_LSH_ORACLE),
+    QuerySpec("embeddings_label_stats", llm.embeddings_label_stats,
+              llm.EMBEDDINGS_STATS_ORACLE),
+    QuerySpec("text_quality_scores", llm.text_quality_scores,
+              llm.TEXT_QUALITY_ORACLE, headline=True),
+    QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),
+    QuerySpec("doc_fingerprints", llm.doc_fingerprints,
+              llm.DOC_FINGERPRINT_ORACLE),
+    QuerySpec("token_counts_top", llm.token_counts_top,
+              llm.TOKEN_COUNTS_ORACLE, headline=True),
+    QuerySpec("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_ORACLE),
+    QuerySpec("binary_payload_features", llm.binary_payload_features,
+              llm.BINARY_FEATURES_ORACLE),
+]
+
+QUERIES: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
+HEADLINE_QUERIES: tuple[str, ...] = tuple(s.name for s in _SPECS if s.headline)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in QUERIES.items() if spec.oracle
+    }

@@ -1,0 +1,329 @@
+"""North-star LLM-data-pipeline queries over the documents /
+embeddings fixtures: dedup, similarity search, text analysis,
+multimodal plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators import dedup as dd
+from spark_flink_streaming_example_with_test_spark.operators import multimodal as mm
+from spark_flink_streaming_example_with_test_spark.operators import similarity as sim
+from spark_flink_streaming_example_with_test_spark.operators import text as tx
+from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+
+# --- Deduplication ----------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint: kept id + copy count per
+    distinct text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_duplicates(docs)
+
+
+DEDUP_EXACT_ORACLE = """
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup with exact-Jaccard verification.
+    No oracle: signatures hash with Spark's xxhash64, which DuckDB
+    doesn't implement — correctness is covered by planted-duplicate
+    unit tests plus the rows-only driver check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_near_duplicates(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs >= 0.4 via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4)
+
+
+DEDUP_NGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints. No oracle (xxhash64-based);
+    rows-only driver check + unit tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash64(docs)
+
+
+# --- Similarity search ------------------------------------------------
+
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors vec_id < 5
+    against the whole corpus (broadcast queries, fold-expression dot
+    products)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.cosine_topk(emb, queries, k=10).select(
+        "q_id", "vec_id", "cos_sim", "rk"
+    )
+
+
+SIMILARITY_TOPK_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS q_nrm FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT q_id, vec_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+                         i -> v[i] * qv[i])) / (nrm * q_nrm), 6) AS cos_sim
+  FROM e CROSS JOIN q WHERE vec_id != q_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""
+
+
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: all-pairs cosine >= 0.25 restricted to sign-bit
+    LSH bucket collisions (self-join shuffles on bucket id, not a
+    blind cross join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.bucketed_similar_pairs(emb, threshold=0.25, n_bits=8)
+
+
+SIMILARITY_LSH_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm,
+         (CASE WHEN embedding[1] > 0 THEN 1   ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2   ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4   ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8   ELSE 0 END
+        + CASE WHEN embedding[5] > 0 THEN 16  ELSE 0 END
+        + CASE WHEN embedding[6] > 0 THEN 32  ELSE 0 END
+        + CASE WHEN embedding[7] > 0 THEN 64  ELSE 0 END
+        + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.25
+"""
+
+
+def embeddings_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats: count + average L2 norm."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    prepped = sim.with_unit_prep(emb)
+    return prepped.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("v_norm"), 4).alias("avg_norm"),
+    )
+
+
+EMBEDDINGS_STATS_ORACLE = """
+SELECT label, COUNT(*) AS n,
+       ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[],
+                                x -> x * x)))), 4) AS avg_norm
+FROM embeddings GROUP BY label
+"""
+
+
+# --- Text analysis ----------------------------------------------------
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.with_token_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        "avg_token_len",
+        "ttr",
+        tx.quality_score(F.col("n_tokens")).alias("quality"),
+    )
+
+
+TEXT_QUALITY_ORACLE = """
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' '))  AS n_tokens,
+       LENGTH(text)                  AS n_chars,
+       ROUND(LENGTH(text) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_token_len,
+       ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
+             / LEN(STRING_SPLIT(text, ' ')), 4) AS ttr,
+       ROUND(1.0 / (1.0 + EXP(-(LEN(STRING_SPLIT(text, ' ')) / 100.0 - 1.0))), 4)
+           AS quality
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tx.tokenize(F.col("text")))
+    hits = tx.stopword_hits(F.col("text"))
+    ratio = hits / n_tokens
+    return docs.select(
+        "doc_id",
+        hits.alias("stop_hits"),
+        F.round(ratio, 4).alias("stop_ratio"),
+        tx.predict_language(ratio).alias("predicted_lang"),
+    )
+
+
+LANG_ID_ORACLE = """
+SELECT doc_id,
+       LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+           t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+           AS stop_hits,
+       ROUND(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+             t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+             * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS stop_ratio,
+       CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.12 THEN 'en'
+            WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                 t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.04 THEN 'latin-ish'
+            ELSE 'other' END AS predicted_lang
+FROM documents
+"""
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.fingerprint("text").alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+DOC_FINGERPRINT_ORACLE = """
+SELECT doc_id, MD5(text) AS fingerprint, LENGTH(text) AS n_chars
+FROM documents
+"""
+
+
+def token_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequencies, top 20 (explode -> two-phase count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TOKEN_COUNTS_ORACLE = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 50): term counts,
+    document frequencies, corpus size folded via broadcast joins;
+    rank-stable ordering on the rounded score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokenize(F.col("text"))).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tf", "tfidf", "rk")
+    )
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * LN(n.n_docs * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+  WHERE tf.doc_id < 50
+)
+SELECT doc_id, token, tf, tfidf, rk FROM (
+  SELECT doc_id, token, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+# --- Multimodal plumbing ----------------------------------------------
+
+def binary_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas binary-column plumbing on real data: document
+    bytes -> (n_bytes, sha256). Oracle-checkable because the digest
+    needs no media library."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.binary_payload_features(mm.documents_as_assets(docs))
+
+
+BINARY_FEATURES_ORACLE = """
+SELECT doc_id AS asset_id,
+       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+       SHA256(text) AS sha256
+FROM documents
+"""

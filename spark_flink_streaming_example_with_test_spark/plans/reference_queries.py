@@ -1,0 +1,168 @@
+"""The reference's operator surface, run over the ``events`` fixture
+(the batch twin of the reference's Kafka stream; TESTDATA.md).
+
+Every transform here is the same batch/stream-agnostic function the
+streaming job uses — the reference's own test strategy (SURVEY.md
+§1.4) made into an engine guarantee.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators.activity import (
+    filter_event_types,
+    flatten_window,
+    windowed_counts,
+)
+from spark_flink_streaming_example_with_test_spark.schemas import EVENTS_PROPS_SCHEMA
+from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+#: events-fixture analog of the reference's {liked, commented} keep
+#: list (universe: signup click error view purchase).
+FLAGSHIP_KEEP = ("click", "purchase")
+PASSTHROUGH_KEEP = ("click", "view", "signup")
+
+
+def activity_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: filter -> watermark -> 1-minute tumbling window ->
+    keyed count -> flattened window bounds.
+
+    (reference: spark/spark_streaming.py:50-65.) Streaming plan:
+    partial agg before the (user_id, event_type, window) shuffle,
+    state-store backed final agg, append-mode emission on watermark.
+    Batch plan: the watermark is a no-op and this is a plain
+    two-phase hash aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    kept = filter_event_types(ev, FLAGSHIP_KEEP)
+    counted = windowed_counts(
+        kept, ts_col="ts", keys=("user_id", "event_type"),
+        window="1 minute", watermark="10 seconds",
+    )
+    return flatten_window(counted, keys=("user_id", "event_type"), count_alias="cnt")
+
+
+ACTIVITY_WINDOWED_ORACLE = """
+SELECT user_id, event_type,
+       DATE_TRUNC('minute', CAST(ts AS TIMESTAMP))                     AS window_start,
+       DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
+       COUNT(*) AS cnt
+FROM events
+WHERE event_type IS NOT NULL AND LOWER(event_type) IN ('click', 'purchase')
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def activity_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-and-insert passthrough with a 3-element keep list —
+    the UserActivityInsert variant (reference:
+    flink/src/main/java/com/flink/UserActivityInsert.java:54-60)."""
+    ev = load_table(spark, sf_dir, "events")
+    return filter_event_types(ev, PASSTHROUGH_KEEP).select(
+        "event_id",
+        "user_id",
+        F.lower("event_type").alias("event_type"),
+        "ts",
+        "value",
+    )
+
+
+ACTIVITY_PASSTHROUGH_ORACLE = """
+SELECT event_id, user_id, LOWER(event_type) AS event_type,
+       CAST(ts AS TIMESTAMP) AS ts, value
+FROM events
+WHERE event_type IS NOT NULL AND LOWER(event_type) IN ('click', 'view', 'signup')
+"""
+
+
+def events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON payload parse (reference:
+    spark/spark_streaming.py:50-51 from_json pattern) + KPI rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("props_s", F.from_json("props", EVENTS_PROPS_SCHEMA))
+        .groupBy("event_type")
+        .agg(
+            F.sum("props_s.k").alias("sum_k"),
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+EVENTS_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min length / 5 min hop): each
+    event contributes to 2 windows (SURVEY.md §2.6 gap map)."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = windowed_counts(
+        ev, ts_col="ts", keys=("event_type",),
+        window="10 minutes", slide="5 minutes", watermark=None,
+    )
+    return flatten_window(counted, keys=("event_type",), count_alias="cnt")
+
+
+SLIDING_WINDOW_ORACLE = """
+WITH buckets AS (
+  SELECT event_type,
+         UNNEST([TIME_BUCKET(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                 TIME_BUCKET(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL 5 MINUTE]) AS window_start
+  FROM events
+)
+SELECT event_type, window_start,
+       window_start + INTERVAL 10 MINUTE AS window_end,
+       COUNT(*) AS cnt
+FROM buckets GROUP BY 1, 2
+"""
+
+
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session (gap-based) event-time windows, 30-minute gap. A new
+    session starts when an event arrives >= gap after the previous
+    one; session end = last event + gap (Spark session_window
+    semantics, mirrored by the oracle's gaps-and-islands SQL)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
