@@ -1,0 +1,98 @@
+"""Behavioral tests for the dedup ladder with planted duplicates —
+covers the semantics the DuckDB oracle can't (xxhash64-based MinHash
+/ SimHash)."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_flink_streaming_example_with_test_spark.operators.dedup import (
+    dedup_keep_first,
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR_DUP = BASE.replace("warm windowsill", "cold doorstep")  # small edit
+UNRELATED = (
+    "spark executes declarative plans with catalyst optimization and "
+    "tungsten codegen across many distributed partitions of columnar data"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact dup of 0
+        (2, NEAR_DUP),      # near dup of 0
+        (3, UNRELATED),
+        (4, UNRELATED + " with a tail"),  # near dup of 3
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = {r.keep_id: r.n_copies for r in exact_duplicates(docs).collect()}
+    assert out[0] == 2          # docs 0 and 1 collapse
+    assert out[2] == 1
+    assert sum(out.values()) == 5
+
+
+def test_dedup_keep_first_survivors(docs):
+    survivors = sorted(r.doc_id for r in dedup_keep_first(docs).collect())
+    assert survivors == [0, 2, 3, 4]  # doc 1 dropped (dup of 0)
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_duplicates(docs, threshold=0.3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs or (1, 2) in pairs        # near dup found
+    # unrelated docs never pair with the fox docs
+    assert not any(a in (0, 1, 2) and b in (3, 4) for a, b in pairs)
+
+
+def test_minhash_signature_shape(spark, docs):
+    sigs = minhash_signatures(shingle_sets(docs), num_hashes=16)
+    rows = sigs.collect()
+    assert all(len(r.signature) == 16 for r in rows)
+    by_id = {r.doc_id: r.signature for r in rows}
+    assert by_id[0] == by_id[1]  # identical text -> identical signature
+
+
+def test_lsh_exact_dup_always_collides(docs):
+    sigs = minhash_signatures(shingle_sets(docs))
+    cands = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cands
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert 0.1 <= pairs[(0, 2)] < 1.0
+    assert (3, 4) in pairs
+
+
+def test_simhash_near_dups_are_hamming_close(docs):
+    fp = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    assert fp[0] == fp[1]  # identical text
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(fp[0], fp[2]) <= 16       # near dup: close
+    assert hamming(fp[0], fp[3]) > hamming(fp[0], fp[2])  # unrelated: farther

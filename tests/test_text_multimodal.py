@@ -1,0 +1,119 @@
+"""Behavioral tests for text analysis and multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    documents_as_assets,
+    extract_image_features,
+    resize_images,
+    sample_video_frames,
+)
+from spark_flink_streaming_example_with_test_spark.operators.text import (
+    predict_language,
+    stopword_hits,
+    with_token_stats,
+    word_ngrams,
+)
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "a bb ccc a")], ["doc_id", "text"])
+    row = with_token_stats(df).collect()[0]
+    assert row.n_tokens == 4
+    assert row.n_chars == 10
+    assert row.avg_token_len == 2.5
+    assert row.ttr == 0.75  # 3 distinct of 4
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = spark.createDataFrame([(1, "one two")], ["doc_id", "text"])
+    assert df.select(word_ngrams("text", 3).alias("g")).collect()[0].g == []
+
+
+def test_word_ngrams_values(spark):
+    df = spark.createDataFrame([(1, "A b c d")], ["doc_id", "text"])
+    grams = df.select(word_ngrams("text", 3).alias("g")).collect()[0].g
+    assert grams == ["a b c", "b c d"]
+
+
+def test_language_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the king and the queen is in the north"),
+            (2, "zxcv qwer asdf poiu lkjh mnbv"),
+        ],
+        ["doc_id", "text"],
+    )
+    n_tokens = F.size(F.split("text", " "))
+    out = {
+        r.doc_id: r.lang
+        for r in df.select(
+            "doc_id",
+            predict_language(stopword_hits("text") / n_tokens).alias("lang"),
+        ).collect()
+    }
+    assert out[1] == "en"
+    assert out[2] == "other"
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "src0", 11), (2, "spark engine", "en", "src1", 12)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return documents_as_assets(docs)
+
+
+def test_assets_schema(assets):
+    assert [f.name for f in assets.schema.fields] == [
+        "asset_id", "media_type", "payload", "source",
+    ]
+    row = assets.filter(F.col("asset_id") == 1).collect()[0]
+    assert bytes(row.payload) == b"hello world"
+
+
+def test_extract_image_features_fake_decode(assets):
+    rows = {r.asset_id: r for r in extract_image_features(assets, fake=True).collect()}
+    r = rows[1]
+    assert r.n_bytes == 11
+    assert r.sha256 == hashlib.sha256(b"hello world").hexdigest()
+    digest = hashlib.sha256(b"hello world").digest()
+    assert r.width == 64 + digest[0] % 192
+    assert 1 <= r.channels <= 4
+
+
+def test_extract_image_features_real_decode_is_stubbed(assets):
+    with pytest.raises(Exception, match="NotImplementedError|image library"):
+        extract_image_features(assets, fake=False).collect()
+
+
+def test_resize_images_preserves_schema(assets):
+    out = resize_images(assets, 224, 224, fake=True)
+    assert out.schema == ASSET_SCHEMA
+    rows = out.collect()
+    assert all(len(bytes(r.payload)) == 32 for r in rows)  # sha256 digest
+
+
+def test_resize_images_unstubbed_fails_fast(assets):
+    with pytest.raises(NotImplementedError):
+        resize_images(assets, 224, 224, fake=False)
+
+
+def test_sample_video_frames_shape(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 2000, "en", "s", 2000)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    frames = sample_video_frames(documents_as_assets(docs), every_n=10, fake=True)
+    rows = frames.collect()
+    assert len(rows) == 2000 // (10 * 32)
+    assert [r.frame_index for r in rows] == list(range(len(rows)))
+    assert all(len(bytes(r.frame)) == 32 for r in rows)
