@@ -1,0 +1,81 @@
+"""Streaming sink adapters.
+
+The engine's sink-extension point is ``foreachBatch`` (reference:
+spark/spark_streaming.py:81-92), with one fix over the reference:
+its lambda runs ``df.count()`` AND the JDBC save — two actions, so
+every micro-batch plan executed twice (SURVEY.md §3.1 step 5). Our
+wrapper persists the batch across its actions and unpersists after.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+log = logging.getLogger(__name__)
+
+BatchWriter = Callable[[DataFrame, int], None]
+
+
+def foreach_batch_sink(
+    write: Callable[[DataFrame], None],
+    log_counts: bool = True,
+) -> BatchWriter:
+    """Wrap a batch write so the micro-batch plan executes once even
+    when counted for logging (persist -> actions -> unpersist)."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        needs_persist = log_counts
+        if needs_persist:
+            df.persist()
+        try:
+            if log_counts:
+                log.info("Processing batch %s with %s rows", batch_id, df.count())
+            write(df)
+        finally:
+            if needs_persist:
+                df.unpersist()
+
+    return sink
+
+
+def jdbc_batch_writer(
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    batchsize: int = 1000,
+    log_counts: bool = True,
+) -> BatchWriter:
+    """Per-micro-batch JDBC append (reference:
+    spark/spark_streaming.py:67-78; batchsize mirrors the Flink
+    twin's JdbcExecutionOptions, UserActivityFilterAgg.java:130-133).
+    """
+
+    def write(df: DataFrame) -> None:
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("user", user)
+            .option("password", password)
+            .option("driver", driver)
+            .option("batchsize", str(batchsize))
+            .mode("append")
+            .save()
+        )
+
+    return foreach_batch_sink(write, log_counts=log_counts)
+
+
+def parquet_batch_writer(path: str, log_counts: bool = False) -> BatchWriter:
+    """Append each micro-batch to a parquet directory — the
+    file-based analog used in tests and batch backfills."""
+
+    def write(df: DataFrame) -> None:
+        df.write.mode("append").parquet(path)
+
+    return foreach_batch_sink(write, log_counts=log_counts)

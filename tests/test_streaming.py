@@ -1,0 +1,174 @@
+"""True micro-batch streaming tests — the Spark analog of the
+reference's MiniCluster integration test (FlinkTest.java:100-186):
+bounded file source standing in for Kafka, real watermark/append
+semantics that the batch path can't see (late-row dropping,
+exactly-once window emission), stream splitting, checkpoint restart.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators.activity import flagship_pipeline
+from spark_flink_streaming_example_with_test_spark.streaming.sinks import parquet_batch_writer
+from spark_flink_streaming_example_with_test_spark.streaming.job import (
+    read_activity_file_stream,
+    start_pipeline,
+    start_split_pipelines,
+)
+
+# Base minute M = 2023-08-25 00:12:00 UTC.
+M = 1692922320000
+
+
+def _event(uid: str, offset_ms: int, etype: str) -> str:
+    return json.dumps(
+        {
+            "id": uid,
+            "date": M + offset_ms,
+            "event": {"event_type": etype, "url": "u"},
+        }
+    )
+
+
+def _write_file(dirpath: str, name: str, lines: list[str]) -> None:
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+def test_append_mode_window_emission_and_late_drop(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    emitted: list[tuple[int, list]] = []
+
+    def collect(df, batch_id):
+        rows = df.collect()
+        if rows:
+            emitted.append((batch_id, rows))
+
+    stream = read_activity_file_stream(spark, str(src))
+    query = start_pipeline(
+        stream,
+        flagship_pipeline,
+        collect,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        # Batch 1: three events inside window M (user 1).
+        _write_file(str(src), "f1.json", [
+            _event("1", 5_000, "liked"),
+            _event("1", 20_000, "LIKED"),
+            _event("1", 30_000, "commented"),
+        ])
+        query.processAllAvailable()
+        assert emitted == []  # window M not finalized yet
+
+        # Batch 2: event at M+2min raises max event time; watermark
+        # (updated at batch end) passes M+1min for the NEXT batch.
+        _write_file(str(src), "f2.json", [_event("2", 120_000, "liked")])
+        query.processAllAvailable()
+
+        # Batch 3: event at M+4min triggers emission of window M.
+        _write_file(str(src), "f3.json", [_event("2", 240_000, "liked")])
+        query.processAllAvailable()
+        flat = [r for _, rows in emitted for r in rows]
+        win_m = [r for r in flat if r.window_start.minute == 12]
+        assert {(r.id, r.event_type, r["count"]) for r in win_m} == {
+            ("1", "liked", 2),
+            ("1", "commented", 1),
+        }
+
+        # Batch 4: LATE row back in window M — beyond the watermark,
+        # must be dropped from state, never re-emitting window M.
+        n_before = len([r for _, rows in emitted for r in rows])
+        _write_file(str(src), "f4.json", [_event("1", 10_000, "liked")])
+        query.processAllAvailable()
+        _write_file(str(src), "f5.json", [_event("2", 600_000, "liked")])
+        query.processAllAvailable()
+        flat = [r for _, rows in emitted for r in rows]
+        win_m_after = [r for r in flat if r.window_start.minute == 12]
+        assert len(win_m_after) == len(win_m)  # late row had no effect
+    finally:
+        query.stop()
+
+
+def test_stream_split_partitions_input(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out_a = str(tmp_path / "out_a")
+    out_b = str(tmp_path / "out_b")
+
+    from spark_flink_streaming_example_with_test_spark.operators.activity import (
+        clean_activity,
+        split_by_event_types,
+    )
+
+    def branch_keep(df):
+        return split_by_event_types(clean_activity(df), ["liked", "commented"])[0]
+
+    def branch_rest(df):
+        return split_by_event_types(clean_activity(df), ["liked", "commented"])[1]
+
+    stream = read_activity_file_stream(spark, str(src))
+    queries = start_split_pipelines(
+        stream,
+        [
+            ("kept", branch_keep, parquet_batch_writer(out_a)),
+            ("rest", branch_rest, parquet_batch_writer(out_b)),
+        ],
+        checkpoint_root=str(tmp_path / "ckpt"),
+    )
+    try:
+        _write_file(str(src), "f1.json", [
+            _event("1", 1_000, "liked"),
+            _event("2", 2_000, "viewed"),
+            _event("3", 3_000, "bookmarked"),
+            _event("4", 4_000, "Commented"),
+        ])
+        for q in queries:
+            q.processAllAvailable()
+        kept = {r.id for r in spark.read.parquet(out_a).collect()}
+        rest = {r.id for r in spark.read.parquet(out_b).collect()}
+        assert kept == {"1", "4"}
+        assert rest == {"2", "3"}
+    finally:
+        for q in queries:
+            q.stop()
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    from spark_flink_streaming_example_with_test_spark.operators.activity import (
+        clean_activity,
+        filter_event_types,
+    )
+
+    def passthrough(df):
+        return filter_event_types(clean_activity(df), ["liked", "bookmarked", "commented"])
+
+    def run_until_drained():
+        stream = read_activity_file_stream(spark, str(src))
+        q = start_pipeline(stream, passthrough, parquet_batch_writer(out), ckpt)
+        q.processAllAvailable()
+        q.stop()
+
+    _write_file(str(src), "f1.json", [_event("1", 1_000, "liked")])
+    run_until_drained()
+    # Restart from the same checkpoint with one more file: the first
+    # file's offsets are committed -> exactly-once output.
+    _write_file(str(src), "f2.json", [_event("2", 2_000, "bookmarked")])
+    run_until_drained()
+
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.id for r in rows) == ["1", "2"]
