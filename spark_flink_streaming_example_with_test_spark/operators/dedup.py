@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint, word_ngrams
+from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
+from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
 
 DEFAULT_NUM_HASHES = 32
 DEFAULT_BANDS = 8
@@ -57,16 +58,72 @@ def dedup_keep_first(
     return df.join(keep, id_col, "left_semi")
 
 
+def _tokenized(df: DataFrame, id_col: str, text_col: str, min_tokens: int) -> DataFrame:
+    """Cheap stage-1 projection: (id, toks). Filtering on token
+    count happens here — before the exchange — so short docs never
+    shuffle; the repartition materializes `toks`, giving downstream
+    gram expressions a plain column reference (Catalyst collapses
+    projections and would otherwise re-evaluate the whole split per
+    use site: higher-order functions get no codegen CSE)."""
+    s1 = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
+    ).filter(F.size("toks") >= min_tokens)
+    return ensure_min_partitions(s1)
+
+
 def shingle_sets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_len: int = 3,
 ) -> DataFrame:
-    """(id, shingles array<string>) with distinct word n-grams."""
-    return df.select(
-        F.col(id_col), word_ngrams(text_col, shingle_len).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    """(id, shingles array<string>) with distinct word n-grams —
+    the string-shingle variant used where human-readable grams (or
+    SQL-oracle parity) matter."""
+    s1 = _tokenized(df, id_col, text_col, shingle_len)
+
+    def gram_at(i):
+        return F.concat_ws(
+            " ", *[F.element_at("toks", i + j + 1) for j in range(shingle_len)]
+        )
+
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - shingle_len), gram_at
+        )
+    )
+    return s1.select(F.col(id_col), grams.alias("shingles"))
+
+
+def hashed_shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """(id, shingles array<long>): the MinHash-path variant that
+    never materializes gram strings — tokens are xxhash64'd once and
+    each gram hash combines ``shingle_len`` consecutive token hashes
+    in a single fixed-width xxhash64 call. ~10x cheaper than string
+    shingles (measured at sf0.1) with identical Jaccard structure
+    modulo 64-bit collisions."""
+    s1 = _tokenized(df, id_col, text_col, shingle_len)
+    th = F.transform("toks", lambda t: F.xxhash64(t))
+    s2 = s1.select(
+        F.col(id_col),
+        th.alias("th"),
+        (F.size("toks") - shingle_len).alias("hi"),
+    )
+
+    def gram_at(i):
+        return F.xxhash64(
+            *[F.element_at("th", i + j + 1) for j in range(shingle_len)]
+        )
+
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(0), F.col("hi")), gram_at)
+    )
+    return s2.select(F.col(id_col), grams.alias("shingles"))
 
 
 def minhash_signatures(
@@ -74,22 +131,28 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, sig[i] =
-    min(xxhash64(i, shingle)). Computed as ``num_hashes`` parallel
-    min-aggregates after exploding the shingle set — a single
-    map-side-combined shuffle keyed by doc id."""
-    exploded = shingled.select(
-        F.col(id_col), F.explode("shingles").alias("shingle")
+    """MinHash signature per document, computed entirely map-side:
+    each (variable-length) shingle string is xxhash64'd ONCE, then
+    the ``num_hashes`` per-seed values derive from that fixed-width
+    long via xxhash64(seed, h) — cheap, ANSI-safe, no overflow — and
+    sig[i] is an array_min over the per-row shingle set. No explode,
+    no shuffle: the 100 TB cost is one narrow pass over the corpus."""
+    # One fold over the hashed shingles computing all seed-mins at
+    # once: referencing `shingles` exactly once in the expression
+    # tree matters — Catalyst collapses projections and would
+    # otherwise duplicate the whole shingle construction per seed
+    # (higher-order functions get no codegen CSE).
+    hs = F.transform("shingles", lambda s: F.xxhash64(s))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    max_long = F.lit(2**63 - 1).cast("long")
+    sig = F.aggregate(
+        hs,
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc, seeds, lambda m, seed: F.least(m, F.xxhash64(seed, h))
+        ),
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    agg = exploded.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    return shingled.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -169,9 +232,11 @@ def minhash_near_duplicates(
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """End-to-end near-dedup: shingle -> MinHash -> LSH candidates ->
-    exact-Jaccard verification >= threshold."""
-    shingled = shingle_sets(df, id_col, text_col, shingle_len)
+    """End-to-end near-dedup: hashed shingles -> MinHash -> LSH
+    candidates -> exact-Jaccard verification >= threshold (Jaccard
+    computed on the hashed shingle sets — identical up to 64-bit
+    collisions, far cheaper than string grams)."""
+    shingled = hashed_shingle_sets(df, id_col, text_col, shingle_len)
     sigs = minhash_signatures(shingled, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return verify_jaccard(cands, shingled, id_col, threshold)

@@ -23,6 +23,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-fold dot product — deterministic accumulation
@@ -39,9 +41,13 @@ def l2_norm(v: Column | str) -> Column:
 
 
 def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Cast to double and attach the L2 norm (computed once)."""
-    return df.withColumn("v", F.col(vec_col).cast("array<double>")).withColumn(
-        "v_norm", l2_norm("v")
+    """Cast to double and attach the L2 norm. The norm fold runs
+    after a parallelism guard so a single-file corpus doesn't pin
+    the vector math to one core (see ensure_min_partitions)."""
+    return (
+        ensure_min_partitions(df)
+        .withColumn("v", F.col(vec_col).cast("array<double>"))
+        .withColumn("v_norm", l2_norm("v"))
     )
 
 
