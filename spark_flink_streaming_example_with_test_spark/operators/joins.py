@@ -1,0 +1,91 @@
+"""Join operators Spark lacks as primitives — currently the as-of
+join (point-in-time lookup).
+
+The reference has no joins at all (SURVEY.md §2.6), but a
+point-in-time lookup is the canonical "operator the engine lacks"
+(task brief): for each left row, the most recent right row with
+``right.ts <= left.ts`` on the same key.
+
+The naive formulation — range join + groupBy-max + re-join — explodes
+to O(|L| x |R|) per key before aggregating. This implementation is
+the scalable union-window form:
+
+1. union the two sides with a marker column (right rows first at
+   equal timestamps, so ``<=`` semantics hold),
+2. one shuffle: window partitioned by key, ordered by
+   (ts, marker, tiebreak),
+3. ``last(right_payload, ignoreNulls=True)`` carries the latest right
+   row forward onto each left row,
+4. keep marker = left.
+
+Cost at 100 TB: exactly one exchange of L+R keyed by the join key —
+the same price as a single sort-merge join — with no intermediate
+pair blow-up and no skew amplification beyond the key's own
+frequency.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    right_tiebreak: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row: the most recent right row at-or-before its
+    timestamp, per key.
+
+    ``right_tiebreak``: column deciding between right rows that share
+    a timestamp (larger wins), making the result deterministic.
+    ``how``: "inner" drops left rows with no prior right row; "left"
+    keeps them with null payload.
+    """
+    l_cols = [c for c in left.columns if c not in (on,)]
+    tb = right_tiebreak or right_payload[0]
+
+    lhs = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(right.schema[tb].dataType).alias("__tb"),
+        *[F.col(c) for c in l_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+    )
+    rhs = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.col(tb).alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left", "__tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_payload
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        F.col("__k").alias(on),
+        *[F.col(c) for c in l_cols],
+        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"asof_{right_payload[0]}").isNotNull())
+    return out

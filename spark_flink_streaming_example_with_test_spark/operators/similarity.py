@@ -93,6 +93,88 @@ def lsh_bucket(v: Column | str, n_bits: int = 8) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the
+    corpus into inverted lists; each query probes only its ``n_probe``
+    nearest lists.
+
+    Centroids here are a deterministic training stand-in — the first
+    ``n_centroids`` corpus vectors by id (a real deployment would
+    k-means a sample; the join shape is identical). Assignment and
+    probing are broadcast nested-loop against the tiny centroid set
+    (n_centroids rows), so the only shuffle is the final per-query
+    top-k window over ~(n_probe / n_centroids) of the corpus —
+    the 100 TB win over brute force.
+
+    Output: (q_id, vec_id, cos_sim, rk) — same contract as
+    ``cosine_topk`` so callers can swap exact for approximate.
+    """
+    cents = with_unit_prep(
+        corpus.filter(F.col(id_col) < n_centroids), vec_col
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"),
+    )
+
+    def nearest(df: DataFrame, did: str, n: int, out: str) -> DataFrame:
+        """Top-n centroids per row of df (id did, vec v, norm v_norm)."""
+        csim = F.round(dot("v", "cv") / (F.col("v_norm") * F.col("c_norm")), 6)
+        w = Window.partitionBy(did).orderBy(F.desc("c_sim"), F.asc("cent_id"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .select(df["*"], F.col("cent_id"), csim.alias("c_sim"))
+            .withColumn(out, F.row_number().over(w))
+            .filter(F.col(out) <= n)
+            .drop("c_sim", out)
+        )
+
+    lists = nearest(with_unit_prep(corpus, vec_col), id_col, 1, "crk").select(
+        F.col(id_col), "v", "v_norm", "cent_id"
+    )
+    q_prepped = with_unit_prep(queries, vec_col).select(
+        F.col(id_col).alias("q_id"), "v", "v_norm"
+    )
+    probes = nearest(q_prepped, "q_id", n_probe, "prk").select(
+        "q_id", F.col("v").alias("qv"), F.col("v_norm").alias("q_norm"), "cent_id"
+    )
+
+    sim = F.round(dot("v", "qv") / (F.col("v_norm") * F.col("q_norm")), 6)
+    scored = (
+        lists.join(probes, "cent_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col), sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dedup: for every vector that has a
+    lower-id neighbor with cosine >= threshold (within its LSH
+    bucket), emit (drop_id, keep_id, best cos). One row per dropped
+    vector — the dedup decision, not just the pair list."""
+    pairs = bucketed_similar_pairs(df, threshold, n_bits, id_col, vec_col)
+    return pairs.groupBy(F.col("id_b").alias("drop_id")).agg(
+        F.min("id_a").alias("keep_id"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )
+
+
 def bucketed_similar_pairs(
     df: DataFrame,
     threshold: float = 0.25,

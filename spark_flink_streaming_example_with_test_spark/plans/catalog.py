@@ -77,6 +77,15 @@ _SPECS: list[QuerySpec] = [
               rel.SCALAR_STRING_ORACLE),
     QuerySpec("scalar_date_functions", rel.scalar_date_functions,
               rel.SCALAR_DATE_ORACLE),
+    QuerySpec("grouping_sets_order_stats", rel.grouping_sets_order_stats,
+              rel.GROUPING_SETS_ORACLE),
+    QuerySpec("pivot_daily_event_counts", rel.pivot_daily_event_counts,
+              rel.PIVOT_ORACLE),
+    QuerySpec("asof_last_click_before_purchase",
+              rel.asof_last_click_before_purchase, rel.ASOF_ORACLE,
+              headline=True),
+    QuerySpec("scalar_array_json", rel.scalar_array_json,
+              rel.SCALAR_ARRAY_JSON_ORACLE),
     # -- North-star LLM ops ---------------------------------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
@@ -88,6 +97,10 @@ _SPECS: list[QuerySpec] = [
               llm.SIMILARITY_TOPK_ORACLE, headline=True),
     QuerySpec("similarity_lsh_bucketed", llm.similarity_lsh_bucketed,
               llm.SIMILARITY_LSH_ORACLE),
+    QuerySpec("similarity_ivf_topk", llm.similarity_ivf_topk,
+              llm.SIMILARITY_IVF_ORACLE),
+    QuerySpec("dedup_embedding_cosine", llm.dedup_embedding_cosine,
+              llm.DEDUP_EMBEDDING_ORACLE),
     QuerySpec("embeddings_label_stats", llm.embeddings_label_stats,
               llm.EMBEDDINGS_STATS_ORACLE),
     QuerySpec("text_quality_scores", llm.text_quality_scores,

@@ -327,3 +327,90 @@ SELECT doc_id AS asset_id,
        SHA256(text) AS sha256
 FROM documents
 """
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: one row per dropped vector with
+    its kept lower-id neighbor (cos >= 0.3 within its sign-bit LSH
+    bucket). The oracle mirrors the bucket restriction exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.embedding_near_duplicates(emb, threshold=0.3, n_bits=8)
+
+
+DEDUP_EMBEDDING_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm,
+         (CASE WHEN embedding[1] > 0 THEN 1   ELSE 0 END
+        + CASE WHEN embedding[2] > 0 THEN 2   ELSE 0 END
+        + CASE WHEN embedding[3] > 0 THEN 4   ELSE 0 END
+        + CASE WHEN embedding[4] > 0 THEN 8   ELSE 0 END
+        + CASE WHEN embedding[5] > 0 THEN 16  ELSE 0 END
+        + CASE WHEN embedding[6] > 0 THEN 32  ELSE 0 END
+        + CASE WHEN embedding[7] > 0 THEN 64  ELSE 0 END
+        + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_b AS drop_id, MIN(id_a) AS keep_id,
+       ROUND(MAX(ROUND(cos_sim, 6)), 6) AS max_cos
+FROM pairs WHERE cos_sim >= 0.3 GROUP BY id_b
+"""
+
+
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for query vectors vec_id < 5: corpus
+    partitioned into 16 inverted lists by nearest seed centroid, each
+    query probes its 4 nearest lists. Same output contract as the
+    exact ``similarity_topk_cosine`` so recall is directly
+    comparable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        "q_id", "vec_id", "cos_sim", "rk"
+    )
+
+
+SIMILARITY_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS c_nrm FROM e WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(
+                                  RANGE(1, LEN(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                                  / (e.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_id, qv, q_nrm, cent_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, e.nrm AS q_nrm, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(
+                                  RANGE(1, LEN(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                                  / (e.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5
+  ) WHERE rn <= 4
+), scored AS (
+  SELECT p.q_id, a.vec_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+                         i -> a.v[i] * p.qv[i])) / (a.nrm * p.q_nrm), 6) AS cos_sim
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  WHERE a.vec_id != p.q_id
+)
+SELECT q_id, vec_id, cos_sim, rk FROM (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored
+) WHERE rk <= 10
+"""

@@ -547,3 +547,135 @@ SELECT o_orderkey,
        o_orderdate + INTERVAL 30 DAY         AS due_date
 FROM orders WHERE o_orderkey % 7 = 0
 """
+
+
+# --- Grouping sets / pivot / as-of / array-json surface ---------------
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via SQL: per-status totals, per-priority totals,
+    and a grand total in one aggregation pass (Catalyst expands to a
+    single Expand + HashAggregate — one shuffle, not three queries).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*)                          AS n_orders,
+               ROUND(SUM(o_totalprice), 2)       AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*)                          AS n_orders,
+       ROUND(SUM(o_totalprice), 2)       AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one count column per event type. The
+    pivot value list is explicit so Spark skips the extra
+    distinct-values job and the output schema is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    )
+    return piv.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+PIVOT_ORACLE = """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+FROM events GROUP BY DATE_TRUNC('day', ts)
+"""
+
+
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events table: each purchase paired with the
+    same user's most recent click at-or-before it (ties broken by
+    highest event_id). Union-window implementation — one shuffle on
+    user_id, no range-join pair explosion (operators/joins.py)."""
+    from spark_flink_streaming_example_with_test_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        right_payload=["click_id", "click_ts"],
+        right_tiebreak="click_id",
+        how="inner",
+    )
+    return out.select(
+        "user_id", "purchase_id", "purchase_ts",
+        F.col("asof_click_id").alias("click_id"),
+        F.col("asof_click_ts").alias("click_ts"),
+    )
+
+
+ASOF_ORACLE = """
+SELECT user_id, purchase_id, purchase_ts, click_id, click_ts FROM (
+  SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+         c.event_id AS click_id, c.ts AS click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+) WHERE rn = 1
+"""
+
+
+def scalar_array_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / JSON scalar surface: get_json_object pulls a typed
+    field out of the props JSON; sequence/aggregate/array_max cover
+    array construction and folds — all JVM-side expressions."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    arr = F.sequence(F.lit(1), (k % 5) + 1)
+    return e.filter(F.col("event_id") % 11 == 0).select(
+        "event_id",
+        k.alias("k"),
+        F.size(arr).alias("arr_len"),
+        F.aggregate(arr, F.lit(0), lambda a, x: a + x).alias("arr_sum"),
+        F.array_max(arr).alias("arr_max"),
+        F.reverse(arr)[0].alias("arr_last"),
+    )
+
+
+SCALAR_ARRAY_JSON_ORACLE = """
+SELECT event_id,
+       CAST(props->>'$.k' AS INT)                       AS k,
+       LEN(RANGE(1, CAST(props->>'$.k' AS INT) % 5 + 2)) AS arr_len,
+       CAST(LIST_SUM(RANGE(1, CAST(props->>'$.k' AS INT) % 5 + 2)) AS BIGINT) AS arr_sum,
+       LIST_MAX(RANGE(1, CAST(props->>'$.k' AS INT) % 5 + 2)) AS arr_max,
+       LIST_REVERSE(RANGE(1, CAST(props->>'$.k' AS INT) % 5 + 2))[1] AS arr_last
+FROM events WHERE event_id % 11 = 0
+"""
