@@ -39,6 +39,8 @@ _SPECS: list[QuerySpec] = [
               ref.SLIDING_WINDOW_ORACLE),
     QuerySpec("session_windows_per_user", ref.session_windows_per_user,
               ref.SESSION_WINDOW_ORACLE, headline=True),
+    QuerySpec("streaming_running_user_totals", ref.streaming_running_user_totals,
+              ref.STREAMING_TOTALS_ORACLE),
     # -- Relational gap map ---------------------------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),

@@ -166,3 +166,51 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 """
+
+
+def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING execution of the custom stateful operator
+    (applyInPandasWithState, streaming/ops.py): the events table
+    replayed through a bounded file stream, per-user running totals
+    accumulated in the state store, final state returned as a batch
+    DataFrame. The oracle is plain SQL aggregation — proving the
+    stateful path converges to the batch answer (SURVEY.md §1.4
+    duality, extended to custom state)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import running_user_totals
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="engine_stream_src_")
+    sink = f"rt_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, value double").parquet(src)
+        query = (
+            running_user_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        # Single micro-batch (no maxFilesPerTrigger) -> one final
+        # state row per user; round the float sum for oracle parity.
+        return spark.table(sink).select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_TOTALS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""

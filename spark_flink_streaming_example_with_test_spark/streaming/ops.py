@@ -1,0 +1,104 @@
+"""Streaming-only operator surface: watermarked dedup, stream-stream
+interval join, and a custom stateful aggregate.
+
+The reference's streaming coverage stops at watermark + tumbling
+window + count (spark/spark_streaming.py:64-65); these fill the
+"arbitrary stateful ops" and stream-join rows of the gap map
+(SURVEY.md §2.6). All three are pure DataFrame -> DataFrame wiring —
+state lives in Spark's state store (RocksDB provider at scale), so a
+1000-executor cluster shards state by key exactly like any shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_within_watermark(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    delay: str = "10 seconds",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-occurrences of a key seen
+    within the watermark horizon. State is bounded — entries older
+    than the watermark are evicted, so memory is O(keys per horizon),
+    not O(all keys ever) as with plain dropDuplicates on a stream."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right rows within [left_ts, left_ts
+    + within] on the same key. Both sides carry watermarks and the
+    join condition bounds event-time distance, so Spark can size the
+    join state and evict rows once the watermark passes — without
+    the time bound, stream-stream state grows forever.
+
+    Column names: the key keeps its name; both timestamp columns
+    survive (they must differ).
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must have distinct names")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+
+
+RUNNING_TOTALS_OUTPUT = "user_id long, n_events long, total_value double"
+RUNNING_TOTALS_STATE = "n long, total double"
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value sum) across the whole stream, one
+    updated row per user per micro-batch — the general form of the
+    reference's windowed count when no window bounds the state.
+
+    Arrow moves each group's batch rows to Python once per trigger;
+    state is two scalars per user in the state store. At 100 TB the
+    cost is the shuffle on user_id (already required by any keyed
+    aggregate) plus Arrow transfer of the micro-batch — not of the
+    accumulated history.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,157 @@
+"""Micro-batch tests for the streaming-only operators: watermarked
+dedup, stream-stream interval join, applyInPandasWithState running
+totals. File sources stand in for Kafka (one file = one micro-batch
+via maxFilesPerTrigger)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from spark_flink_streaming_example_with_test_spark.streaming.ops import (
+    dedup_within_watermark,
+    interval_join_streams,
+    running_user_totals,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _line(eid: int, uid: int, ts: str, etype: str = "click", value: float = 1.0) -> str:
+    return json.dumps(
+        {"event_id": eid, "user_id": uid, "ts": ts, "event_type": etype, "value": value}
+    )
+
+
+def _write_file(dirpath: str, name: str, lines: list[str]) -> None:
+    tmp = os.path.join(dirpath, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.rename(tmp, os.path.join(dirpath, name))
+
+
+def _file_stream(spark, path: str):
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(path)
+    )
+
+
+def _run_collecting(transformed, ckpt: str, output_mode: str = "append"):
+    emitted: list = []
+
+    def collect(df, batch_id):
+        emitted.extend(df.collect())
+
+    query = (
+        transformed.writeStream.foreachBatch(collect)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    return query, emitted
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = dedup_within_watermark(
+        _file_stream(spark, str(src)), keys=["event_id"], ts_col="ts", delay="10 minutes"
+    )
+    query, emitted = _run_collecting(stream, str(tmp_path / "ckpt"))
+    try:
+        _write_file(str(src), "f1.json", [
+            _line(1, 1, "2024-01-01 10:00:00"),
+            _line(1, 1, "2024-01-01 10:00:01"),  # same-batch duplicate
+            _line(2, 1, "2024-01-01 10:00:02"),
+        ])
+        query.processAllAvailable()
+        # cross-batch duplicate inside the watermark horizon
+        _write_file(str(src), "f2.json", [
+            _line(1, 1, "2024-01-01 10:00:05"),
+            _line(3, 2, "2024-01-01 10:00:06"),
+        ])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert sorted(r.event_id for r in emitted) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    imps_dir, clicks_dir = tmp_path / "imps", tmp_path / "clicks"
+    imps_dir.mkdir()
+    clicks_dir.mkdir()
+
+    imps = _file_stream(spark, str(imps_dir)).selectExpr(
+        "event_id AS imp_id", "user_id", "ts AS imp_ts"
+    )
+    clicks = _file_stream(spark, str(clicks_dir)).selectExpr(
+        "event_id AS click_id", "user_id", "ts AS click_ts"
+    )
+    joined = interval_join_streams(
+        imps, clicks, key="user_id", left_ts="imp_ts", right_ts="click_ts",
+        within="1 minute", watermark="2 minutes",
+    )
+    query, emitted = _run_collecting(joined, str(tmp_path / "ckpt"))
+    try:
+        _write_file(str(imps_dir), "i1.json", [
+            _line(10, 1, "2024-01-01 10:00:00"),
+            _line(11, 2, "2024-01-01 10:00:00"),
+        ])
+        _write_file(str(clicks_dir), "c1.json", [
+            _line(20, 1, "2024-01-01 10:00:30"),  # within 1 min of imp 10
+            _line(21, 1, "2024-01-01 10:02:00"),  # too late for imp 10
+            _line(22, 3, "2024-01-01 10:00:10"),  # no impression for user 3
+        ])
+        query.processAllAvailable()
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    pairs = sorted((r.imp_id, r.click_id) for r in emitted)
+    assert pairs == [(10, 20)]
+
+
+def test_running_user_totals_accumulates_across_batches(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = running_user_totals(_file_stream(spark, str(src)))
+    query, emitted = _run_collecting(stream, str(tmp_path / "ckpt"), output_mode="update")
+    try:
+        _write_file(str(src), "f1.json", [
+            _line(1, 1, "2024-01-01 10:00:00", value=1.0),
+            _line(2, 1, "2024-01-01 10:00:01", value=2.0),
+            _line(3, 2, "2024-01-01 10:00:02", value=5.0),
+        ])
+        query.processAllAvailable()
+        _write_file(str(src), "f2.json", [
+            _line(4, 1, "2024-01-01 10:00:10", value=4.0),
+        ])
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    by_batch = {(r.user_id, r.n_events): r.total_value for r in emitted}
+    # batch 1 snapshots
+    assert by_batch[(1, 2)] == pytest.approx(3.0)
+    assert by_batch[(2, 1)] == pytest.approx(5.0)
+    # batch 2: user 1 state carried forward
+    assert by_batch[(1, 3)] == pytest.approx(7.0)
