@@ -40,8 +40,16 @@ def main() -> None:
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: touch the fact table so FS caches / codegen paths are hot.
-    _drain(QUERIES["q6_forecast_revenue"].fn(spark, sf_dir))
+    # Warm-up: touch every fact table (lineitem, events, documents,
+    # embeddings) so file-index/FS-cache/codegen first-touch costs
+    # don't land on the first timed query of each table.
+    for warm in (
+        "q6_forecast_revenue",
+        "events_json_kpi",
+        "dedup_exact_docs",
+        "embeddings_label_stats",
+    ):
+        _drain(QUERIES[warm].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE_QUERIES:

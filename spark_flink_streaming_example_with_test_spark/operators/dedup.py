@@ -236,7 +236,16 @@ def minhash_near_duplicates(
     candidates -> exact-Jaccard verification >= threshold (Jaccard
     computed on the hashed shingle sets — identical up to 64-bit
     collisions, far cheaper than string grams)."""
-    shingled = hashed_shingle_sets(df, id_col, text_col, shingle_len)
+    from pyspark import StorageLevel
+
+    # The shingled frame feeds three consumers (signatures + both
+    # sides of the verify join); without persist each one re-runs
+    # the tokenize/hash/gram chain — the dominant cost. Persisted
+    # MEMORY_AND_DISK: at 100 TB this spills rather than OOMs, and
+    # one materialization still beats three recomputes.
+    shingled = hashed_shingle_sets(df, id_col, text_col, shingle_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = minhash_signatures(shingled, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return verify_jaccard(cands, shingled, id_col, threshold)
@@ -254,7 +263,13 @@ def ngram_jaccard_pairs(
     shingle (join on the gram), then intersection counts fold into
     |A∩B| / (|A| + |B| - |A∩B|). The quadratic blowup is bounded by
     gram-frequency, which the shingle length controls."""
-    shingled = shingle_sets(df, id_col, text_col, shingle_len)
+    from pyspark import StorageLevel
+
+    # Two consumers (sizes + inverted index): persist so the gram
+    # construction runs once.
+    shingled = shingle_sets(df, id_col, text_col, shingle_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n"))
     inv = shingled.select(F.col(id_col), F.explode("shingles").alias("gram"))
     left = inv.select(F.col(id_col).alias("id_a"), "gram")
