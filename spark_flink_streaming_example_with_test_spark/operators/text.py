@@ -86,3 +86,17 @@ def word_ngrams(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+#: BPE-ish pre-tokenization pattern (GPT-2 style, simplified for
+#: cross-engine portability): word pieces with optional leading
+#: space, digit runs, punctuation runs.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def regex_tokens(text: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column:
+    """Regex pre-tokenization (the split a BPE tokenizer applies
+    before merges): letter runs, digit runs, punctuation runs —
+    ``regexp_extract_all``, JVM-side, no UDF."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(col, F.lit(pattern), 0)

@@ -50,6 +50,10 @@ _SPECS: list[QuerySpec] = [
               rel.Q5_ORACLE, headline=True),
     QuerySpec("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_ORACLE,
               headline=True),
+    QuerySpec("q4_order_priority_exists", rel.q4_order_priority_exists,
+              rel.Q4_ORACLE),
+    QuerySpec("having_big_customers", rel.having_big_customers,
+              rel.HAVING_ORACLE),
     QuerySpec("join_semi_customers", rel.join_semi_customers,
               rel.JOIN_SEMI_ORACLE),
     QuerySpec("join_anti_customers", rel.join_anti_customers,
@@ -113,6 +117,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("token_counts_top", llm.token_counts_top,
               llm.TOKEN_COUNTS_ORACLE, headline=True),
     QuerySpec("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_ORACLE),
+    QuerySpec("regex_token_stats", llm.regex_token_stats,
+              llm.REGEX_TOKEN_ORACLE),
     QuerySpec("binary_payload_features", llm.binary_payload_features,
               llm.BINARY_FEATURES_ORACLE),
 ]

@@ -414,3 +414,31 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
   FROM scored
 ) WHERE rk <= 10
 """
+
+
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts per document: total pieces,
+    distinct pieces, punctuation-piece share — the token-budget
+    estimate a training pipeline runs before the real tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.regex_tokens("text")
+    is_punct = lambda t: t.rlike("^[^A-Za-z0-9]+$")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_pieces"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, is_punct)).alias("n_punct"),
+    )
+
+
+REGEX_TOKEN_ORACLE = """
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+           AS n_pieces,
+       LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS n_distinct,
+       LEN(LIST_FILTER(REGEXP_EXTRACT_ALL(text,
+           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
+           t -> REGEXP_MATCHES(t, '^[^A-Za-z0-9]+$'))) AS n_punct
+FROM documents
+"""

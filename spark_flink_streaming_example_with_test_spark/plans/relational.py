@@ -679,3 +679,62 @@ SELECT event_id,
        LIST_REVERSE(RANGE(1, CAST(props->>'$.k' AS INT) % 5 + 2))[1] AS arr_last
 FROM events WHERE event_id % 11 = 0
 """
+
+
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS — orders with at least one
+    lineitem shipped more than 60 days after the order date, counted
+    per priority. Expressed as a left-semi join with a mixed
+    equi + non-equi condition (the form Catalyst rewrites EXISTS
+    into); only orderkey/priority/date columns shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    late = (o.o_orderkey == l.l_orderkey) & (
+        l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(l, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING + scalar subquery shape: customers whose
+    order count exceeds twice the per-customer average."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    avg_orders = per_cust.agg(F.avg("n_orders").alias("a"))
+    return (
+        per_cust.crossJoin(F.broadcast(avg_orders))
+        .filter(F.col("n_orders") > 2 * F.col("a"))
+        .select("o_custkey", "n_orders", "total_spend")
+    )
+
+
+HAVING_ORACLE = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) > 2 * (SELECT AVG(n) FROM (
+    SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey))
+"""
