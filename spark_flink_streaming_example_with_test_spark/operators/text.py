@@ -100,3 +100,45 @@ def regex_tokens(text: Column | str, pattern: str = BPE_TOKEN_PATTERN) -> Column
     ``regexp_extract_all``, JVM-side, no UDF."""
     col = F.col(text) if isinstance(text, str) else text
     return F.regexp_extract_all(col, F.lit(pattern), 0)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks —
+    the standard pre-embedding / context-window prep step.
+
+    Output: (id, chunk_id, chunk_text, n_tokens), one row per chunk,
+    stride = chunk_tokens - overlap. Pure expressions: tokenize once,
+    posexplode a sequence of chunk starts, slice+rejoin — the explode
+    multiplies rows ~len/stride, which is the true output size, and
+    no shuffle is introduced (narrow per-row transform).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    # chunk starts: 0, stride, 2*stride, ... while start < n_tokens
+    # (last chunk may be short; a doc shorter than one chunk yields
+    # exactly one chunk).
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("n_doc_tokens"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).filter(F.col("n_doc_tokens") > 0)
+    chunk = F.slice("__toks", F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        "chunk_id",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

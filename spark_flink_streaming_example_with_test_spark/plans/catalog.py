@@ -119,6 +119,7 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_ORACLE),
     QuerySpec("regex_token_stats", llm.regex_token_stats,
               llm.REGEX_TOKEN_ORACLE),
+    QuerySpec("doc_chunks", llm.doc_chunks, llm.DOC_CHUNKS_ORACLE),
     QuerySpec("binary_payload_features", llm.binary_payload_features,
               llm.BINARY_FEATURES_ORACLE),
 ]

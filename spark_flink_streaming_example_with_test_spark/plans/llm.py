@@ -442,3 +442,28 @@ SELECT doc_id,
            t -> REGEXP_MATCHES(t, '^[^A-Za-z0-9]+$'))) AS n_punct
 FROM documents
 """
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token chunks (stride 48) for docs doc_id < 100
+    — the pre-embedding chunking step of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tx.chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+DOC_CHUNKS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+  WHERE doc_id < 100
+), starts AS (
+  SELECT doc_id, w,
+         UNNEST(RANGE(0, GREATEST(LEN(w) - 1, 0) + 1, 48)) AS start,
+         GENERATE_SUBSCRIPTS(RANGE(0, GREATEST(LEN(w) - 1, 0) + 1, 48), 1) - 1
+             AS chunk_id
+  FROM toks WHERE LEN(w) > 0
+)
+SELECT doc_id, chunk_id,
+       ARRAY_TO_STRING(w[start + 1 : start + 64], ' ') AS chunk_text,
+       LEN(w[start + 1 : start + 64]) AS n_tokens
+FROM starts
+"""
