@@ -122,6 +122,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("doc_chunks", llm.doc_chunks, llm.DOC_CHUNKS_ORACLE),
     QuerySpec("binary_payload_features", llm.binary_payload_features,
               llm.BINARY_FEATURES_ORACLE),
+    QuerySpec("dedup_keep_first_docs", llm.dedup_keep_first_docs,
+              llm.DEDUP_KEEP_FIRST_ORACLE),
+    QuerySpec("multimodal_image_features", llm.multimodal_image_features,
+              llm.MULTIMODAL_FEATURES_ORACLE),
 ]
 
 QUERIES: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

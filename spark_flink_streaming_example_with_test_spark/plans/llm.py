@@ -467,3 +467,37 @@ SELECT doc_id, chunk_id,
        LEN(w[start + 1 : start + 64]) AS n_tokens
 FROM starts
 """
+
+
+def dedup_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup transform a pipeline actually applies: surviving
+    rows (minimum doc_id per distinct content)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.dedup_keep_first(docs).select("doc_id", "n_chars")
+
+
+DEDUP_KEEP_FIRST_ORACLE = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY MD5(text))
+"""
+
+
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal decode path over mapInPandas with the
+    deterministic STUB decoder (digest-derived dimensions) — proves
+    the Arrow batch shape and schema end to end; a real Pillow
+    decode swaps in without touching the plumbing. Oracle re-derives
+    the stub's dims from SHA256 hex in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.extract_image_features(mm.documents_as_assets(docs), fake=True)
+
+
+MULTIMODAL_FEATURES_ORACLE = """
+SELECT doc_id AS asset_id,
+       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+       SHA256(text) AS sha256,
+       64 + (CAST(CONCAT('0x', SUBSTR(SHA256(text), 1, 2)) AS INT) % 192) AS width,
+       64 + (CAST(CONCAT('0x', SUBSTR(SHA256(text), 3, 2)) AS INT) % 192) AS height,
+       1  + (CAST(CONCAT('0x', SUBSTR(SHA256(text), 5, 2)) AS INT) % 4)   AS channels
+FROM documents
+"""
