@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the scalable formulations must
+agree with brute-force reference implementations on arbitrary inputs
+— the strongest guard against edge-case drift (ties, empty groups,
+single-row keys) that hand-picked goldens miss.
+
+Heavy Spark jobs per example are slow, so examples are capped; the
+value is the adversarial shrinking, not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators.joins import asof_join
+from spark_flink_streaming_example_with_test_spark.operators.text import chunk_documents
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _naive_asof(left_rows, right_rows):
+    """Brute force: for each left row, max (ts, tiebreak) right row
+    with same key and ts <= left ts."""
+    out = {}
+    for (lk, lt, lid) in left_rows:
+        best = None
+        for (rk, rt, rid) in right_rows:
+            if rk == lk and rt <= lt and (best is None or (rt, rid) > best):
+                best = (rt, rid)
+        out[lid] = best[1] if best else None
+    return out
+
+
+row_strategy = st.tuples(
+    st.integers(0, 3),          # key
+    st.integers(0, 50),         # ts offset seconds
+    st.integers(0, 10 ** 6),    # unique-ish id
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(row_strategy, min_size=1, max_size=12, unique_by=lambda r: r[2]),
+    right=st.lists(row_strategy, min_size=0, max_size=12, unique_by=lambda r: r[2]),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    lrows = [(k, BASE + dt.timedelta(seconds=s), i) for k, s, i in left]
+    rrows = [(k, BASE + dt.timedelta(seconds=s), i) for k, s, i in right]
+    ldf = spark.createDataFrame(lrows, ["k", "lt", "lid"])
+    rdf = spark.createDataFrame(rrows, "k bigint, rt timestamp, rid bigint")
+    out = asof_join(
+        ldf, rdf, on="k", left_ts="lt", right_ts="rt",
+        right_payload=["rid"], right_tiebreak="rid", how="left",
+    )
+    got = {r.lid: r.asof_rid for r in out.collect()}
+    expected = _naive_asof(
+        [(k, t, i) for k, t, i in lrows], [(k, t, i) for k, t, i in rrows]
+    )
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n_tokens=st.integers(1, 200),
+    chunk=st.integers(2, 64),
+    overlap_frac=st.floats(0.0, 0.9),
+)
+def test_chunking_covers_every_token(spark, n_tokens, chunk, overlap_frac):
+    """Every token index appears in >=1 chunk; consecutive chunks
+    overlap by exactly `overlap` tokens (except possibly the last);
+    no chunk exceeds chunk_tokens."""
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    chunks = chunk_documents(
+        df, chunk_tokens=chunk, overlap=overlap
+    ).orderBy("chunk_id").collect()
+    seen: set[str] = set()
+    for r in chunks:
+        toks = r.chunk_text.split(" ")
+        assert len(toks) == r.n_tokens <= chunk
+        seen.update(toks)
+    assert seen == {f"t{i}" for i in range(n_tokens)}
+    stride = chunk - overlap
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.chunk_text.split(" ")[0] == f"t{(b.chunk_id) * stride}"
