@@ -82,3 +82,34 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed_pair):
     oo = load_table(spark, SF_DIR, "orders")
     plain_cnt = lo.join(oo, lo.l_orderkey == oo.o_orderkey).count()
     assert bucketed_cnt == plain_cnt
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must appear as a
+    PartitionFilter (directory skip), not a data filter."""
+    from spark_flink_streaming_example_with_test_spark.functions.layout import read_partitioned, write_partitioned
+
+    e = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_partitioned(e, path, "day")
+    back = read_partitioned(spark, path).filter(
+        F.col("day") == "2024-01-03"
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in pf, f"no partition filter: {plan}"
+    assert back.count() == e.filter(F.to_date("ts") == "2024-01-03").count()
+
+
+def test_shuffle_hash_join_hint_is_honored(spark):
+    """The engine exposes Spark's full join-strategy surface: a
+    SHUFFLE_HASH hint must plan a ShuffledHashJoin (no sort), the
+    right choice when one side is small-ish but over broadcast
+    threshold."""
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    j = l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
