@@ -41,6 +41,8 @@ _SPECS: list[QuerySpec] = [
               ref.SESSION_WINDOW_ORACLE, headline=True),
     QuerySpec("streaming_running_user_totals", ref.streaming_running_user_totals,
               ref.STREAMING_TOTALS_ORACLE),
+    QuerySpec("streaming_windowed_count_e2e", ref.streaming_windowed_count_e2e,
+              ref.ACTIVITY_WINDOWED_ORACLE),
     # -- Relational gap map ---------------------------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),

@@ -214,3 +214,58 @@ STREAMING_TOTALS_ORACLE = """
 SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
 FROM events GROUP BY user_id
 """
+
+
+def streaming_windowed_count_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship windowed count executed as a REAL streaming query
+    (micro-batch engine, state store), not the batch twin: events
+    replayed through a bounded file stream, complete-mode memory
+    sink, final state returned. Shares its oracle with the batch
+    ``activity_windowed_count`` — the engine's batch/stream duality
+    (SURVEY.md §1.4) checked by value, not by convention.
+
+    Complete mode (not the production append mode) because a bounded
+    replay ends before the watermark passes the last window; append
+    semantics are covered by the late-drop micro-batch tests.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.operators.activity import (
+        filter_event_types,
+        flatten_window,
+        windowed_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_flagship_")
+    sink = f"wc_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        kept = filter_event_types(stream, FLAGSHIP_KEEP)
+        counted = windowed_counts(
+            kept, ts_col="ts", keys=("user_id", "event_type"),
+            window="1 minute", watermark="10 seconds",
+        )
+        out = flatten_window(
+            counted, keys=("user_id", "event_type"), count_alias="cnt"
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
