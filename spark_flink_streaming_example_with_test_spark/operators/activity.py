@@ -39,6 +39,43 @@ def parse_activity(raw: DataFrame, schema: StructType = ACTIVITY_SCHEMA) -> Data
     )
 
 
+CORRUPT_COL = "_corrupt_record"
+
+
+def parse_activity_quarantine(
+    raw: DataFrame, schema: StructType = ACTIVITY_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE parse that keeps the evidence: returns
+    (parsed_good, quarantined) where quarantined rows carry the raw
+    malformed JSON. The full SURVEY.md §1.2 standardization — the
+    Flink twin throws on malformed input and kills the job; at
+    100 TB a single bad record must never do that, but silently
+    nulling it (plain ``from_json``) loses the record for replay.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    schema_with_corrupt = StructType(
+        [*schema.fields, StructField(CORRUPT_COL, StringType())]
+    )
+    parsed = (
+        raw.selectExpr("CAST(value AS STRING) AS json")
+        .select(
+            F.from_json(
+                "json",
+                schema_with_corrupt,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("data"),
+            "json",
+        )
+        .select("data.*", "json")
+    )
+    good = parsed.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL, "json")
+    bad = parsed.filter(F.col(CORRUPT_COL).isNotNull()).select(
+        F.col("json").alias("raw")
+    )
+    return good, bad
+
+
 def clean_activity(df: DataFrame) -> DataFrame:
     """Project to (id, date timestamp, event_type lowercase).
 

@@ -154,3 +154,25 @@ def test_sliding_window_counts(spark):
     starts = sorted(r.window_start for r in out)
     assert starts == [_utc(2023, 8, 25, 0, 11, 0), _utc(2023, 8, 25, 0, 12, 0)]
     assert all(r["count"] == 1 for r in out)
+
+
+def test_parse_quarantine_splits_malformed(spark):
+    """PERMISSIVE + corrupt-record: good rows parse, malformed JSON
+    is quarantined with the raw payload (never dropped, never fatal —
+    SURVEY.md §1.2)."""
+    from spark_flink_streaming_example_with_test_spark.operators.activity import parse_activity_quarantine
+
+    raw = spark.createDataFrame(
+        [
+            (b'{"id": "1", "date": 1692922325000, "event": {"event_type": "liked", "url": "u"}}',),
+            (b'{"id": "2", "date": broken',),
+            (b'not json at all',),
+        ],
+        ["value"],
+    )
+    good, bad = parse_activity_quarantine(raw)
+    good_rows = good.collect()
+    assert len(good_rows) == 1 and good_rows[0].id == "1"
+    assert good_rows[0].event.event_type == "liked"
+    bad_rows = sorted(r.raw for r in bad.collect())
+    assert bad_rows == ['not json at all', '{"id": "2", "date": broken']
