@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
@@ -160,6 +161,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """LSH banding: split each signature into ``bands`` bands of
     ``num_hashes // bands`` rows, hash each band, and equi-join
@@ -169,6 +171,13 @@ def lsh_candidate_pairs(
     With r rows per band, a pair of true Jaccard similarity s
     collides with probability 1 - (1 - s^r)^bands — the standard
     S-curve; 32 hashes / 8 bands targets s ≳ 0.6.
+
+    ``max_bucket_size`` is the stop-bucket guard: a degenerate bucket
+    of k members emits k^2/2 pairs, so one pathological bucket (e.g.
+    a boilerplate signature shared by millions of docs) can dominate
+    the whole job. Buckets above the cap are dropped — the standard
+    stop-word analog; members that are genuine near-dups of anything
+    still collide in their other bands. None disables the guard.
     """
     rows_per_band = num_hashes // bands
     band_hashes = F.array(
@@ -186,6 +195,13 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

@@ -33,6 +33,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Prune unused struct leaves at the parquet scan.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Streaming state at scale: RocksDB spills keyed state to local
+    # disk instead of holding it on the JVM heap (SURVEY.md §4) —
+    # a large windowed aggregation or stream-stream join otherwise
+    # OOMs executors long before 100 TB.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
 }
 
 

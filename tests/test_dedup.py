@@ -96,3 +96,22 @@ def test_simhash_near_dups_are_hamming_close(docs):
 
     assert hamming(fp[0], fp[2]) <= 16       # near dup: close
     assert hamming(fp[0], fp[3]) > hamming(fp[0], fp[2])  # unrelated: farther
+
+
+def test_lsh_stop_bucket_guard(spark):
+    """A degenerate bucket (many identical docs -> identical
+    signatures) must be droppable via max_bucket_size so one hot
+    bucket can't emit k^2 pairs."""
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import (
+        hashed_shingle_sets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "same boilerplate text repeated for every document here") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(hashed_shingle_sets(df))
+    uncapped = lsh_candidate_pairs(sigs, max_bucket_size=None)
+    assert uncapped.count() == 20 * 19 // 2  # every pair collides
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10)
+    assert capped.count() == 0  # the hot bucket is dropped entirely
