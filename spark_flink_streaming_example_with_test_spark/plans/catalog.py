@@ -56,6 +56,8 @@ _SPECS: list[QuerySpec] = [
               rel.Q4_ORACLE),
     QuerySpec("having_big_customers", rel.having_big_customers,
               rel.HAVING_ORACLE),
+    QuerySpec("q18_large_volume_orders", rel.q18_large_volume_orders,
+              rel.Q18_ORACLE),
     QuerySpec("join_semi_customers", rel.join_semi_customers,
               rel.JOIN_SEMI_ORACLE),
     QuerySpec("join_anti_customers", rel.join_anti_customers,
@@ -111,6 +113,8 @@ _SPECS: list[QuerySpec] = [
               llm.DEDUP_EMBEDDING_ORACLE),
     QuerySpec("embeddings_label_stats", llm.embeddings_label_stats,
               llm.EMBEDDINGS_STATS_ORACLE),
+    QuerySpec("embeddings_by_doc_source", llm.embeddings_by_doc_source,
+              llm.EMB_BY_SOURCE_ORACLE),
     QuerySpec("text_quality_scores", llm.text_quality_scores,
               llm.TEXT_QUALITY_ORACLE, headline=True),
     QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),

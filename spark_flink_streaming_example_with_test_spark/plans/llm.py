@@ -501,3 +501,30 @@ SELECT doc_id AS asset_id,
        1  + (CAST(CONCAT('0x', SUBSTR(SHA256(text), 5, 2)) AS INT) % 4)   AS channels
 FROM documents
 """
+
+
+def embeddings_by_doc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: embeddings matched to their documents
+    (vec_id = doc_id) and rolled up by (document source, label) —
+    the metadata-join shape every curation pipeline runs. The
+    documents side projects two columns and broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings")
+    prepped = sim.with_unit_prep(emb)
+    return (
+        prepped.join(F.broadcast(docs), prepped.vec_id == docs.doc_id)
+        .groupBy("source", "label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("v_norm"), 4).alias("avg_norm"),
+        )
+    )
+
+
+EMB_BY_SOURCE_ORACLE = """
+SELECT source, label, COUNT(*) AS n,
+       ROUND(AVG(SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[],
+                                x -> x * x)))), 4) AS avg_norm
+FROM embeddings JOIN documents ON vec_id = doc_id
+GROUP BY source, label
+"""
