@@ -58,6 +58,10 @@ _SPECS: list[QuerySpec] = [
               rel.HAVING_ORACLE),
     QuerySpec("q18_large_volume_orders", rel.q18_large_volume_orders,
               rel.Q18_ORACLE),
+    QuerySpec("agg_argminmax_mode", rel.agg_argminmax_mode,
+              rel.AGG_ARGMINMAX_ORACLE),
+    QuerySpec("nullsafe_join_events", rel.nullsafe_join_events,
+              rel.NULLSAFE_JOIN_ORACLE),
     QuerySpec("join_semi_customers", rel.join_semi_customers,
               rel.JOIN_SEMI_ORACLE),
     QuerySpec("join_anti_customers", rel.join_anti_customers,

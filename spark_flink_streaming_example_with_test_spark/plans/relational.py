@@ -770,3 +770,64 @@ JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
   ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+
+def agg_argminmax_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-selection aggregates: per order status, the orderkey
+    of the cheapest/priciest order (min_by/max_by) and the modal
+    priority — single hash aggregate, no window needed."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.mode("o_orderpriority", True).alias("modal_priority"),
+        F.count("*").alias("n"),
+    )
+
+
+AGG_ARGMINMAX_ORACLE = """
+WITH pc AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT o.o_orderstatus,
+       ARG_MIN(o.o_orderkey, o.o_totalprice) AS cheapest_order,
+       ARG_MAX(o.o_orderkey, o.o_totalprice) AS priciest_order,
+       MAX(pc.o_orderpriority)               AS modal_priority,
+       COUNT(*)                              AS n
+FROM orders o JOIN pc ON o.o_orderstatus = pc.o_orderstatus AND pc.rn = 1
+GROUP BY o.o_orderstatus
+"""
+
+
+def nullsafe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): events
+    self-matched on a derived nullable key, where NULL = NULL counts
+    as a match — semantics a plain equi-join silently drops."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 37 == 0)
+    keyed = e.select(
+        "event_id",
+        F.when(F.col("value") > 50, F.col("event_type")).alias("k"),
+    )
+    a = keyed.select(F.col("event_id").alias("id_a"), F.col("k").alias("k_a"))
+    b = keyed.select(F.col("event_id").alias("id_b"), F.col("k").alias("k_b"))
+    return (
+        a.join(b, a.k_a.eqNullSafe(b.k_b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy(F.coalesce("k_a", F.lit("<null>")).alias("key"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+NULLSAFE_JOIN_ORACLE = """
+WITH keyed AS (
+  SELECT event_id, CASE WHEN value > 50 THEN event_type END AS k
+  FROM events WHERE event_id % 37 = 0
+)
+SELECT COALESCE(a.k, '<null>') AS key, COUNT(*) AS n_pairs
+FROM keyed a JOIN keyed b
+  ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+GROUP BY COALESCE(a.k, '<null>')
+"""
