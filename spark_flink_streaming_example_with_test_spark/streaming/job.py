@@ -106,3 +106,26 @@ def start_split_pipelines(
         )
         for name, transform, sink in branches
     ]
+
+
+def start_backfill(
+    source: DataFrame,
+    transform: Transform,
+    sink: BatchWriter,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """Bounded catch-up run: ``Trigger.AvailableNow`` processes
+    everything currently available (in rate-limited micro-batches,
+    honoring source options like maxFilesPerTrigger) and then stops —
+    the modern replacement for ``trigger(once=True)`` backfills, with
+    the same checkpoint as the continuous pipeline so the two can
+    alternate."""
+    return (
+        transform(source)
+        .writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -79,3 +79,18 @@ def parquet_batch_writer(path: str, log_counts: bool = False) -> BatchWriter:
         df.write.mode("append").parquet(path)
 
     return foreach_batch_sink(write, log_counts=log_counts)
+
+
+def idempotent_parquet_writer(path: str) -> BatchWriter:
+    """Exactly-once file sink via foreachBatch: each micro-batch
+    writes to ``path/batch_id=N`` with overwrite. After a crash
+    between "batch written" and "offsets committed", the replayed
+    batch overwrites its own directory instead of appending
+    duplicates — idempotent replay, the standard foreachBatch
+    exactly-once recipe. Readers just scan ``path`` (batch_id is a
+    partition column)."""
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return sink

@@ -155,3 +155,38 @@ def test_running_user_totals_accumulates_across_batches(spark, tmp_path):
     assert by_batch[(2, 1)] == pytest.approx(5.0)
     # batch 2: user 1 state carried forward
     assert by_batch[(1, 3)] == pytest.approx(7.0)
+
+
+def test_idempotent_writer_replay_no_duplicates(spark, tmp_path):
+    """Replaying a batch (crash-recovery scenario) must overwrite its
+    own batch directory, not append duplicates."""
+    from spark_flink_streaming_example_with_test_spark.streaming.sinks import idempotent_parquet_writer
+
+    out = str(tmp_path / "out")
+    sink = idempotent_parquet_writer(out)
+    batch = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    sink(batch, 0)
+    sink(batch, 0)  # replay of the same batch id
+    sink(batch, 1)
+    back = spark.read.parquet(out)
+    assert back.count() == 20  # 10 per distinct batch, replay absorbed
+    assert sorted(r.batch_id for r in back.select("batch_id").distinct().collect()) == [0, 1]
+
+
+def test_available_now_backfill_processes_everything_and_stops(spark, tmp_path):
+    from spark_flink_streaming_example_with_test_spark.streaming.job import start_backfill
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_file(str(src), "f1.json", [_line(i, 1, "2024-01-01 10:00:00") for i in range(5)])
+    _write_file(str(src), "f2.json", [_line(i, 2, "2024-01-01 10:01:00") for i in range(5, 8)])
+    collected: list = []
+    q = start_backfill(
+        _file_stream(spark, str(src)),
+        transform=lambda df: df.select("event_id", "user_id"),
+        sink=lambda df, bid: collected.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+    assert not q.isActive  # availableNow stops by itself
+    assert sorted(r.event_id for r in collected) == list(range(8))

@@ -117,3 +117,24 @@ def test_sample_video_frames_shape(spark):
     assert len(rows) == 2000 // (10 * 32)
     assert [r.frame_index for r in rows] == list(range(len(rows)))
     assert all(len(bytes(r.frame)) == 32 for r in rows)
+
+
+def test_text_ops_tolerate_null_text(spark):
+    """Real corpora contain null text; every text operator must drop
+    or null those rows — never raise."""
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import minhash_near_duplicates
+    from spark_flink_streaming_example_with_test_spark.operators.text import chunk_documents, with_token_stats
+
+    rows = [(0, "a real document with several tokens inside it"),
+            (1, None),
+            (2, "another real document with several tokens inside it")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # dedup: null-text doc silently excluded (fails the min-token filter)
+    pairs = minhash_near_duplicates(df, shingle_len=3, threshold=0.3)
+    assert all(r.id_a != 1 and r.id_b != 1 for r in pairs.collect())
+    # chunking: null text yields no chunks, others unaffected
+    chunks = chunk_documents(df, chunk_tokens=4, overlap=1)
+    assert sorted(set(r.doc_id for r in chunks.collect())) == [0, 2]
+    # stats: null text propagates nulls, row preserved
+    stats = {r.doc_id: r.n_tokens for r in with_token_stats(df).collect()}
+    assert stats[1] is None and stats[0] == 8
