@@ -40,15 +40,11 @@ def main() -> None:
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up: touch every fact table (lineitem, events, documents,
-    # embeddings) so file-index/FS-cache/codegen first-touch costs
-    # don't land on the first timed query of each table.
-    for warm in (
-        "q6_forecast_revenue",
-        "events_json_kpi",
-        "dedup_exact_docs",
-        "embeddings_label_stats",
-    ):
+    # Warm-up (BASELINE.md convention: warm session): run every
+    # headline query once untimed so the timed pass measures
+    # steady-state compute — not JVM startup, file-index builds, or
+    # first-run whole-stage-codegen compilation.
+    for warm in HEADLINE_QUERIES:
         _drain(QUERIES[warm].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}

@@ -27,18 +27,32 @@ def read_activity_kafka_stream(
     topic: str = "user_activity",
     starting_offsets: str = "latest",
     schema: StructType = ACTIVITY_SCHEMA,
+    group_id: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+    fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """Kafka -> parsed activity rows (reference:
     spark/spark_streaming.py:40-51). Requires the Kafka connector
-    package on the classpath (reference: spark/submit.txt)."""
-    raw = (
+    package on the classpath (reference: spark/submit.txt).
+
+    Scale knobs: ``max_offsets_per_trigger`` bounds each micro-batch
+    so a backlogged topic can't produce one giant catch-up batch that
+    OOMs executors; ``fail_on_data_loss=False`` keeps the query alive
+    across topic retention evictions (logged, not fatal);
+    ``group_id`` mirrors the Flink twin's consumer group
+    (UserActivityFilterAgg.java:78)."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
+        .option("failOnDataLoss", str(fail_on_data_loss).lower())
     )
-    return parse_activity(raw, schema)
+    if group_id:
+        reader = reader.option("kafka.group.id", group_id)
+    if max_offsets_per_trigger:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_activity(reader.load(), schema)
 
 
 def read_activity_file_stream(
