@@ -209,3 +209,41 @@ def bucketed_similar_pairs(
         .filter(sim >= threshold)
         .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid (element-wise mean vector) via Arrow-batched
+    ``applyInPandas`` — the documented escape hatch for semantics the
+    built-in aggregates can't express (there is no element-wise array
+    mean in pyspark.sql.functions; the explode+groupBy(position)
+    alternative shuffles |corpus| x dim rows instead of |corpus|).
+
+    One shuffle on the label key, NumPy does the column math per
+    group, centroid elements rounded JVM-side for cross-engine
+    stability.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype("float64")
+        return pd.DataFrame(
+            {
+                label_col: [pdf[label_col].iloc[0]],
+                "n": [len(pdf)],
+                "centroid": [mat.mean(axis=0).tolist()],
+            }
+        )
+
+    out = df.select(label_col, vec_col).groupBy(label_col).applyInPandas(
+        centroid, f"{label_col} int, n long, centroid array<double>"
+    )
+    return out.select(
+        label_col,
+        "n",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )

@@ -119,6 +119,8 @@ _SPECS: list[QuerySpec] = [
               llm.EMBEDDINGS_STATS_ORACLE),
     QuerySpec("embeddings_by_doc_source", llm.embeddings_by_doc_source,
               llm.EMB_BY_SOURCE_ORACLE),
+    QuerySpec("embedding_label_centroids", llm.embedding_label_centroids,
+              llm.EMB_CENTROIDS_ORACLE),
     QuerySpec("text_quality_scores", llm.text_quality_scores,
               llm.TEXT_QUALITY_ORACLE, headline=True),
     QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),

@@ -528,3 +528,28 @@ SELECT source, label, COUNT(*) AS n,
 FROM embeddings JOIN documents ON vec_id = doc_id
 GROUP BY source, label
 """
+
+
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the Arrow/pandas UDAF path
+    (no built-in element-wise array mean); oracle recomputes the
+    means positionally in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.label_centroids(emb)
+
+
+EMB_CENTROIDS_ORACLE = """
+WITH u AS (
+  SELECT label,
+         UNNEST(embedding::DOUBLE[]) AS x,
+         GENERATE_SUBSCRIPTS(embedding::DOUBLE[], 1) AS pos
+  FROM embeddings
+), m AS (
+  SELECT label, pos, ROUND(AVG(x), 6) AS mx FROM u GROUP BY label, pos
+), c AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+)
+SELECT m.label, c.n, LIST(m.mx ORDER BY m.pos) AS centroid
+FROM m JOIN c ON m.label = c.label
+GROUP BY m.label, c.n
+"""

@@ -23,7 +23,7 @@ def _norm_cell(v):
         return ("f", round(v, 9))
     if isinstance(v, pd.Timestamp) or isinstance(v, datetime):
         return ("t", pd.Timestamp(v).floor("us").isoformat())
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return ("a", tuple(_norm_cell(x) for x in v))
     return (type(v).__name__, v)
 
