@@ -101,10 +101,13 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer partitions the
     corpus into inverted lists; each query probes only its ``n_probe``
-    nearest lists.
+    nearest lists. Pass ``centroids`` (cent_id, cv) — e.g. from
+    ``kmeans_fit`` — to use a trained quantizer instead of the seed
+    stand-in.
 
     Centroids here are a deterministic training stand-in — the first
     ``n_centroids`` corpus vectors by id (a real deployment would
@@ -117,13 +120,20 @@ def ivf_topk(
     Output: (q_id, vec_id, cos_sim, rk) — same contract as
     ``cosine_topk`` so callers can swap exact for approximate.
     """
-    cents = with_unit_prep(
-        corpus.filter(F.col(id_col) < n_centroids), vec_col
-    ).select(
-        F.col(id_col).alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("v_norm").alias("c_norm"),
-    )
+    if centroids is not None:
+        cents = centroids.select(
+            "cent_id",
+            F.col("cv").cast("array<double>").alias("cv"),
+            l2_norm(F.col("cv").cast("array<double>")).alias("c_norm"),
+        )
+    else:
+        cents = with_unit_prep(
+            corpus.filter(F.col(id_col) < n_centroids), vec_col
+        ).select(
+            F.col(id_col).alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("v_norm").alias("c_norm"),
+        )
 
     def nearest(df: DataFrame, did: str, n: int, out: str) -> DataFrame:
         """Top-n centroids per row of df (id did, vec v, norm v_norm)."""
@@ -247,3 +257,52 @@ def label_centroids(
         "n",
         F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
     )
+
+
+def sq_dist(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance as a fold expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame-native Lloyd's k-means for the IVF coarse quantizer:
+    (cent_id int, cv array<double>).
+
+    Each iteration is one broadcast nested-loop assignment (centroids
+    are k rows — trivially broadcastable) plus one applyInPandas
+    centroid recompute (shuffle on cent_id, k groups). Driver only
+    orchestrates the loop; all data stays distributed — at 100 TB
+    you'd fit on a sample, but the plan shape is already the right
+    one. Deterministic: seeded by the first k vectors, distances
+    rounded before the argmin so float noise can't flip assignments,
+    ties break to the lowest cent_id. Empty clusters drop (k may
+    shrink)."""
+    prepped = with_unit_prep(df, vec_col).select(F.col(id_col).alias("__id"), "v")
+    cents = prepped.filter(F.col("__id") < k).select(
+        F.col("__id").cast("int").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        d = F.round(sq_dist("v", "cv"), 6)
+        w = Window.partitionBy("__id").orderBy("d", "cent_id")
+        assigned = (
+            prepped.crossJoin(F.broadcast(cents))
+            .select("__id", "v", "cent_id", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cents = label_centroids(
+            assigned.select(F.col("cent_id").alias("label"), F.col("v")),
+            label_col="label",
+            vec_col="v",
+        ).select(F.col("label").alias("cent_id"), F.col("centroid").alias("cv"))
+    return cents

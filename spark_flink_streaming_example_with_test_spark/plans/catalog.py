@@ -121,6 +121,7 @@ _SPECS: list[QuerySpec] = [
               llm.EMB_BY_SOURCE_ORACLE),
     QuerySpec("embedding_label_centroids", llm.embedding_label_centroids,
               llm.EMB_CENTROIDS_ORACLE),
+    QuerySpec("similarity_ivf_kmeans", llm.similarity_ivf_kmeans, None),
     QuerySpec("text_quality_scores", llm.text_quality_scores,
               llm.TEXT_QUALITY_ORACLE, headline=True),
     QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),

@@ -553,3 +553,18 @@ SELECT m.label, c.n, LIST(m.mx ORDER BY m.pos) AS centroid
 FROM m JOIN c ON m.label = c.label
 GROUP BY m.label, c.n
 """
+
+
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 with a TRAINED coarse quantizer: 2 Lloyd's
+    iterations of DataFrame-native k-means (operators/similarity.py
+    kmeans_fit) instead of seed vectors. Iterative -> no SQL oracle
+    (driver records the rows-only check); recall-vs-exact and
+    centroid-recovery are covered by unit tests on planted
+    clusters."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.kmeans_fit(emb, k=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return sim.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents).select(
+        "q_id", "vec_id", "cos_sim", "rk"
+    )

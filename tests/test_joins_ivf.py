@@ -117,3 +117,43 @@ def test_ivf_probes_widen_candidates(clustered_vectors):
     w = {r.vec_id for r in wide.collect()}
     assert n <= w
     assert len(w) > len(n)
+
+
+def test_kmeans_recovers_cluster_centers(clustered_vectors):
+    """On clean clusters, 3 Lloyd iterations must place each centroid
+    on one cluster (cosine to the true center > 0.99)."""
+    import math
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import kmeans_fit
+
+    cents = kmeans_fit(clustered_vectors, k=3, iters=3)
+    rows = cents.collect()
+    assert len(rows) == 3
+    true = [[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+
+    matched = set()
+    for r in rows:
+        best = max(range(3), key=lambda i: cos(r.cv, true[i]))
+        assert cos(r.cv, true[best]) > 0.99
+        matched.add(best)
+    assert matched == {0, 1, 2}  # one centroid per cluster, no collapse
+
+
+def test_ivf_with_kmeans_centroids_exact_recall(clustered_vectors):
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import kmeans_fit
+
+    queries = clustered_vectors.filter(F.col("vec_id") < 3)
+    cents = kmeans_fit(clustered_vectors, k=3, iters=3)
+    exact = cosine_topk(clustered_vectors, queries, k=5)
+    approx = ivf_topk(
+        clustered_vectors, queries, k=5, n_probe=1, centroids=cents
+    )
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in approx.collect()}
+    assert e == a  # trained quantizer -> perfect recall at n_probe=1
