@@ -14,7 +14,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_flink_streaming_example_with_test_spark.plans import llm, reference_queries as ref, relational as rel
+from spark_flink_streaming_example_with_test_spark.plans import llm, reference_queries as ref, relational as rel, tpch_more as t2
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -100,6 +100,29 @@ _SPECS: list[QuerySpec] = [
               headline=True),
     QuerySpec("scalar_array_json", rel.scalar_array_json,
               rel.SCALAR_ARRAY_JSON_ORACLE),
+    # -- TPC-H second wave (plans/tpch_more.py) -------------------------
+    QuerySpec("q2_min_unitprice_supplier", t2.q2_min_unitprice_supplier,
+              t2.Q2_ORACLE),
+    QuerySpec("q7_volume_shipping", t2.q7_volume_shipping, t2.Q7_ORACLE),
+    QuerySpec("q8_market_share", t2.q8_market_share, t2.Q8_ORACLE),
+    QuerySpec("q9_product_type_profit", t2.q9_product_type_profit,
+              t2.Q9_ORACLE, headline=True),
+    QuerySpec("q10_returned_items", t2.q10_returned_items, t2.Q10_ORACLE),
+    QuerySpec("q11_part_value_share", t2.q11_part_value_share, t2.Q11_ORACLE),
+    QuerySpec("q12_priority_by_linestatus", t2.q12_priority_by_linestatus,
+              t2.Q12_ORACLE),
+    QuerySpec("q13_customer_order_distribution",
+              t2.q13_customer_order_distribution, t2.Q13_ORACLE),
+    QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
+              t2.Q14_ORACLE),
+    QuerySpec("q15_top_supplier", t2.q15_top_supplier, t2.Q15_ORACLE),
+    QuerySpec("q17_small_quantity_revenue", t2.q17_small_quantity_revenue,
+              t2.Q17_ORACLE),
+    QuerySpec("q19_disjunctive_predicates", t2.q19_disjunctive_predicates,
+              t2.Q19_ORACLE),
+    QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
+              t2.Q22_ORACLE),
+    QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
     # -- North-star LLM ops ---------------------------------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
