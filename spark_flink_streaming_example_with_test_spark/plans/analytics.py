@@ -1,0 +1,198 @@
+"""Analytic-window and statistical coverage over the events and
+documents tables: gap-based sessionization, lag/lead deltas,
+second-moment aggregates, deterministic hash splits, and histograms.
+
+The sessionization and split operators are the batch halves of
+patterns a training-data pipeline needs at 100 TB: sessionize =
+one window function over a user-partitioned sort (single shuffle on
+user_id); hash split = stateless per-row expression, no shuffle at
+all, stable across engines and re-runs (the property that makes a
+train/holdout split reproducible).
+
+Timestamps are compared as exact epoch doubles (microsecond-precision
+fixtures): Spark ``ts.cast("double")`` == DuckDB ``EPOCH(ts)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+SESSION_GAP_SEC = 12 * 3600
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds 12 hours. session_id = running count of
+    session starts over (user_id, ts) — one window over one shuffle,
+    then a per-session and a per-user aggregate that reuse the same
+    partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > SESSION_GAP_SEC), 1
+    ).otherwise(0)
+    sessions = (
+        e.select("user_id", "ts", "event_id")
+        .withColumn(
+            "session_id",
+            F.sum(new_session).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+    )
+
+
+SESSIONIZE_ORACLE = f"""
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EPOCH(ts) - LAG(EPOCH(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SEC}
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions,
+       MAX(n_events) AS max_session_events,
+       ROUND(AVG(n_events), 4) AS avg_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead surface: per-user inter-event gap statistics. The
+    delta is computed on exact epoch doubles so both engines see the
+    identical value; one shuffle on user_id shared by the window and
+    the final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("double")
+    delta = epoch - F.lag(epoch).over(w)
+    return (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("delta_sec", delta)
+        .filter(F.col("delta_sec").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.round(F.avg("delta_sec"), 4).alias("avg_gap_sec"),
+            F.round(F.max("delta_sec"), 4).alias("max_gap_sec"),
+            F.round(F.min("delta_sec"), 4).alias("min_gap_sec"),
+        )
+    )
+
+
+USER_DELTAS_ORACLE = """
+WITH d AS (
+  SELECT user_id,
+         EPOCH(ts) - LAG(EPOCH(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS delta_sec
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       ROUND(AVG(delta_sec), 4) AS avg_gap_sec,
+       ROUND(MAX(delta_sec), 4) AS max_gap_sec,
+       ROUND(MIN(delta_sec), 4) AS min_gap_sec
+FROM d WHERE delta_sec IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def stats_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate surface: stddev/variance/correlation/
+    covariance per event type — all single-pass JVM aggregates
+    (Catalyst plans partial + final central-moment merges)."""
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr("value", uid), 6).alias("corr_value_user"),
+        F.round(F.covar_samp("value", uid), 6).alias("covar_value_user"),
+    )
+
+
+STATS_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(STDDEV_SAMP(value), 6)                AS sd_value,
+       ROUND(VAR_SAMP(value), 6)                   AS var_value,
+       ROUND(CORR(value, CAST(user_id AS DOUBLE)), 6)       AS corr_value_user,
+       ROUND(COVAR_SAMP(value, CAST(user_id AS DOUBLE)), 6) AS covar_value_user
+FROM events GROUP BY event_type
+"""
+
+
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: ~90/10 train/holdout on
+    md5(doc_id) — a stateless per-row expression (no shuffle, no
+    RNG state), so the split is identical across engines, runs, and
+    cluster sizes. Hex-string comparison 'e6' = 230/256 ≈ 89.8%."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(bucket < "e6", "train").otherwise("holdout")
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SPLIT_ORACLE = """
+SELECT CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'train' ELSE 'holdout' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: value bucketed into 50-unit bins,
+    clamped to 10 buckets — a single hash aggregate on a derived
+    integer key (the distributed form of a histogram sketch)."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return (
+        e.groupBy("event_type", bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT event_type,
+       LEAST(CAST(FLOOR(value / 50) AS INT), 9) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo,
+       ROUND(MAX(value), 2) AS hi
+FROM events GROUP BY event_type, LEAST(CAST(FLOOR(value / 50) AS INT), 9)
+"""

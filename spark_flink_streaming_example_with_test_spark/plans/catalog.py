@@ -14,7 +14,13 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from spark_flink_streaming_example_with_test_spark.plans import llm, reference_queries as ref, relational as rel, tpch_more as t2
+from spark_flink_streaming_example_with_test_spark.plans import (
+    analytics as an,
+    llm,
+    reference_queries as ref,
+    relational as rel,
+    tpch_more as t2,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -123,6 +129,15 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
               t2.Q22_ORACLE),
     QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
+    # -- Analytic / statistical / pipeline-split (plans/analytics.py) ---
+    QuerySpec("sessionize_events", an.sessionize_events,
+              an.SESSIONIZE_ORACLE, headline=True),
+    QuerySpec("user_event_deltas", an.user_event_deltas,
+              an.USER_DELTAS_ORACLE),
+    QuerySpec("stats_by_event_type", an.stats_by_event_type, an.STATS_ORACLE),
+    QuerySpec("split_train_holdout", an.split_train_holdout, an.SPLIT_ORACLE),
+    QuerySpec("histogram_event_values", an.histogram_event_values,
+              an.HISTOGRAM_ORACLE),
     # -- North-star LLM ops ---------------------------------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
