@@ -49,6 +49,8 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_TOTALS_ORACLE),
     QuerySpec("streaming_windowed_count_e2e", ref.streaming_windowed_count_e2e,
               ref.ACTIVITY_WINDOWED_ORACLE),
+    QuerySpec("streaming_session_windows_e2e",
+              ref.streaming_session_windows_e2e, ref.SESSION_WINDOW_ORACLE),
     # -- Relational gap map ---------------------------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),

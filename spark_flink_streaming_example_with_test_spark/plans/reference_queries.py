@@ -216,6 +216,49 @@ FROM events GROUP BY user_id
 """
 
 
+def streaming_session_windows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows executed on the REAL micro-batch engine with a
+    watermark: events replayed through a bounded file stream, gap-
+    merging session state in the state store, final state via a
+    complete-mode memory sink. Shares the batch gaps-and-islands
+    oracle with ``session_windows_per_user`` — streaming session
+    merge semantics checked by value against plain SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="engine_stream_sessions_")
+    sink = f"sw_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(F.count("*").alias("n_events"))
+        )
+        out = agg.select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        query = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def streaming_windowed_count_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship windowed count executed as a REAL streaming query
     (micro-batch engine, state store), not the batch twin: events
