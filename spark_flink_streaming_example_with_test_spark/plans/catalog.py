@@ -51,6 +51,10 @@ _SPECS: list[QuerySpec] = [
               ref.ACTIVITY_WINDOWED_ORACLE),
     QuerySpec("streaming_session_windows_e2e",
               ref.streaming_session_windows_e2e, ref.SESSION_WINDOW_ORACLE),
+    QuerySpec("streaming_dedup_e2e", ref.streaming_dedup_e2e,
+              ref.STREAMING_DEDUP_ORACLE),
+    QuerySpec("streaming_interval_join_e2e", ref.streaming_interval_join_e2e,
+              ref.STREAMING_INTERVAL_JOIN_ORACLE),
     # -- Relational gap map ---------------------------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),

@@ -259,6 +259,122 @@ def streaming_session_windows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
         shutil.rmtree(src, ignore_errors=True)
 
 
+def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on the real streaming engine:
+    the events stream deduplicated to one row per (user_id,
+    event_type). Output is restricted to the dedup keys themselves —
+    which surviving row wins is engine-order-dependent, the key set
+    is not — so the oracle is plain SELECT DISTINCT."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import dedup_within_watermark
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_dedup_")
+    sink = f"dd_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        deduped = dedup_within_watermark(
+            stream, keys=["user_id", "event_type"], ts_col="ts"
+        ).select("user_id", "event_type")
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the real engine: each purchase
+    joined to the same user's clicks within the following hour. Both
+    sides are watermarked and the join condition bounds event-time
+    distance, so join state is evictable (streaming/ops.py). The
+    oracle is the equivalent batch theta join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_ij_")
+    sink = f"ij_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+
+        def read():
+            return spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp"
+            ).parquet(src)
+
+        purchases = (
+            read()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = (
+            read()
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = interval_join_streams(
+            purchases, clicks, key="user_id",
+            left_ts="p_ts", right_ts="c_ts",
+            within="1 hour", watermark="2 hours",
+        ).select("user_id", "purchase_id", "click_id")
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_INTERVAL_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+"""
+
+
 def streaming_windowed_count_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship windowed count executed as a REAL streaming query
     (micro-batch engine, state store), not the batch twin: events
