@@ -151,6 +151,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("dedup_ngram_jaccard", llm.dedup_ngram_jaccard,
               llm.DEDUP_NGRAM_ORACLE),
     QuerySpec("dedup_simhash", llm.dedup_simhash, None),
+    QuerySpec("dedup_cluster_components", llm.dedup_cluster_components,
+              llm.DEDUP_CLUSTER_ORACLE),
     QuerySpec("similarity_topk_cosine", llm.similarity_topk_cosine,
               llm.SIMILARITY_TOPK_ORACLE, headline=True),
     QuerySpec("similarity_lsh_bucketed", llm.similarity_lsh_bucketed,

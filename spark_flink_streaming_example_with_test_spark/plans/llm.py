@@ -568,3 +568,57 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents).select(
         "q_id", "vec_id", "cos_sim", "rk"
     )
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clustering: exact 3-gram Jaccard pairs
+    (>= 0.4) as edges, connected components via iterative min-label
+    propagation (operators/graph.py), cluster sizes as output. The
+    oracle computes the same components with a recursive CTE — an
+    iterative distributed algorithm checked by value against
+    declarative SQL."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges)
+    return cc.groupBy("component").agg(F.count("*").alias("n_docs"))
+
+
+DEDUP_CLUSTER_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON r.node = e.u
+)
+SELECT component, COUNT(*) AS n_docs FROM (
+  SELECT node, MIN(anc) AS component FROM reach GROUP BY node
+)
+GROUP BY component
+"""

@@ -115,3 +115,30 @@ def test_lsh_stop_bucket_guard(spark):
     assert uncapped.count() == 20 * 19 // 2  # every pair collides
     capped = lsh_candidate_pairs(sigs, max_bucket_size=10)
     assert capped.count() == 0  # the hot bucket is dropped entirely
+
+
+def test_connected_components_transitive_clusters(spark):
+    """A-B-C chained pairs collapse to one component labeled by the
+    minimum id; disjoint pairs stay separate; convergence handles a
+    path graph whose diameter exceeds one round."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 4), (3, 7)], ["src", "dst"]
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 4: 4, 5: 4, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path(spark):
+    """A 12-node path needs multiple propagation rounds; the label
+    must still flood to the far end."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    comps = {r.component for r in connected_components(edges).collect()}
+    assert comps == {0}
