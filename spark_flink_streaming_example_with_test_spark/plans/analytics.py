@@ -196,3 +196,117 @@ SELECT event_type,
        ROUND(MAX(value), 2) AS hi
 FROM events GROUP BY event_type, LEAST(CAST(FLOOR(value / 50) AS INT), 9)
 """
+
+
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (UDTF surface): token position + value per
+    document — posexplode keeps the array index, the distributed
+    equivalent of UNNEST WITH ORDINALITY."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 97 == 0)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "token"),
+    )
+
+
+POSEXPLODE_ORACLE = """
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w
+  FROM documents WHERE doc_id % 97 = 0
+)
+SELECT doc_id,
+       CAST(UNNEST(RANGE(0, LEN(w))) AS INT) AS pos,
+       UNNEST(w) AS token
+FROM base
+"""
+
+
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old extract (no value column) and a
+    new extract (with value) merged by column NAME with missing
+    columns null-filled — unionByName(allowMissingColumns=True), the
+    append path when a source adds fields."""
+    e = load_table(spark, sf_dir, "events")
+    old = e.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    new = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    merged = old.unionByName(new, allowMissingColumns=True)
+    return merged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count("value").alias("n_with_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+UNION_BY_NAME_ORACLE = """
+WITH merged AS (
+  SELECT event_id, user_id, event_type, NULL::DOUBLE AS value
+  FROM events WHERE event_id % 2 = 1
+  UNION ALL
+  SELECT event_id, user_id, event_type, value
+  FROM events WHERE event_id % 2 = 0
+)
+SELECT event_type, COUNT(*) AS n, COUNT(value) AS n_with_value,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM merged GROUP BY event_type
+"""
+
+
+def except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: per-type event bags of the odd-id half
+    minus the even-id half — each type survives max(n_odd - n_even,
+    0) times, vs set EXCEPT which would only say present/absent."""
+    e = load_table(spark, sf_dir, "events")
+    odd = e.filter(F.col("event_id") % 2 == 1).select("event_type")
+    even = e.filter(F.col("event_id") % 2 == 0).select("event_type")
+    return odd.exceptAll(even).groupBy("event_type").agg(
+        F.count("*").alias("n_surplus")
+    )
+
+
+EXCEPT_ALL_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE event_id % 2 = 1) AS n_odd,
+         COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_even
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_odd - n_even AS n_surplus
+FROM c WHERE n_odd > n_even
+"""
+
+
+def multi_grain_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: per-(day, hour)
+    counts, per-day subtotals, and a grand total from ONE aggregation
+    pass — GROUP BY ROLLUP over two date_trunc grains (Catalyst plans
+    a single Expand + HashAggregate, one shuffle for all grains)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    return (
+        e.select(day.alias("day"), hour.alias("hour"), "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+MULTI_GRAIN_ORACLE = """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)  AS day,
+       CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP (CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
+                 CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP))
+"""

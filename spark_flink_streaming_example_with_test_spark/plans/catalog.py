@@ -144,6 +144,14 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("split_train_holdout", an.split_train_holdout, an.SPLIT_ORACLE),
     QuerySpec("histogram_event_values", an.histogram_event_values,
               an.HISTOGRAM_ORACLE),
+    QuerySpec("posexplode_tokens", an.posexplode_tokens,
+              an.POSEXPLODE_ORACLE),
+    QuerySpec("union_by_name_evolution", an.union_by_name_evolution,
+              an.UNION_BY_NAME_ORACLE),
+    QuerySpec("except_all_multiset", an.except_all_multiset,
+              an.EXCEPT_ALL_ORACLE),
+    QuerySpec("multi_grain_time_rollup", an.multi_grain_time_rollup,
+              an.MULTI_GRAIN_ORACLE),
     # -- North-star LLM ops ---------------------------------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
@@ -153,6 +161,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("dedup_simhash", llm.dedup_simhash, None),
     QuerySpec("dedup_cluster_components", llm.dedup_cluster_components,
               llm.DEDUP_CLUSTER_ORACLE),
+    QuerySpec("clean_corpus_pipeline", llm.clean_corpus_pipeline,
+              llm.CLEAN_CORPUS_ORACLE),
     QuerySpec("similarity_topk_cosine", llm.similarity_topk_cosine,
               llm.SIMILARITY_TOPK_ORACLE, headline=True),
     QuerySpec("similarity_lsh_bucketed", llm.similarity_lsh_bucketed,

@@ -622,3 +622,43 @@ SELECT component, COUNT(*) AS n_docs FROM (
 )
 GROUP BY component
 """
+
+
+def clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4-style cleaning pipeline: language filter ->
+    length band -> minimum token count -> exact dedup keeping the
+    lowest doc_id per normalized text -> per-source corpus stats.
+    One chain of stateless filters (all pushed to the scan) feeding
+    one dedup aggregate and one rollup — the whole pipeline is two
+    shuffles regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = d.filter(
+        (F.col("lang") == "en")
+        & F.col("n_chars").between(100, 500)
+        & (F.size(F.split(F.lower("text"), " ")) >= 10)
+    )
+    kept = clean.groupBy(F.lower("text").alias("norm")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        clean.join(kept.select("doc_id"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+CLEAN_CORPUS_ORACLE = """
+WITH clean AS (
+  SELECT * FROM documents
+  WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500
+    AND LEN(STRING_SPLIT(LOWER(text), ' ')) >= 10
+), kept AS (
+  SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY LOWER(text)
+)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM clean JOIN kept USING (doc_id)
+GROUP BY source
+"""
