@@ -337,9 +337,11 @@ WHERE l_shipdate >= TIMESTAMP '1996-09-01'
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
-    revenue aggregate is computed once and reused for the max via a
-    broadcast one-row crossJoin; equality is on the rounded value on
-    both engines."""
+    lineitem scan + aggregate run ONCE: the global max is a
+    whole-frame window over the already-aggregated per-supplier rows
+    (|suppliers| rows on one partition — fine even at 1M suppliers),
+    instead of a second scan for a scalar subquery. Equality is on
+    the exact-decimal rounded value on both engines."""
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -348,9 +350,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = l.groupBy("l_suppkey").agg(
         _money_sum(_disc_price(), "total_revenue")
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
-        revenue.crossJoin(F.broadcast(max_rev))
+        revenue.withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
