@@ -310,3 +310,139 @@ FROM events
 GROUP BY ROLLUP (CAST(DATE_TRUNC('day', ts) AS TIMESTAMP),
                  CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP))
 """
+
+
+def intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: per-type event bags common to the
+    odd-id and even-id halves — each type survives min(n_odd, n_even)
+    times."""
+    e = load_table(spark, sf_dir, "events")
+    odd = e.filter(F.col("event_id") % 2 == 1).select("event_type")
+    even = e.filter(F.col("event_id") % 2 == 0).select("event_type")
+    return odd.intersectAll(even).groupBy("event_type").agg(
+        F.count("*").alias("n_common")
+    )
+
+
+INTERSECT_ALL_ORACLE = """
+WITH c AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE event_id % 2 = 1) AS n_odd,
+         COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_even
+  FROM events GROUP BY event_type
+)
+SELECT event_type, LEAST(n_odd, n_even) AS n_common
+FROM c WHERE n_odd > 0 AND n_even > 0
+"""
+
+
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank, dense_rank, ntile,
+    percent_rank, cume_dist, first_value over one
+    (status, totalprice) window — one sort per partition serves all
+    six functions. Order is made total with the orderkey tiebreak so
+    tie-sensitive functions are engine-independent."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 101 == 0)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first_value(F.col("o_orderkey")).over(w).alias("top_order"),
+    )
+
+
+WINDOW_RANK_ORACLE = """
+SELECT o_orderkey, o_orderstatus,
+       RANK()         OVER w AS rnk,
+       DENSE_RANK()   OVER w AS drnk,
+       NTILE(4)       OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST()    OVER w, 6) AS cdist,
+       FIRST_VALUE(o_orderkey) OVER w AS top_order
+FROM orders
+WHERE o_orderkey % 101 = 0
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def regexp_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar surface: extract / replace / match — patterns
+    restricted to the RE2-and-Java-compatible subset so both engines
+    agree byte for byte."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 41 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace(F.lower("text"), "[aeiou]", "_").alias("devoweled_prefix"),
+        F.col("text").rlike("the").alias("has_the"),
+    ).withColumn("devoweled_prefix", F.substring("devoweled_prefix", 1, 40))
+
+
+REGEXP_ORACLE = """
+SELECT doc_id,
+       REGEXP_EXTRACT(text, '[a-z]+')                          AS first_word,
+       SUBSTRING(REGEXP_REPLACE(LOWER(text), '[aeiou]', '_', 'g'), 1, 40)
+                                                               AS devoweled_prefix,
+       REGEXP_MATCHES(text, 'the')                             AS has_the
+FROM documents WHERE doc_id % 41 = 0
+"""
+
+
+def time_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time series via spine gap-fill: hourly event counts per
+    type with empty hours zero-filled. The spine is generated from
+    the data's own bounds (sequence + explode — no driver loop), the
+    type dimension crossed in, and observed counts left-joined. At
+    scale the spine side is tiny (hours x types) and broadcasts."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("a"),
+        F.date_trunc("hour", F.max("ts")).alias("b"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("a", "b", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    counts = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n_obs"))
+    return (
+        spine.crossJoin(types)
+        .join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_obs", F.lit(0)).alias("n"),
+        )
+    )
+
+
+TIME_SPINE_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(DATE_TRUNC('hour', MIN(ts)) AS TIMESTAMP) AS a,
+         CAST(DATE_TRUNC('hour', MAX(ts)) AS TIMESTAMP) AS b
+  FROM events
+), spine AS (
+  SELECT UNNEST(GENERATE_SERIES(a, b, INTERVAL 1 HOUR)) AS hour FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), counts AS (
+  SELECT event_type, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, CAST(s.hour AS TIMESTAMP) AS hour,
+       COALESCE(c.n_obs, 0) AS n
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN counts c
+  ON c.event_type = t.event_type AND c.hour = CAST(s.hour AS TIMESTAMP)
+"""

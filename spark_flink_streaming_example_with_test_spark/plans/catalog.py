@@ -152,6 +152,14 @@ _SPECS: list[QuerySpec] = [
               an.EXCEPT_ALL_ORACLE),
     QuerySpec("multi_grain_time_rollup", an.multi_grain_time_rollup,
               an.MULTI_GRAIN_ORACLE),
+    QuerySpec("intersect_all_multiset", an.intersect_all_multiset,
+              an.INTERSECT_ALL_ORACLE),
+    QuerySpec("window_rank_functions", an.window_rank_functions,
+              an.WINDOW_RANK_ORACLE),
+    QuerySpec("regexp_scalar_functions", an.regexp_scalar_functions,
+              an.REGEXP_ORACLE),
+    QuerySpec("time_spine_gapfill", an.time_spine_gapfill,
+              an.TIME_SPINE_ORACLE),
     # -- North-star LLM ops ---------------------------------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
