@@ -55,6 +55,10 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_DEDUP_ORACLE),
     QuerySpec("streaming_interval_join_e2e", ref.streaming_interval_join_e2e,
               ref.STREAMING_INTERVAL_JOIN_ORACLE),
+    QuerySpec("streaming_split_e2e", ref.streaming_split_e2e,
+              ref.STREAMING_SPLIT_ORACLE),
+    QuerySpec("streaming_static_enrich_e2e", ref.streaming_static_enrich_e2e,
+              ref.STREAMING_ENRICH_ORACLE),
     # -- Relational gap map ---------------------------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),

@@ -428,3 +428,117 @@ def streaming_windowed_count_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_split_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream splitting on the real engine — the reference's
+    commented-out second output (spark/spark_streaming.py:63,95-101)
+    run as two independent foreachBatch parquet sinks off one parsed
+    stream, each with its own checkpoint (streaming/job.py
+    start_split_pipelines). Returns per-branch row counts; the
+    oracle is the two complementary batch filters."""
+    import shutil
+    import tempfile
+
+    from spark_flink_streaming_example_with_test_spark.streaming.job import start_split_pipelines
+    from spark_flink_streaming_example_with_test_spark.streaming.sinks import parquet_batch_writer
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    root = tempfile.mkdtemp(prefix="engine_stream_split_")
+    src, out_a, out_b = f"{root}/src", f"{root}/kept", f"{root}/rest"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        keep = list(FLAGSHIP_KEEP)
+
+        def t_kept(df: DataFrame) -> DataFrame:
+            return df.filter(
+                F.col("event_type").isNotNull()
+                & F.lower("event_type").isin(keep)
+            )
+
+        def t_rest(df: DataFrame) -> DataFrame:
+            return df.filter(
+                F.col("event_type").isNotNull()
+                & ~F.lower("event_type").isin(keep)
+            )
+
+        queries = start_split_pipelines(
+            stream,
+            [
+                ("kept", t_kept, parquet_batch_writer(out_a)),
+                ("rest", t_rest, parquet_batch_writer(out_b)),
+            ],
+            checkpoint_root=f"{root}/ckpt",
+        )
+        try:
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+        kept_n = spark.read.schema("user_id long").parquet(out_a).count()
+        rest_n = spark.read.schema("user_id long").parquet(out_b).count()
+        return spark.createDataFrame(
+            [("kept", kept_n), ("rest", rest_n)], "branch string, n long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAMING_SPLIT_ORACLE = """
+SELECT 'kept' AS branch, COUNT(*) AS n FROM events
+WHERE event_type IS NOT NULL AND LOWER(event_type) IN ('click', 'purchase')
+UNION ALL
+SELECT 'rest' AS branch, COUNT(*) AS n FROM events
+WHERE event_type IS NOT NULL AND LOWER(event_type) NOT IN ('click', 'purchase')
+"""
+
+
+def streaming_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join on the real engine: the events
+    stream joined per micro-batch to the static customer dimension
+    (broadcast — re-resolved each trigger, the standard slowly-
+    changing-dimension pattern), then aggregated per segment in
+    complete mode. Oracle: the equivalent batch join + aggregate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_enrich_")
+    sink = f"se_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        joined = stream.join(
+            F.broadcast(dim), stream.user_id == dim.c_custkey
+        )
+        agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_ENRICH_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
