@@ -189,6 +189,8 @@ _SPECS: list[QuerySpec] = [
               llm.EMB_BY_SOURCE_ORACLE),
     QuerySpec("embedding_label_centroids", llm.embedding_label_centroids,
               llm.EMB_CENTROIDS_ORACLE),
+    QuerySpec("embedding_norms", llm.embedding_norms,
+              llm.EMBEDDING_NORMS_ORACLE),
     QuerySpec("similarity_ivf_kmeans", llm.similarity_ivf_kmeans, None),
     QuerySpec("text_quality_scores", llm.text_quality_scores,
               llm.TEXT_QUALITY_ORACLE, headline=True),

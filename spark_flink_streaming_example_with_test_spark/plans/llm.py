@@ -662,3 +662,46 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM clean JOIN kept USING (doc_id)
 GROUP BY source
 """
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-arithmetic surface over array<float> columns: L2/L1
+    norms, max-abs, dimensionality, and the L2 norm after
+    normalization (== 1.0) — all JVM fold expressions
+    (transform/aggregate), the building blocks every embedding
+    pipeline needs before similarity search."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 7 == 0)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    l1 = F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x))
+    unit = F.transform(v, lambda x: x / l2)
+    unit_l2 = F.sqrt(
+        F.aggregate(unit, F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2_norm"),
+        F.round(l1, 6).alias("l1_norm"),
+        F.round(F.array_max(F.transform(v, F.abs)), 6).alias("max_abs"),
+        F.size("embedding").alias("dim"),
+        F.round(unit_l2, 6).alias("unit_norm"),
+    )
+
+
+EMBEDDING_NORMS_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 7 = 0
+), n AS (
+  SELECT vec_id, v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> x * x))) AS l2
+  FROM e
+)
+SELECT vec_id,
+       ROUND(l2, 6)                                         AS l2_norm,
+       ROUND(LIST_SUM(LIST_TRANSFORM(v, x -> ABS(x))), 6)   AS l1_norm,
+       ROUND(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 6)   AS max_abs,
+       LEN(v)                                               AS dim,
+       ROUND(SQRT(LIST_SUM(LIST_TRANSFORM(v, x -> (x / l2) * (x / l2)))), 6)
+                                                            AS unit_norm
+FROM n
+"""
