@@ -59,6 +59,8 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_SPLIT_ORACLE),
     QuerySpec("streaming_static_enrich_e2e", ref.streaming_static_enrich_e2e,
               ref.STREAMING_ENRICH_ORACLE),
+    QuerySpec("synthetic_activity_stats", ref.synthetic_activity_stats,
+              ref.SYNTHETIC_ACTIVITY_ORACLE),
     # -- Relational gap map ---------------------------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),

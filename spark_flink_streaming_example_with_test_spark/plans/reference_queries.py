@@ -542,3 +542,38 @@ SELECT c_mktsegment, COUNT(*) AS n
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+def synthetic_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S8 generator surface (reference kafka_producer.py as a
+    distributed deterministic range projection,
+    sources/generator.py): 10k events summarized per (user,
+    event_type). The oracle regenerates the identical rows from
+    DuckDB's RANGE — same modular arithmetic, same micros cadence —
+    so the generator itself is value-checked, not just smoke-run.
+    ``sf_dir`` is unused: the generator is its own source."""
+    from spark_flink_streaming_example_with_test_spark.sources.generator import synthetic_activity
+
+    ev = synthetic_activity(spark, n=10_000)
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("url").alias("n_urls"),
+    )
+
+
+SYNTHETIC_ACTIVITY_ORACLE = """
+WITH ev AS (
+  SELECT i % 10 + 1 AS user_id,
+         ['liked', 'viewed', 'bookmarked', 'commented'][CAST(i % 4 AS INT) + 1]
+             AS event_type,
+         MAKE_TIMESTAMP(1692921600000000 + i * 800000) AS ts,
+         'https://example.com/page/' || (i % 100) AS url
+  FROM RANGE(0, 10000) t(i)
+)
+SELECT user_id, event_type, COUNT(*) AS n,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(DISTINCT url) AS n_urls
+FROM ev GROUP BY user_id, event_type
+"""
