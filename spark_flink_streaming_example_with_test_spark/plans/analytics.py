@@ -446,3 +446,33 @@ CROSS JOIN types t
 LEFT JOIN counts c
   ON c.event_type = t.event_type AND c.hour = CAST(s.hour AS TIMESTAMP)
 """
+
+
+def skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join surface (functions/skew.py) made driver-visible:
+    events joined to the customer dimension with 16-way salting —
+    semantically identical to the plain equi-join (which is exactly
+    what the oracle runs), but each hot user key spreads over 16
+    reducer partitions. The pattern for broadcast-ineligible dims
+    with hot keys that AQE can't split (e.g. streaming joins)."""
+    from spark_flink_streaming_example_with_test_spark.functions.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(e, dim, on="user_id", n_salts=16)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+SKEW_SALTED_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""

@@ -166,6 +166,8 @@ _SPECS: list[QuerySpec] = [
               an.REGEXP_ORACLE),
     QuerySpec("time_spine_gapfill", an.time_spine_gapfill,
               an.TIME_SPINE_ORACLE),
+    QuerySpec("skew_salted_enrichment", an.skew_salted_enrichment,
+              an.SKEW_SALTED_ORACLE),
     # -- North-star LLM ops ---------------------------------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
