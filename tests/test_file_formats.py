@@ -46,3 +46,18 @@ def test_csv_scan_pushes_filters(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_synthetic_generator_partition_invariant(spark):
+    """The S8 generator must produce IDENTICAL rows regardless of
+    parallelism — the property that makes synthetic corpora
+    reproducible on any cluster size (unlike the reference's
+    random/faker producer)."""
+    from spark_flink_streaming_example_with_test_spark.sources.generator import synthetic_activity
+
+    one = sorted(map(tuple, synthetic_activity(spark, 500, num_partitions=1).collect()))
+    many = sorted(map(tuple, synthetic_activity(spark, 500, num_partitions=8).collect()))
+    assert one == many
+    assert len(one) == 500
+    users = {r[0] for r in one}
+    assert users == set(range(1, 11))
