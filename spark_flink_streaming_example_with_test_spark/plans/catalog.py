@@ -134,10 +134,14 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
               t2.Q14_ORACLE),
     QuerySpec("q15_top_supplier", t2.q15_top_supplier, t2.Q15_ORACLE),
+    QuerySpec("q16_part_supplier_counts", t2.q16_part_supplier_counts,
+              t2.Q16_ORACLE),
     QuerySpec("q17_small_quantity_revenue", t2.q17_small_quantity_revenue,
               t2.Q17_ORACLE),
     QuerySpec("q19_disjunctive_predicates", t2.q19_disjunctive_predicates,
               t2.Q19_ORACLE),
+    QuerySpec("q21_waiting_suppliers", t2.q21_waiting_suppliers,
+              t2.Q21_ORACLE),
     QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
               t2.Q22_ORACLE),
     QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),

@@ -555,3 +555,89 @@ SELECT event_id,
        CAST(props->>'$.k' AS INT)       AS k_val
 FROM events WHERE event_id % 13 = 0
 """
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per part attribute,
+    excluding a NOT IN subquery set (negative-balance suppliers
+    standing in for the missing complaints column). NOT IN compiles
+    to a left-anti join here because the subquery key is non-null;
+    the distinct count rides the (brand, size) aggregate."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 5, 9, 13))
+    s_bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s_bad), l.l_suppkey == s_bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order — a correlated EXISTS (another supplier
+    shipped the same order) AND NOT EXISTS (another supplier was also
+    late), composed as one aggregate over per-order supplier sets
+    instead of two correlated semi/anti joins: one shuffle computes
+    (n_suppliers, n_late_suppliers, late supplier) per order.
+    "Late" = shipped > 60 days after order date (no receipt/commit
+    dates in the fixtures)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .cast("int"),
+    )
+    per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"),
+        F.sum("supp_late").alias("n_late"),
+        F.max(F.when(F.col("supp_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    sole_late = per_order.filter(
+        (F.col("n_supps") > 1) & (F.col("n_late") == 1)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.late_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_ORACLE = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS supp_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supps,
+         SUM(supp_late) AS n_late,
+         MAX(CASE WHEN supp_late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supps > 1 AND n_late = 1
+GROUP BY s_name
+"""
