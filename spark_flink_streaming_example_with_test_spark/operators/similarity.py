@@ -7,10 +7,16 @@ Two tiers, per the north-star design:
   JVM-side, codegen-friendly, no Python. Correct at any corpus size,
   O(|corpus| x |queries|) work.
 - ``lsh_bucket`` + ``bucketed_similar_pairs``: the scale path for
-  all-pairs similarity — sign-bit LSH buckets (random-hyperplane
-  family degenerate to axis hyperplanes: deterministic, no stored
-  model) so the self-join only compares within buckets. An IVF
-  variant (k-means centroids) would slot in the same join shape.
+  all-pairs similarity — random-hyperplane LSH (seeded Rademacher
+  projections: deterministic, no stored model) so the self-join only
+  compares within buckets. Axis-aligned sign bits would degenerate on
+  real embedding models (post-ReLU/softmax components are mostly
+  positive -> one mega-bucket -> O(n^2) self-join); pseudo-random
+  hyperplanes split any direction of the sphere evenly, and
+  ``max_bucket_size`` stop-bucket capping (mirroring
+  operators/dedup.py lsh_candidate_pairs) bounds the worst case
+  structurally. An IVF variant (k-means centroids) slots into the
+  same join shape.
 
 Norms are precomputed once per row; embeddings are cast float ->
 double before arithmetic so the fold is stable and engines agree
@@ -18,6 +24,8 @@ bit-for-bit with the DuckDB oracle.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -83,13 +91,44 @@ def cosine_topk(
     )
 
 
-def lsh_bucket(v: Column | str, n_bits: int = 8) -> Column:
-    """Sign-bit LSH bucket id from the first ``n_bits`` components:
-    bucket = sum_i (v[i] > 0) << i. 2^n_bits buckets."""
+def hyperplane_signs(
+    n_bits: int, dim: int, seed: int = 7
+) -> list[list[float]]:
+    """Deterministic Rademacher (+1/-1) hyperplane coefficients for
+    random-hyperplane LSH, derived from sha256(seed:bit:dim) — no
+    stored model, identical on every run/engine, and (unlike
+    axis-aligned sign bits) uncorrelated with any particular embedding
+    model's component distribution."""
+    planes: list[list[float]] = []
+    for b in range(n_bits):
+        row = []
+        for i in range(dim):
+            digest = hashlib.sha256(f"{seed}:{b}:{i}".encode()).digest()
+            row.append(1.0 if digest[0] % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(
+    v: Column | str, n_bits: int = 8, dim: int = 64, seed: int = 7
+) -> Column:
+    """Random-hyperplane LSH bucket id: bit b is the sign of the
+    projection onto the b-th seeded Rademacher hyperplane,
+    bucket = sum_b (v . h_b > 0) << b. 2^n_bits buckets.
+
+    The projection is an explicit left-associated multiply-add chain
+    (not a fold) so the floating-point evaluation order is pinned and
+    a SQL oracle building the same chain agrees bit-for-bit on every
+    sign decision. Missing components (len(v) < dim) contribute 0.
+    """
     col = F.col(v) if isinstance(v, str) else v
     bucket = F.lit(0)
-    for i in range(n_bits):
-        bucket = bucket + F.when(col[i] > 0, F.lit(1 << i)).otherwise(0)
+    for b, coeffs in enumerate(hyperplane_signs(n_bits, dim, seed)):
+        proj: Column | None = None
+        for i, c in enumerate(coeffs):
+            term = F.coalesce(col[i], F.lit(0.0)) * F.lit(c)
+            proj = term if proj is None else proj + term
+        bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(0)
     return bucket
 
 
@@ -173,12 +212,16 @@ def embedding_near_duplicates(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-dedup: for every vector that has a
     lower-id neighbor with cosine >= threshold (within its LSH
     bucket), emit (drop_id, keep_id, best cos). One row per dropped
     vector — the dedup decision, not just the pair list."""
-    pairs = bucketed_similar_pairs(df, threshold, n_bits, id_col, vec_col)
+    pairs = bucketed_similar_pairs(
+        df, threshold, n_bits, id_col, vec_col, dim, max_bucket_size
+    )
     return pairs.groupBy(F.col("id_b").alias("drop_id")).agg(
         F.min("id_a").alias("keep_id"),
         F.round(F.max("cos_sim"), 6).alias("max_cos"),
@@ -191,15 +234,34 @@ def bucketed_similar_pairs(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """All-pairs cosine >= threshold, restricted to LSH-bucket
     collisions: the self-join shuffles on the bucket id so each
     partition only compares its own bucket — O(sum of bucket^2)
     instead of O(n^2). Recall is tunable via n_bits (fewer bits =
-    more recall, bigger buckets)."""
+    more recall, bigger buckets).
+
+    ``max_bucket_size`` is the stop-bucket guard (same rationale as
+    dedup.lsh_candidate_pairs): a bucket of k members emits k^2/2
+    comparisons, so one degenerate bucket — near-identical vectors,
+    or a distribution a hash family handles badly — can dominate the
+    job. Buckets above the cap are dropped entirely; None disables.
+    """
     prepped = with_unit_prep(df, vec_col).select(
-        F.col(id_col), "v", "v_norm", lsh_bucket("v", n_bits).alias("bucket")
+        F.col(id_col),
+        "v",
+        "v_norm",
+        lsh_bucket("v", n_bits, dim).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("bucket")
+        prepped = (
+            prepped.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_bucket_size)
+            .drop("__n")
+        )
     a = prepped.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("v_a"),

@@ -113,34 +113,61 @@ SELECT q_id, vec_id, cos_sim, rk FROM (
 """
 
 
-def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path: all-pairs cosine >= 0.25 restricted to sign-bit
-    LSH bucket collisions (self-join shuffles on bucket id, not a
-    blind cross join)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return sim.bucketed_similar_pairs(emb, threshold=0.25, n_bits=8)
+def _hyperplane_bucket_sql(
+    vec: str = "v", n_bits: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    """SQL twin of operators/similarity.py lsh_bucket: the SAME
+    seeded Rademacher coefficients (generated from one source of
+    truth so Spark and oracle can't drift) applied as an explicit
+    left-associated multiply-add chain — identical floating-point
+    evaluation order, so every sign decision agrees bit-for-bit."""
+    bits = []
+    for b, coeffs in enumerate(sim.hyperplane_signs(n_bits, dim, seed)):
+        terms = " + ".join(
+            f"(COALESCE({vec}[{i + 1}], 0.0) * {c})"
+            for i, c in enumerate(coeffs)
+        )
+        bits.append(f"CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END")
+    return "(" + "\n        + ".join(bits) + ")"
 
 
-SIMILARITY_LSH_ORACLE = """
+def _bucketed_pairs_sql(threshold: float, max_bucket_size: int) -> str:
+    """Shared oracle body for the hyperplane-LSH pair queries:
+    bucket assignment + stop-bucket cap + within-bucket cosine."""
+    return f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm,
-         (CASE WHEN embedding[1] > 0 THEN 1   ELSE 0 END
-        + CASE WHEN embedding[2] > 0 THEN 2   ELSE 0 END
-        + CASE WHEN embedding[3] > 0 THEN 4   ELSE 0 END
-        + CASE WHEN embedding[4] > 0 THEN 8   ELSE 0 END
-        + CASE WHEN embedding[5] > 0 THEN 16  ELSE 0 END
-        + CASE WHEN embedding[6] > 0 THEN 32  ELSE 0 END
-        + CASE WHEN embedding[7] > 0 THEN 64  ELSE 0 END
-        + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+         {_hyperplane_bucket_sql()} AS bucket
   FROM embeddings
+), capped AS (
+  SELECT vec_id, v, nrm, bucket FROM (
+    SELECT e.*, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM e
+  ) WHERE bsz <= {max_bucket_size}
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
+  FROM capped a JOIN capped b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
-                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
-               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= 0.25
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path: all-pairs cosine >= 0.25 restricted to seeded
+    random-hyperplane LSH bucket collisions (self-join shuffles on
+    bucket id, not a blind cross join), stop-bucket capped at 10k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.bucketed_similar_pairs(
+        emb, threshold=0.25, n_bits=8, max_bucket_size=10_000
+    )
+
+
+SIMILARITY_LSH_ORACLE = f"""
+SELECT id_a, id_b, ROUND(cos_sim, 6) AS cos_sim
+FROM ({_bucketed_pairs_sql(0.25, 10_000)})
 """
 
 
@@ -331,34 +358,20 @@ FROM documents
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dedup: one row per dropped vector with
-    its kept lower-id neighbor (cos >= 0.3 within its sign-bit LSH
-    bucket). The oracle mirrors the bucket restriction exactly."""
+    its kept lower-id neighbor (cos >= 0.3 within its seeded
+    random-hyperplane LSH bucket). The oracle mirrors the bucket
+    restriction and stop-bucket cap exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.embedding_near_duplicates(emb, threshold=0.3, n_bits=8)
+    return sim.embedding_near_duplicates(
+        emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
+    )
 
 
-DEDUP_EMBEDDING_ORACLE = """
-WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v,
-         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm,
-         (CASE WHEN embedding[1] > 0 THEN 1   ELSE 0 END
-        + CASE WHEN embedding[2] > 0 THEN 2   ELSE 0 END
-        + CASE WHEN embedding[3] > 0 THEN 4   ELSE 0 END
-        + CASE WHEN embedding[4] > 0 THEN 8   ELSE 0 END
-        + CASE WHEN embedding[5] > 0 THEN 16  ELSE 0 END
-        + CASE WHEN embedding[6] > 0 THEN 32  ELSE 0 END
-        + CASE WHEN embedding[7] > 0 THEN 64  ELSE 0 END
-        + CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings
-), pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
-                   i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos_sim
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+DEDUP_EMBEDDING_ORACLE = f"""
 SELECT id_b AS drop_id, MIN(id_a) AS keep_id,
        ROUND(MAX(ROUND(cos_sim, 6)), 6) AS max_cos
-FROM pairs WHERE cos_sim >= 0.3 GROUP BY id_b
+FROM ({_bucketed_pairs_sql(0.3, 10_000)})
+GROUP BY id_b
 """
 
 
