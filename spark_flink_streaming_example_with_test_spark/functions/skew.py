@@ -49,7 +49,14 @@ def salted_join(
     """Equi-join where the big side's hot keys are spread over
     ``n_salts`` partitions. Semantically identical to
     ``big.join(small, on, how)`` for inner/left joins (each big row
-    meets exactly one copy of each matching small row)."""
+    meets exactly one copy of each matching small row). Other join
+    types are rejected: right/full/semi/anti would emit the
+    replicated small-side rows n_salts times (or misfilter on the
+    salt column) instead of matching the unsalted join."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join only preserves inner/left semantics, got {how!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, n_salts, seed)
     s = replicate_for_salt(small, n_salts)

@@ -179,6 +179,12 @@ def lsh_candidate_pairs(
     stop-word analog; members that are genuine near-dups of anything
     still collide in their other bands. None disables the guard.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "a remainder would silently drop trailing signature slots "
+            "and flatten the S-curve"
+        )
     rows_per_band = num_hashes // bands
     band_hashes = F.array(
         *[

@@ -50,6 +50,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     try:
         for _ in range(max_iterations):
             propagated = sym.join(
@@ -70,7 +71,21 @@ def connected_components(
             )
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
     finally:
         sym.unpersist()
+    if not converged:
+        # Unconverged labels silently split one true component into
+        # several clusters — surface it instead of returning quietly.
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations (component diameter exceeds "
+            "the budget); labels may split true components — raise "
+            "max_iterations",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.withColumnRenamed("label", "component")

@@ -180,19 +180,37 @@ def sample_video_frames(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out_ids, out_idx, out_frames = [], [], []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                n_frames = max(1, len(payload) // (every_n * 32))
-                for i in range(n_frames):
-                    out_ids.append(row["asset_id"])
-                    out_idx.append(i)
-                    out_frames.append(
-                        hashlib.sha256(payload + i.to_bytes(4, "big")).digest()
-                    )
+            # Vectorized row expansion: per-row frame counts -> numpy
+            # repeat/arange for the id/index columns; only the sha256
+            # digests (no vectorized form) run in a Python loop, over
+            # pre-extracted arrays rather than iterrows rows.
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n_frames = np.maximum(
+                1, np.fromiter((len(p) for p in payloads), dtype="int64")
+                // (every_n * 32),
+            ) if payloads else np.array([], dtype="int64")
+            asset_ids = np.repeat(
+                pdf["asset_id"].to_numpy(), n_frames
+            )
+            frame_idx = np.concatenate(
+                [np.arange(n, dtype="int32") for n in n_frames]
+            ) if len(n_frames) else np.array([], dtype="int32")
+            frames = [
+                hashlib.sha256(
+                    payloads[row] + int(i).to_bytes(4, "big")
+                ).digest()
+                for row, n in enumerate(n_frames)
+                for i in range(n)
+            ]
             yield pd.DataFrame(
-                {"asset_id": out_ids, "frame_index": out_idx, "frame": out_frames}
+                {
+                    "asset_id": asset_ids,
+                    "frame_index": frame_idx,
+                    "frame": frames,
+                }
             )
 
     return assets.mapInPandas(batches, schema)

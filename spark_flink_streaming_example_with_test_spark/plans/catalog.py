@@ -1,10 +1,22 @@
 """Central query registry: every implemented operator from SURVEY.md
 §2 (reference surface + gap map + north-star LLM ops) as a
 ``(spark, sf_dir) -> DataFrame`` callable with, where SQL can express
-it, a DuckDB oracle. Queries without an oracle are deterministic but
-depend on Spark-only hash functions (xxhash64) or approximate
-sketches; the driver records a rows-only check for those and unit
-tests cover their semantics.
+it, a DuckDB oracle.
+
+Ordering is GATE-PRIORITY order, not category order: the round
+driver's correctness gate consumes a bounded prefix of this list
+(~50 entries in round 1), so the entries that most need a fresh
+driver-verified row come first — the north-star LLM block and the
+analytics block (no driver row in round 1), then queries new or
+changed this round, then the TPC-H tail, then everything that
+already has a green CORRECTNESS_r01 row (those stay covered by the
+local oracle-parity suite either way).
+
+Queries without an oracle are deterministic but depend on Spark-only
+iterative algorithms (k-means); sketch-based queries
+(approx-distinct, SimHash, MinHash-LSH) are reshaped to emit
+engine-checkable exact columns plus property booleans so they get a
+full hash-checked row instead of rows-only.
 """
 
 from __future__ import annotations
@@ -34,7 +46,103 @@ class QuerySpec:
 
 
 _SPECS: list[QuerySpec] = [
-    # -- Reference surface (events table) ------------------------------
+    # -- North-star LLM ops (no driver row in round 1) ------------------
+    QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
+              llm.DEDUP_EXACT_ORACLE, headline=True),
+    QuerySpec("dedup_minhash_lsh", llm.dedup_minhash_lsh, None, headline=True),
+    QuerySpec("dedup_minhash_recall", llm.dedup_minhash_recall,
+              llm.DEDUP_MINHASH_RECALL_ORACLE),
+    QuerySpec("dedup_ngram_jaccard", llm.dedup_ngram_jaccard,
+              llm.DEDUP_NGRAM_ORACLE),
+    QuerySpec("dedup_simhash", llm.dedup_simhash, llm.DEDUP_SIMHASH_ORACLE),
+    QuerySpec("dedup_cluster_components", llm.dedup_cluster_components,
+              llm.DEDUP_CLUSTER_ORACLE),
+    QuerySpec("clean_corpus_pipeline", llm.clean_corpus_pipeline,
+              llm.CLEAN_CORPUS_ORACLE),
+    QuerySpec("similarity_topk_cosine", llm.similarity_topk_cosine,
+              llm.SIMILARITY_TOPK_ORACLE, headline=True),
+    QuerySpec("similarity_lsh_bucketed", llm.similarity_lsh_bucketed,
+              llm.SIMILARITY_LSH_ORACLE),
+    QuerySpec("similarity_ivf_topk", llm.similarity_ivf_topk,
+              llm.SIMILARITY_IVF_ORACLE),
+    QuerySpec("dedup_embedding_cosine", llm.dedup_embedding_cosine,
+              llm.DEDUP_EMBEDDING_ORACLE),
+    QuerySpec("embeddings_label_stats", llm.embeddings_label_stats,
+              llm.EMBEDDINGS_STATS_ORACLE),
+    QuerySpec("embeddings_by_doc_source", llm.embeddings_by_doc_source,
+              llm.EMB_BY_SOURCE_ORACLE),
+    QuerySpec("embedding_label_centroids", llm.embedding_label_centroids,
+              llm.EMB_CENTROIDS_ORACLE),
+    QuerySpec("embedding_norms", llm.embedding_norms,
+              llm.EMBEDDING_NORMS_ORACLE),
+    QuerySpec("similarity_ivf_kmeans", llm.similarity_ivf_kmeans, None),
+    QuerySpec("text_quality_scores", llm.text_quality_scores,
+              llm.TEXT_QUALITY_ORACLE, headline=True),
+    QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),
+    QuerySpec("doc_fingerprints", llm.doc_fingerprints,
+              llm.DOC_FINGERPRINT_ORACLE),
+    QuerySpec("token_counts_top", llm.token_counts_top,
+              llm.TOKEN_COUNTS_ORACLE, headline=True),
+    QuerySpec("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_ORACLE),
+    QuerySpec("regex_token_stats", llm.regex_token_stats,
+              llm.REGEX_TOKEN_ORACLE),
+    QuerySpec("doc_chunks", llm.doc_chunks, llm.DOC_CHUNKS_ORACLE),
+    QuerySpec("binary_payload_features", llm.binary_payload_features,
+              llm.BINARY_FEATURES_ORACLE),
+    QuerySpec("dedup_keep_first_docs", llm.dedup_keep_first_docs,
+              llm.DEDUP_KEEP_FIRST_ORACLE),
+    QuerySpec("multimodal_image_features", llm.multimodal_image_features,
+              llm.MULTIMODAL_FEATURES_ORACLE),
+    # -- Analytic / statistical / pipeline-split (no driver row yet) ----
+    QuerySpec("sessionize_events", an.sessionize_events,
+              an.SESSIONIZE_ORACLE, headline=True),
+    QuerySpec("user_event_deltas", an.user_event_deltas,
+              an.USER_DELTAS_ORACLE),
+    QuerySpec("stats_by_event_type", an.stats_by_event_type, an.STATS_ORACLE),
+    QuerySpec("split_train_holdout", an.split_train_holdout, an.SPLIT_ORACLE),
+    QuerySpec("histogram_event_values", an.histogram_event_values,
+              an.HISTOGRAM_ORACLE),
+    QuerySpec("posexplode_tokens", an.posexplode_tokens,
+              an.POSEXPLODE_ORACLE),
+    QuerySpec("union_by_name_evolution", an.union_by_name_evolution,
+              an.UNION_BY_NAME_ORACLE),
+    QuerySpec("except_all_multiset", an.except_all_multiset,
+              an.EXCEPT_ALL_ORACLE),
+    QuerySpec("multi_grain_time_rollup", an.multi_grain_time_rollup,
+              an.MULTI_GRAIN_ORACLE),
+    QuerySpec("intersect_all_multiset", an.intersect_all_multiset,
+              an.INTERSECT_ALL_ORACLE),
+    QuerySpec("window_rank_functions", an.window_rank_functions,
+              an.WINDOW_RANK_ORACLE),
+    QuerySpec("regexp_scalar_functions", an.regexp_scalar_functions,
+              an.REGEXP_ORACLE),
+    QuerySpec("time_spine_gapfill", an.time_spine_gapfill,
+              an.TIME_SPINE_ORACLE),
+    QuerySpec("skew_salted_enrichment", an.skew_salted_enrichment,
+              an.SKEW_SALTED_ORACLE),
+    # -- New or reshaped this round -------------------------------------
+    QuerySpec("streaming_sliding_window_e2e",
+              ref.streaming_sliding_window_e2e, ref.SLIDING_WINDOW_ORACLE),
+    QuerySpec("approx_distinct_users", rel.approx_distinct_users,
+              rel.APPROX_DISTINCT_ORACLE),
+    QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,
+              t2.Q20_ORACLE),
+    QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
+    # -- TPC-H tail (beyond round 1's gate window) ----------------------
+    QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
+              t2.Q14_ORACLE),
+    QuerySpec("q15_top_supplier", t2.q15_top_supplier, t2.Q15_ORACLE),
+    QuerySpec("q16_part_supplier_counts", t2.q16_part_supplier_counts,
+              t2.Q16_ORACLE),
+    QuerySpec("q17_small_quantity_revenue", t2.q17_small_quantity_revenue,
+              t2.Q17_ORACLE),
+    QuerySpec("q19_disjunctive_predicates", t2.q19_disjunctive_predicates,
+              t2.Q19_ORACLE),
+    QuerySpec("q21_waiting_suppliers", t2.q21_waiting_suppliers,
+              t2.Q21_ORACLE),
+    QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
+              t2.Q22_ORACLE),
+    # -- Reference surface (events table; green in round 1) -------------
     QuerySpec("activity_windowed_count", ref.activity_windowed_count,
               ref.ACTIVITY_WINDOWED_ORACLE, headline=True),
     QuerySpec("activity_passthrough", ref.activity_passthrough,
@@ -61,7 +169,7 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_ENRICH_ORACLE),
     QuerySpec("synthetic_activity_stats", ref.synthetic_activity_stats,
               ref.SYNTHETIC_ACTIVITY_ORACLE),
-    # -- Relational gap map ---------------------------------------------
+    # -- Relational gap map (green in round 1) --------------------------
     QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
               headline=True),
     QuerySpec("q3_shipping_priority", rel.q3_shipping_priority, rel.Q3_ORACLE,
@@ -102,7 +210,6 @@ _SPECS: list[QuerySpec] = [
               rel.UNION_ORACLE),
     QuerySpec("distinct_users_per_type", rel.distinct_users_per_type,
               rel.DISTINCT_USERS_ORACLE),
-    QuerySpec("approx_distinct_users", rel.approx_distinct_users, None),
     QuerySpec("percentile_event_values", rel.percentile_event_values,
               rel.PERCENTILE_ORACLE),
     QuerySpec("scalar_string_math", rel.scalar_string_math,
@@ -118,7 +225,7 @@ _SPECS: list[QuerySpec] = [
               headline=True),
     QuerySpec("scalar_array_json", rel.scalar_array_json,
               rel.SCALAR_ARRAY_JSON_ORACLE),
-    # -- TPC-H second wave (plans/tpch_more.py) -------------------------
+    # -- TPC-H second wave, gate-covered portion (green in round 1) -----
     QuerySpec("q2_min_unitprice_supplier", t2.q2_min_unitprice_supplier,
               t2.Q2_ORACLE),
     QuerySpec("q7_volume_shipping", t2.q7_volume_shipping, t2.Q7_ORACLE),
@@ -131,92 +238,6 @@ _SPECS: list[QuerySpec] = [
               t2.Q12_ORACLE),
     QuerySpec("q13_customer_order_distribution",
               t2.q13_customer_order_distribution, t2.Q13_ORACLE),
-    QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
-              t2.Q14_ORACLE),
-    QuerySpec("q15_top_supplier", t2.q15_top_supplier, t2.Q15_ORACLE),
-    QuerySpec("q16_part_supplier_counts", t2.q16_part_supplier_counts,
-              t2.Q16_ORACLE),
-    QuerySpec("q17_small_quantity_revenue", t2.q17_small_quantity_revenue,
-              t2.Q17_ORACLE),
-    QuerySpec("q19_disjunctive_predicates", t2.q19_disjunctive_predicates,
-              t2.Q19_ORACLE),
-    QuerySpec("q21_waiting_suppliers", t2.q21_waiting_suppliers,
-              t2.Q21_ORACLE),
-    QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
-              t2.Q22_ORACLE),
-    QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
-    # -- Analytic / statistical / pipeline-split (plans/analytics.py) ---
-    QuerySpec("sessionize_events", an.sessionize_events,
-              an.SESSIONIZE_ORACLE, headline=True),
-    QuerySpec("user_event_deltas", an.user_event_deltas,
-              an.USER_DELTAS_ORACLE),
-    QuerySpec("stats_by_event_type", an.stats_by_event_type, an.STATS_ORACLE),
-    QuerySpec("split_train_holdout", an.split_train_holdout, an.SPLIT_ORACLE),
-    QuerySpec("histogram_event_values", an.histogram_event_values,
-              an.HISTOGRAM_ORACLE),
-    QuerySpec("posexplode_tokens", an.posexplode_tokens,
-              an.POSEXPLODE_ORACLE),
-    QuerySpec("union_by_name_evolution", an.union_by_name_evolution,
-              an.UNION_BY_NAME_ORACLE),
-    QuerySpec("except_all_multiset", an.except_all_multiset,
-              an.EXCEPT_ALL_ORACLE),
-    QuerySpec("multi_grain_time_rollup", an.multi_grain_time_rollup,
-              an.MULTI_GRAIN_ORACLE),
-    QuerySpec("intersect_all_multiset", an.intersect_all_multiset,
-              an.INTERSECT_ALL_ORACLE),
-    QuerySpec("window_rank_functions", an.window_rank_functions,
-              an.WINDOW_RANK_ORACLE),
-    QuerySpec("regexp_scalar_functions", an.regexp_scalar_functions,
-              an.REGEXP_ORACLE),
-    QuerySpec("time_spine_gapfill", an.time_spine_gapfill,
-              an.TIME_SPINE_ORACLE),
-    QuerySpec("skew_salted_enrichment", an.skew_salted_enrichment,
-              an.SKEW_SALTED_ORACLE),
-    # -- North-star LLM ops ---------------------------------------------
-    QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
-              llm.DEDUP_EXACT_ORACLE, headline=True),
-    QuerySpec("dedup_minhash_lsh", llm.dedup_minhash_lsh, None, headline=True),
-    QuerySpec("dedup_ngram_jaccard", llm.dedup_ngram_jaccard,
-              llm.DEDUP_NGRAM_ORACLE),
-    QuerySpec("dedup_simhash", llm.dedup_simhash, None),
-    QuerySpec("dedup_cluster_components", llm.dedup_cluster_components,
-              llm.DEDUP_CLUSTER_ORACLE),
-    QuerySpec("clean_corpus_pipeline", llm.clean_corpus_pipeline,
-              llm.CLEAN_CORPUS_ORACLE),
-    QuerySpec("similarity_topk_cosine", llm.similarity_topk_cosine,
-              llm.SIMILARITY_TOPK_ORACLE, headline=True),
-    QuerySpec("similarity_lsh_bucketed", llm.similarity_lsh_bucketed,
-              llm.SIMILARITY_LSH_ORACLE),
-    QuerySpec("similarity_ivf_topk", llm.similarity_ivf_topk,
-              llm.SIMILARITY_IVF_ORACLE),
-    QuerySpec("dedup_embedding_cosine", llm.dedup_embedding_cosine,
-              llm.DEDUP_EMBEDDING_ORACLE),
-    QuerySpec("embeddings_label_stats", llm.embeddings_label_stats,
-              llm.EMBEDDINGS_STATS_ORACLE),
-    QuerySpec("embeddings_by_doc_source", llm.embeddings_by_doc_source,
-              llm.EMB_BY_SOURCE_ORACLE),
-    QuerySpec("embedding_label_centroids", llm.embedding_label_centroids,
-              llm.EMB_CENTROIDS_ORACLE),
-    QuerySpec("embedding_norms", llm.embedding_norms,
-              llm.EMBEDDING_NORMS_ORACLE),
-    QuerySpec("similarity_ivf_kmeans", llm.similarity_ivf_kmeans, None),
-    QuerySpec("text_quality_scores", llm.text_quality_scores,
-              llm.TEXT_QUALITY_ORACLE, headline=True),
-    QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),
-    QuerySpec("doc_fingerprints", llm.doc_fingerprints,
-              llm.DOC_FINGERPRINT_ORACLE),
-    QuerySpec("token_counts_top", llm.token_counts_top,
-              llm.TOKEN_COUNTS_ORACLE, headline=True),
-    QuerySpec("tfidf_top_terms", llm.tfidf_top_terms, llm.TFIDF_ORACLE),
-    QuerySpec("regex_token_stats", llm.regex_token_stats,
-              llm.REGEX_TOKEN_ORACLE),
-    QuerySpec("doc_chunks", llm.doc_chunks, llm.DOC_CHUNKS_ORACLE),
-    QuerySpec("binary_payload_features", llm.binary_payload_features,
-              llm.BINARY_FEATURES_ORACLE),
-    QuerySpec("dedup_keep_first_docs", llm.dedup_keep_first_docs,
-              llm.DEDUP_KEEP_FIRST_ORACLE),
-    QuerySpec("multimodal_image_features", llm.multimodal_image_features,
-              llm.MULTIMODAL_FEATURES_ORACLE),
 ]
 
 QUERIES: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

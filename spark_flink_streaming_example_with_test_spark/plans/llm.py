@@ -72,10 +72,130 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints. No oracle (xxhash64-based);
-    rows-only driver check + unit tests."""
+    """SimHash quality check, shaped to be oracle-checkable even
+    though the fingerprints themselves are xxhash64-based (which
+    DuckDB can't reproduce): one summary row whose hard columns
+    (doc count, count of exact token-Jaccard >= 0.9 near-dup pairs)
+    DuckDB recomputes independently, plus a property boolean —
+    ">= 95% of true near-dup pairs land within Hamming distance 20"
+    — that the oracle emits as a literal. A sketch regression flips
+    the boolean to false on the Spark side and fails the hash match;
+    measured headroom: max Hamming on such pairs is 17 at sf0.01.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    return dd.simhash64(docs)
+    sh = dd.simhash64(docs)
+    near = dd.ngram_jaccard_pairs(docs, shingle_len=1, threshold=0.9)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = (
+        near.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming")
+        )
+    )
+    stats = ham.agg(
+        F.count("*").alias("n_neardup_pairs"),
+        (
+            F.coalesce(
+                F.avg(F.when(F.col("hamming") <= 20, 1.0).otherwise(0.0)),
+                F.lit(1.0),
+            )
+            >= 0.95
+        ).alias("neardup_hamming_ok"),
+    )
+    return sh.agg(F.count("*").alias("n_docs")).crossJoin(stats)
+
+
+DEDUP_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) AS g
+  FROM documents
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM toks
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM toks
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.9
+)
+SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       (SELECT COUNT(*) FROM pairs)    AS n_neardup_pairs,
+       TRUE                            AS neardup_hamming_ok
+"""
+
+
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH quality check against ground truth: the exact
+    inverted-index 3-gram Jaccard pairs at the same 0.5 threshold
+    are the reference set (DuckDB recomputes their count exactly);
+    recall_ok / precision_ok pin the LSH pipeline's agreement with
+    that set as property booleans (oracle literals — a FALSE fails
+    the driver's hash match). Measured: recall 1.0, 0 spurious pairs
+    at sf0.001 and sf0.01; pinned at >= 0.8 recall, >= 0.95
+    precision to leave honest LSH probability headroom."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    lsh = dd.minhash_near_duplicates(docs, threshold=0.5).select("id_a", "id_b")
+    hits = exact.join(lsh, ["id_a", "id_b"], "left_semi")
+    extras = lsh.join(exact, ["id_a", "id_b"], "left_anti")
+    return (
+        exact.agg(F.count("*").alias("n_exact_pairs"))
+        .crossJoin(hits.agg(F.count("*").alias("__hits")))
+        .crossJoin(lsh.agg(F.count("*").alias("__lsh")))
+        .crossJoin(extras.agg(F.count("*").alias("__extra")))
+        .select(
+            "n_exact_pairs",
+            (
+                F.coalesce(
+                    F.col("__hits") / F.col("n_exact_pairs"), F.lit(1.0)
+                )
+                >= 0.8
+            ).alias("recall_ok"),
+            (
+                F.coalesce(
+                    1.0 - F.col("__extra") / F.col("__lsh"), F.lit(1.0)
+                )
+                >= 0.95
+            ).alias("precision_ok"),
+        )
+    )
+
+
+DEDUP_MINHASH_RECALL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok
+"""
 
 
 # --- Similarity search ------------------------------------------------

@@ -577,3 +577,53 @@ SELECT user_id, event_type, COUNT(*) AS n,
        COUNT(DISTINCT url) AS n_urls
 FROM ev GROUP BY user_id, event_type
 """
+
+
+def streaming_sliding_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows on the REAL
+    micro-batch engine: events replayed through a bounded file
+    stream, 10-minute windows hopping every 5 (each event lands in 2
+    window states), complete-mode memory sink. Shares the batch
+    ``sliding_window_counts`` oracle — closes the last cell of the
+    batch/stream duality matrix (tumbling/session/dedup/interval-join
+    already have streaming twins).
+
+    Complete mode for the same reason as the other bounded replays: a
+    bounded stream ends before the watermark passes the final
+    windows; append-mode eviction is covered by the late-drop tests.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.operators.activity import (
+        flatten_window,
+        windowed_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    src = tempfile.mkdtemp(prefix="engine_stream_sliding_")
+    sink = f"slw_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_type string, ts timestamp"
+        ).parquet(src)
+        counted = windowed_counts(
+            stream, ts_col="ts", keys=("event_type",),
+            window="10 minutes", slide="5 minutes", watermark="10 seconds",
+        )
+        out = flatten_window(counted, keys=("event_type",), count_alias="cnt")
+        query = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

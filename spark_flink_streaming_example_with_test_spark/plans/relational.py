@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_flink_streaming_example_with_test_spark.plans.tpch_more import _money_sum
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
 
@@ -36,10 +37,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # Quantities are integer-valued doubles: their sum is
+            # exact in any order. The price sums are cent-valued and
+            # accumulation-order sensitive -> per-row DECIMAL cast
+            # (_money_sum) so Spark and the oracle agree exactly.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
+            _money_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _money_sum(disc_price, "sum_disc_price"),
+            _money_sum(charge, "sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -50,10 +55,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
        ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
        ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
        ROUND(AVG(l_discount), 4)                                    AS avg_disc,
@@ -85,9 +93,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
         )
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -96,7 +104,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_ORACLE = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -135,15 +144,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
         )
     )
 
 
 Q5_ORACLE = """
-SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -169,15 +180,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue")
         )
     )
 
 
 Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+           AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -354,13 +364,14 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        _money_sum(F.col("o_totalprice"), "total_price"),
     )
 
 
 ROLLUP_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_price
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
@@ -460,12 +471,28 @@ FROM events GROUP BY event_type
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where an
-    exact distinct's shuffle would dominate. No oracle: DuckDB's HLL
-    differs by construction; driver records a rows-only check."""
+    exact distinct's shuffle would dominate. Sketch values can't
+    hash-match across engines, so the query emits the exact count
+    plus a ``within_tolerance`` bound on the sketch's relative error:
+    each engine checks its OWN approximate against its OWN exact, and
+    the (exact count, boolean) pair is what the driver hash-compares
+    — a property-checked sketch instead of a rows-only row count."""
     ev = load_table(spark, sf_dir, "events")
+    exact = F.count_distinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        exact.alias("exact_users"),
+        ((F.abs(approx - exact) / exact) <= 0.05).alias("within_tolerance"),
     )
+
+
+APPROX_DISTINCT_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       ABS(APPROX_COUNT_DISTINCT(user_id) - COUNT(DISTINCT user_id)) * 1.0
+         / COUNT(DISTINCT user_id) <= 0.05 AS within_tolerance
+FROM events GROUP BY event_type
+"""
 
 
 def percentile_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -562,7 +589,8 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
                COUNT(*)                          AS n_orders,
-               ROUND(SUM(o_totalprice), 2)       AS total_price
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                   AS DOUBLE)                    AS total_price
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -573,7 +601,8 @@ GROUPING_SETS_ORACLE = """
 SELECT COALESCE(o_orderstatus, 'ALL')   AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
        COUNT(*)                          AS n_orders,
-       ROUND(SUM(o_totalprice), 2)       AS total_price
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_price
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -720,7 +749,7 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        _money_sum(F.col("o_totalprice"), "total_spend"),
     )
     avg_orders = per_cust.agg(F.avg("n_orders").alias("a"))
     return (
@@ -732,7 +761,8 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HAVING_ORACLE = """
 SELECT o_custkey, COUNT(*) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_spend
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+           AS total_spend
 FROM orders
 GROUP BY o_custkey
 HAVING COUNT(*) > 2 * (SELECT AVG(n) FROM (

@@ -26,11 +26,11 @@ def _money_sum(expr, alias: str):
     """Exact-decimal SUM of a monetary double expression, rounded to
     cents and returned as double. Summing doubles is accumulation-order
     sensitive — a value landing on a x.xx5 boundary rounds differently
-    in Spark vs DuckDB; per-row cast to DECIMAL(18,4) makes the
+    in Spark vs DuckDB; per-row cast to DECIMAL(18,6) makes the
     aggregate exact and engine-order-independent. SQL twin:
-    CAST(ROUND(SUM(CAST(<expr> AS DECIMAL(18,4))), 2) AS DOUBLE)."""
+    CAST(ROUND(SUM(CAST(<expr> AS DECIMAL(18,6))), 2) AS DOUBLE)."""
     return (
-        F.round(F.sum(expr.cast("decimal(18,4)")), 2)
+        F.round(F.sum(expr.cast("decimal(18,6)")), 2)
         .cast("double")
         .alias(alias)
     )
@@ -72,7 +72,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          YEAR(l_shipdate) AS l_year,
@@ -163,7 +163,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q9_ORACLE = """
 SELECT n_name AS nation, YEAR(l_shipdate) AS o_year,
        CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                      - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+                      - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -197,7 +197,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_ORACLE = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -219,7 +219,7 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     Q11's literal fraction which empties at larger SFs."""
     l = load_table(spark, sf_dir, "lineitem")
     per_part = l.groupBy("l_partkey").agg(
-        F.sum(_disc_price().cast("decimal(18,4)")).alias("raw_value")
+        F.sum(_disc_price().cast("decimal(18,6)")).alias("raw_value")
     )
     mean = per_part.agg(F.avg("raw_value").alias("mean_value"))
     return (
@@ -234,7 +234,7 @@ def q11_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q11_ORACLE = """
 WITH per_part AS (
-  SELECT l_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS raw_value
+  SELECT l_partkey, SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS raw_value
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, CAST(ROUND(raw_value, 2) AS DOUBLE) AS part_value
@@ -362,7 +362,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q15_ORACLE = """
 WITH revenue AS (
-  SELECT l_suppkey, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+  SELECT l_suppkey, CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -390,7 +390,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
                 .cast("double")
                 / 7.0,
                 2,
@@ -407,7 +407,7 @@ WITH li_b AS (
   SELECT l_partkey AS t_partkey, 0.5 * AVG(l_quantity) AS qty_thresh
   FROM li_b GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
 FROM li_b JOIN thresh ON l_partkey = t_partkey
 WHERE l_quantity < qty_thresh
 """
@@ -441,7 +441,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q19_ORACLE = """
-SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
        AND l_quantity BETWEEN 1 AND 20)
@@ -478,7 +478,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q22_ORACLE = """
-SELECT c_nationkey, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
+SELECT c_nationkey, COUNT(*) AS numcust, CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -640,4 +640,67 @@ SELECT s_name, COUNT(*) AS numwait
 FROM per_order JOIN supplier ON late_supp = s_suppkey
 WHERE n_supps > 1 AND n_late = 1
 GROUP BY s_name
+"""
+
+
+def q20_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (sole-supplier-of-excess-parts): nested IN over
+    a name-prefix part set with a correlated fraction-of-total
+    threshold. The fixture has no partsupp, so "availqty > half the
+    shipped quantity" becomes "this supplier shipped > 30% of the
+    part's 1996 volume" — same plan skeleton: filtered part IN-list
+    (broadcast), per-(supplier, part) aggregate, correlated per-part
+    total, semi-join back to supplier.
+
+    The 30%-of-total predicate is scale-free (SURVEY convention):
+    literal quantity thresholds return 0 rows on small fixtures.
+    Plan: one shuffle for the (supp, part) aggregate; the per-part
+    total re-aggregates that output (no second lineitem scan); the
+    final supplier filter is a semi-join on a tiny key set.
+    """
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    per_sp = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    per_part = per_sp.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    dominant = (
+        per_sp.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+
+
+Q20_ORACLE = """
+WITH red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+), sp AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sp GROUP BY 1
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM sp JOIN pt USING (l_partkey)
+  WHERE supp_qty > 0.3 * part_qty
+)
 """

@@ -79,6 +79,7 @@ def start_pipeline(
     checkpoint_dir: str,
     output_mode: str = "append",
     query_name: str | None = None,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Wire source -> transform -> foreachBatch sink and start.
 
@@ -86,6 +87,12 @@ def start_pipeline(
     exactly once, when the watermark passes its end; late rows
     beyond the watermark are dropped from state (reference:
     spark/spark_streaming.py:81-92 and README.md:25).
+
+    ``processing_time`` is the latency/throughput knob — the
+    micro-batch analog of the reference's 20 ms JDBC flush interval
+    (reference: UserActivityFilterAgg.java:130-133): e.g.
+    ``"5 seconds"`` caps sink-write frequency and amortizes per-batch
+    overhead; None (default) re-triggers as fast as data arrives.
     """
     writer = (
         transform(source)
@@ -93,6 +100,8 @@ def start_pipeline(
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
     )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
     if query_name:
         writer = writer.queryName(query_name)
     return writer.start()

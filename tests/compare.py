@@ -9,18 +9,31 @@ columns sorted by name, rows sorted by value, values normalized.
 from __future__ import annotations
 
 import math
+import numbers
 from datetime import datetime
+from decimal import Decimal
 
 import pandas as pd
 
 
 def _norm_cell(v):
+    """Normalize a cell to a comparable tag. Numeric tags are by
+    VALUE CLASS, not concrete dtype: numpy.int64 vs Python int (from
+    nullable/object columns) and float32 vs float64 are value-equal
+    cells that a type-name tag would spuriously fail."""
     if v is None:
         return ("null",)
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return ("b", bool(v))
+    if isinstance(v, numbers.Integral):
+        return ("i", int(v))
+    if isinstance(v, Decimal):
+        return ("f", round(float(v), 9))
+    if isinstance(v, numbers.Real):
+        f = float(v)
+        if math.isnan(f):
             return ("nan",)
-        return ("f", round(v, 9))
+        return ("f", round(f, 9))
     if isinstance(v, pd.Timestamp) or isinstance(v, datetime):
         return ("t", pd.Timestamp(v).floor("us").isoformat())
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":

@@ -1,0 +1,50 @@
+"""Per-query wall-time budgets for the most expensive headline
+queries, pinned at sf0.01 (the driver's correctness-gate scale).
+
+Caps are ~15-30x the measured warm times, so sandbox load can't flap
+them — the target is CATASTROPHIC regressions (an accidental cross
+join, a lost broadcast, a persist dropped from a multi-consumer
+pipeline), which show up as 100x blowups, not 2x drift. Plan-shape
+regressions below that threshold are caught structurally by
+tests/test_plans.py; absolute drift is tracked round-over-round by
+the driver's BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from spark_flink_streaming_example_with_test_spark.plans.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+#: (query name, per-query cap in seconds at sf0.01, local[32] warm-ish)
+BUDGETS = [
+    ("dedup_minhash_lsh", 20.0),
+    ("similarity_topk_cosine", 15.0),
+    ("q9_product_type_profit", 15.0),
+    ("q5_local_supplier_volume", 15.0),
+    ("q3_shipping_priority", 15.0),
+]
+
+
+def _drain(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+@pytest.mark.parametrize("name,budget", BUDGETS, ids=[b[0] for b in BUDGETS])
+def test_headline_query_within_budget(spark, name, budget):
+    fn = QUERIES[name].fn
+    # Warm once: exclude first-run codegen compilation and file
+    # listing, matching bench.py's warm-session convention.
+    _drain(fn(spark, SF_DIR))
+    start = time.perf_counter()
+    _drain(fn(spark, SF_DIR))
+    elapsed = time.perf_counter() - start
+    assert elapsed < budget, (
+        f"{name} took {elapsed:.1f}s at sf0.01 — over the {budget}s "
+        "catastrophic-regression budget (expected well under a few "
+        "seconds warm)"
+    )

@@ -142,3 +142,13 @@ def test_connected_components_long_path(spark):
     )
     comps = {r.component for r in connected_components(edges).collect()}
     assert comps == {0}
+
+
+def test_lsh_bands_must_divide_num_hashes(spark):
+    import pytest
+
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = spark.createDataFrame([(1, [1, 2, 3, 4, 5])], ["doc_id", "signature"])
+    with pytest.raises(ValueError, match="must divide"):
+        lsh_candidate_pairs(sigs, num_hashes=5, bands=2)

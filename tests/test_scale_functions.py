@@ -113,3 +113,13 @@ def test_shuffle_hash_join_hint_is_honored(spark):
     j = l.join(o.hint("SHUFFLE_HASH"), l.l_orderkey == o.o_orderkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    import pytest
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(fact, dim, "k", n_salts=4, how=how)

@@ -172,3 +172,53 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
 
     rows = spark.read.parquet(out).collect()
     assert sorted(r.id for r in rows) == ["1", "2"]
+
+
+def test_pipeline_trigger_processing_time(spark, tmp_path):
+    """The processing_time knob (micro-batch analog of the
+    reference's 20 ms JDBC flush interval) is actually wired into
+    the writer: a valid interval runs end to end, an invalid one is
+    rejected at start — proving the option reaches .trigger() rather
+    than being silently dropped."""
+    src = tmp_path / "src_trig"
+    src.mkdir()
+    emitted = []
+
+    def collect(df, batch_id):
+        rows = df.collect()
+        if rows:
+            emitted.append(rows)
+
+    stream = read_activity_file_stream(spark, str(src))
+    query = start_pipeline(
+        stream,
+        flagship_pipeline,
+        collect,
+        checkpoint_dir=str(tmp_path / "ckpt_trig"),
+        processing_time="100 milliseconds",
+    )
+    try:
+        _write_file(str(src), "f1.json", [
+            _event("1", 5_000, "liked"),
+            _event("2", 120_000, "liked"),
+            _event("2", 240_000, "liked"),
+        ])
+        query.processAllAvailable()
+        # Window M finalized once the watermark passed it.
+        _write_file(str(src), "f2.json", [_event("2", 600_000, "liked")])
+        query.processAllAvailable()
+        flat = [r for rows in emitted for r in rows]
+        assert any(r["count"] == 1 and r.id == "1" for r in flat)
+    finally:
+        query.stop()
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)invalid|pars"):
+        start_pipeline(
+            stream,
+            flagship_pipeline,
+            collect,
+            checkpoint_dir=str(tmp_path / "ckpt_trig2"),
+            processing_time="not-a-duration",
+        )
