@@ -128,6 +128,12 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,
               t2.Q20_ORACLE),
     QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
+    QuerySpec("decontaminate_ngrams", llm.decontaminate_ngrams,
+              llm.DECONTAMINATE_ORACLE),
+    QuerySpec("stratified_sample_by_source", llm.stratified_sample_by_source,
+              llm.STRATIFIED_SAMPLE_ORACLE),
+    QuerySpec("bigram_counts_top", llm.bigram_counts_top,
+              llm.BIGRAM_COUNTS_ORACLE),
     # -- TPC-H tail (beyond round 1's gate window) ----------------------
     QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
               t2.Q14_ORACLE),

@@ -838,3 +838,142 @@ SELECT vec_id,
                                                             AS unit_norm
 FROM n
 """
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train-data hygiene op every
+    LLM pipeline runs before training: for each held-out (eval) doc,
+    the fraction of its distinct word 5-grams that also appear
+    anywhere in the train split (containment); containment >= 0.5
+    flags the doc as contaminated.
+
+    The eval/train split reuses split_train_holdout's stateless
+    md5(doc_id) bucket, so the partition is identical across engines
+    and cluster sizes. Plan: one shingle pass over the corpus shared
+    by both sides, a distinct on train grams (the inverted index),
+    and one equi-join gram->gram — never a doc x doc comparison. At
+    100 TB the gram join key would be xxhash64(gram) (8 bytes, same
+    join shape); strings are kept here for oracle parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dd.shingle_sets(docs, shingle_len=5)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    flagged = grams.withColumn("is_eval", bucket >= "e6")
+    train_grams = (
+        flagged.filter(~F.col("is_eval"))
+        .select(F.explode("shingles").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    eval_grams = flagged.filter(F.col("is_eval")).select(
+        "doc_id", F.explode("shingles").alias("gram")
+    )
+    joined = eval_grams.join(train_grams, "gram", "left")
+    ratio = F.sum("hit") / F.count("*")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        F.round(F.coalesce(ratio, F.lit(0.0)), 4).alias("containment"),
+        (F.coalesce(ratio, F.lit(0.0)) >= 0.5).alias("is_contaminated"),
+    )
+
+
+DECONTAMINATE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 3),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                || w[i+3] || ' ' || w[i+4])) AS g
+  FROM toks WHERE LEN(w) >= 5
+), flagged AS (
+  SELECT doc_id, g,
+         SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) >= 'e6' AS is_eval
+  FROM grams
+), train_grams AS (
+  SELECT DISTINCT UNNEST(g) AS gram FROM flagged WHERE NOT is_eval
+), eval_grams AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM flagged WHERE is_eval
+), joined AS (
+  SELECT e.doc_id, t.gram AS hit
+  FROM eval_grams e LEFT JOIN train_grams t ON e.gram = t.gram
+)
+SELECT doc_id, COUNT(*) AS n_grams,
+       CAST(COUNT(hit) AS BIGINT) AS n_contaminated,
+       ROUND(COUNT(hit) * 1.0 / COUNT(*), 4) AS containment,
+       COUNT(hit) * 1.0 / COUNT(*) >= 0.5 AS is_contaminated
+FROM joined GROUP BY doc_id
+"""
+
+
+def stratified_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the dataset-mixing
+    primitive: each source stratum gets its own sampling rate
+    (20/40/60/80% cycling by source number) and rows are kept by a
+    stateless md5(doc_id) bucket threshold, so the sample is
+    reproducible across engines, runs, partitionings, and cluster
+    sizes (no RNG state, no shuffle; the predicate pushes to the
+    scan). Output: per-source planned rate vs achieved counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"([0-9]+)", 1).cast("int")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thr = F.element_at(
+        F.array(F.lit("33"), F.lit("66"), F.lit("99"), F.lit("cc")),
+        src_num % 4 + 1,
+    )
+    rate = F.round((src_num % 4 + 1) * 0.2, 1)
+    sampled = (bucket < thr).cast("int")
+    return docs.groupBy("source").agg(
+        F.max(rate).alias("target_rate"),
+        F.count("*").alias("n_docs"),
+        F.sum(sampled).alias("n_sampled"),
+    )
+
+
+STRATIFIED_SAMPLE_ORACLE = """
+SELECT source,
+       ROUND((CAST(REGEXP_EXTRACT(source, '([0-9]+)', 1) AS INT) % 4 + 1)
+             * 0.2, 1) AS target_rate,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) <
+           CASE CAST(REGEXP_EXTRACT(source, '([0-9]+)', 1) AS INT) % 4
+                WHEN 0 THEN '33' WHEN 1 THEN '66'
+                WHEN 2 THEN '99' ELSE 'cc' END
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY source
+"""
+
+
+def bigram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies, top 30 — the n-gram LM counting
+    pass (explode adjacent-token pairs -> two-phase count). Bigrams
+    come from one transform over the token array (no self-join on
+    position), so the explode carries exactly len-1 rows per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    return (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+BIGRAM_COUNTS_ORACLE = """
+SELECT bigram, COUNT(*) AS cnt FROM (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM (SELECT STRING_SPLIT(LOWER(text), ' ') AS w FROM documents)
+  WHERE LEN(w) >= 2
+)
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 30
+"""
