@@ -134,6 +134,13 @@ _SPECS: list[QuerySpec] = [
               llm.STRATIFIED_SAMPLE_ORACLE),
     QuerySpec("bigram_counts_top", llm.bigram_counts_top,
               llm.BIGRAM_COUNTS_ORACLE),
+    # streaming_tws_user_stats_e2e (reference_queries.py) is NOT
+    # registered: transformWithStateInPandas needs the protobuf
+    # Python package at streaming-runner startup, absent in this
+    # sandbox (same env-constraint class as Kafka/JDBC). The
+    # operator + e2e query exist and self-test where the dependency
+    # is available (tests/test_streaming_ops.py skips cleanly here);
+    # the applyInPandasWithState twin is the gate-checked form.
     # -- TPC-H tail (beyond round 1's gate window) ----------------------
     QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
               t2.Q14_ORACLE),

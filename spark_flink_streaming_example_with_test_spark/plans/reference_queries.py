@@ -627,3 +627,52 @@ def streaming_sliding_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_tws_user_stats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 transformWithStateInPandas (StatefulProcessor + typed
+    ValueState) executed on the real micro-batch engine: per-user
+    running (count, sum, max) accumulated in the state store over a
+    bounded replay of the events table, final state checked against
+    plain batch SQL — the modern arbitrary-stateful API proven by
+    value, alongside the applyInPandasWithState twin
+    (``streaming_running_user_totals``)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import running_user_stats_tws
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="engine_stream_tws_")
+    sink = f"tws_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, value double").parquet(src)
+        query = (
+            running_user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink).select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            F.round("max_value", 4).alias("max_value"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_TWS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events GROUP BY user_id
+"""

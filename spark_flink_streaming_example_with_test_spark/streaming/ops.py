@@ -102,3 +102,62 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWS_OUTPUT = "user_id long, n_events long, total_value double, max_value double"
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same custom-stateful shape on Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor + typed
+    ValueState) — the successor API to applyInPandasWithState, with
+    composable state variables, timers, and TTL. Keeping both forms
+    covers the old and new arbitrary-stateful surfaces; at scale the
+    execution shape is identical (state sharded by the group key in
+    the RocksDB state store, Arrow-batched transfer of each
+    micro-batch, never of accumulated history).
+
+    Runtime requirement: the TWS streaming runner imports
+    ``google.protobuf`` at query start; in environments without it
+    (this sandbox) the query fails at .start() — the
+    applyInPandasWithState twin above has no such dependency and is
+    the oracle-gated form.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._state.get()
+            n, total, vmax = prev if prev is not None else (0, 0.0, None)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                batch_max = float(pdf["value"].max())
+                vmax = batch_max if vmax is None else max(vmax, batch_max)
+            self._state.update((n, total, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "max_value": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=TWS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

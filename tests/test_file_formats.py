@@ -61,3 +61,21 @@ def test_synthetic_generator_partition_invariant(spark):
     assert len(one) == 500
     users = {r[0] for r in one}
     assert users == set(range(1, 11))
+
+
+def test_orc_scan_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC is the other columnar format a lakehouse feeds us; the
+    native reader must roundtrip and keep predicate pushdown +
+    column pruning, same as parquet."""
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    orders.write.orc(path)
+    back = spark.read.schema(orders.schema).orc(path)
+    assert _normalized(back) == _normalized(orders)
+
+    probe = back.filter(F.col("o_orderkey") == 42).select("o_orderstatus")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "o_orderkey" in plan.split("PushedFilters")[1].split("]")[0]
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_totalprice" not in schema

@@ -74,3 +74,30 @@ def test_minhash_signatures_no_shuffle(spark):
 def test_topk_cosine_broadcasts_queries(spark):
     plan = _plan(spark, "similarity_topk_cosine")
     assert "Broadcast" in plan
+
+
+def test_decontaminate_no_cartesian(spark):
+    """Contamination check must be the inverted-index join on the
+    gram key — never a doc x doc or gram x gram cartesian."""
+    plan = _plan(spark, "decontaminate_ngrams")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_prunes_columns(spark):
+    """The sampling predicate is derived from doc_id/source only —
+    the scan must not read the document text."""
+    plan = _plan(spark, "stratified_sample_by_source")
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in schema
+    assert "doc_id" in schema and "source" in schema
+
+
+def test_hyperplane_lsh_single_bucket_shuffle(spark):
+    """The bucketed similarity self-join shuffles on the bucket id;
+    the bucket projection itself is map-side (no exchange before
+    the window/count that enforces the bucket cap) and there is no
+    cartesian fallback."""
+    plan = _plan(spark, "similarity_lsh_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

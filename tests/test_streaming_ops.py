@@ -190,3 +190,59 @@ def test_available_now_backfill_processes_everything_and_stops(spark, tmp_path):
     q.awaitTermination(60)
     assert not q.isActive  # availableNow stops by itself
     assert sorted(r.event_id for r in collected) == list(range(8))
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_running_stats_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas twin of the running-totals
+    operator, checked against batch aggregation. Skips where the TWS
+    streaming runner's protobuf dependency is absent (this sandbox);
+    runs for real in a full deployment."""
+    import pytest
+
+    if not _protobuf_available():
+        pytest.skip("google.protobuf unavailable: TWS runner cannot start")
+
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import running_user_stats_tws
+
+    src = str(tmp_path / "tws_src")
+    rows = [(uid, float(v)) for uid in range(5) for v in range(uid + 1)]
+    df = spark.createDataFrame(rows, "user_id long, value double")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    q = (
+        running_user_stats_tws(stream)
+        .writeStream.format("memory")
+        .queryName("tws_unit")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in spark.table("tws_unit").collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.total, r.vmax)
+        for r in df.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert got == expect
