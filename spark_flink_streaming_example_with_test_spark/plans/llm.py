@@ -75,16 +75,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash quality check, shaped to be oracle-checkable even
     though the fingerprints themselves are xxhash64-based (which
     DuckDB can't reproduce): one summary row whose hard columns
-    (doc count, count of exact token-Jaccard >= 0.9 near-dup pairs)
+    (doc count, count of exact 3-gram Jaccard >= 0.9 near-dup pairs)
     DuckDB recomputes independently, plus a property boolean —
     ">= 95% of true near-dup pairs land within Hamming distance 20"
     — that the oracle emits as a literal. A sketch regression flips
-    the boolean to false on the Spark side and fails the hash match;
-    measured headroom: max Hamming on such pairs is 17 at sf0.01.
+    the boolean to false on the Spark side and fails the hash match.
+
+    The near-dup reference set uses 3-GRAM shingles, not single
+    tokens: a token-level inverted index on a small vocabulary pairs
+    nearly every document through hot tokens (the stop-word
+    quadratic trap — measured ~800M pair rows at sf0.1), while
+    3-gram document frequency stays near 1 and the join stays
+    linear. The simhash frame is persisted: it feeds both sides of
+    the pair join plus the doc count.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = dd.simhash64(docs)
-    near = dd.ngram_jaccard_pairs(docs, shingle_len=1, threshold=0.9)
+    sh = dd.simhash64(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    near = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.9)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = (
@@ -109,12 +118,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SIMHASH_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')) AS g
-  FROM documents
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
 ), sizes AS (
-  SELECT doc_id, LEN(g) AS n FROM toks
+  SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
-  SELECT doc_id, UNNEST(g) AS gram FROM toks
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -139,12 +152,25 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     that set as property booleans (oracle literals — a FALSE fails
     the driver's hash match). Measured: recall 1.0, 0 spurious pairs
     at sf0.001 and sf0.01; pinned at >= 0.8 recall, >= 0.95
-    precision to leave honest LSH probability headroom."""
+    precision to leave honest LSH probability headroom.
+
+    Both pair sets are persisted: each feeds three consumers (the
+    count aggregate plus both sides of the semi/anti agreement
+    joins); without persist the whole shingle/minhash pipeline would
+    re-run per consumer (measured 3x cost at sf0.1)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    exact = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5).select(
-        "id_a", "id_b"
+    exact = (
+        dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    lsh = dd.minhash_near_duplicates(docs, threshold=0.5).select("id_a", "id_b")
+    lsh = (
+        dd.minhash_near_duplicates(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hits = exact.join(lsh, ["id_a", "id_b"], "left_semi")
     extras = lsh.join(exact, ["id_a", "id_b"], "left_anti")
     return (
@@ -855,10 +881,16 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the gram join key would be xxhash64(gram) (8 bytes, same
     join shape); strings are kept here for oracle parity.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     grams = dd.shingle_sets(docs, shingle_len=5)
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    flagged = grams.withColumn("is_eval", bucket >= "e6")
+    # Two consumers (train index + eval explode): persist so the
+    # shingle construction — the dominant cost — runs once.
+    flagged = grams.withColumn("is_eval", bucket >= "e6").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     train_grams = (
         flagged.filter(~F.col("is_eval"))
         .select(F.explode("shingles").alias("gram"))
@@ -950,17 +982,25 @@ def bigram_counts_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (explode adjacent-token pairs -> two-phase count). Bigrams
     come from one transform over the token array (no self-join on
     position), so the explode carries exactly len-1 rows per doc."""
+    from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
+
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), " ")
+    # Tokenize once behind the parallelism guard: higher-order
+    # expressions (transform/element_at) run interpreted, so a
+    # single-file scan would otherwise pin the whole pass to one
+    # core.
+    tokenized = ensure_min_partitions(
+        docs.filter(F.size(toks) >= 2).select(toks.alias("w"))
+    )
     bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
+        F.sequence(F.lit(0), F.size("w") - 2),
         lambda i: F.concat_ws(
-            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            " ", F.element_at("w", i + 1), F.element_at("w", i + 2)
         ),
     )
     return (
-        docs.filter(F.size(toks) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        tokenized.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))

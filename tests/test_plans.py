@@ -101,3 +101,59 @@ def test_hyperplane_lsh_single_bucket_shuffle(spark):
     plan = _plan(spark, "similarity_lsh_bucketed")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries that use a nested-loop/cartesian join DELIBERATELY: tiny
+# broadcast side by construction (query vectors, centroid sets, band
+# tables, scalar subquery results), where BroadcastNestedLoopJoin IS
+# the right physical plan.
+_INTENTIONAL_NLJ = {
+    "similarity_topk_cosine",     # <=5 query rows broadcast
+    "similarity_ivf_topk",        # 16 centroids broadcast
+    "similarity_ivf_kmeans",      # same, trained centroids
+    "join_range_price_bands",     # 3-row band table, pure theta join
+    "q11_part_value_share",       # scalar subquery threshold
+    "q8_market_share",            # scalar ratio denominator
+    "having_big_customers",       # 1-row average crossJoin
+    "q14_promo_revenue_share",    # scalar ratio
+    "q17_small_quantity_revenue", # correlated avg threshold
+    "tfidf_top_terms",            # 1-row corpus-size crossJoin
+    "dedup_simhash",              # 1-row summary crossJoins
+    "dedup_minhash_recall",       # 1-row summary crossJoins
+    "stats_by_event_type",        # grand-total scalar
+    "q22_idle_rich_customers",    # scalar avg-balance subquery
+    "q20_dominant_part_suppliers",
+    "time_spine_gapfill",         # hours x 5 types spine cross
+}
+
+# Queries whose construction EXECUTES work (bounded streaming replays,
+# iterative algorithms with eager checkpoints): plan text is not a
+# cheap static artifact for them; they are covered by their own e2e
+# value checks instead.
+_EXECUTING = {
+    name
+    for name in QUERIES
+    if name.startswith("streaming_") or name in {
+        "dedup_cluster_components",  # iterative label propagation
+        "similarity_ivf_kmeans",     # Lloyd's iterations
+        "synthetic_activity_stats",  # generator materializes via range
+    }
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Global shuffle-hygiene sweep: no batch catalog query may
+    contain a CartesianProduct, and any BroadcastNestedLoopJoin must
+    be on the explicit whitelist of tiny-broadcast theta joins. An
+    accidental cartesian is the classic silent 100 TB killer — this
+    pins every query in one pass."""
+    offenders = []
+    for name, spec in QUERIES.items():
+        if name in _EXECUTING:
+            continue
+        plan = spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_NLJ:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, f"unexpected cartesian/NLJ plans: {offenders}"
