@@ -123,6 +123,9 @@ _SPECS: list[QuerySpec] = [
     # -- New or reshaped this round -------------------------------------
     QuerySpec("streaming_sliding_window_e2e",
               ref.streaming_sliding_window_e2e, ref.SLIDING_WINDOW_ORACLE),
+    QuerySpec("streaming_outer_interval_join_e2e",
+              ref.streaming_outer_interval_join_e2e,
+              ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,

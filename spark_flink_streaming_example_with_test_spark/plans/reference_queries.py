@@ -676,3 +676,90 @@ SELECT user_id, COUNT(*) AS n_events,
        ROUND(MAX(value), 4) AS max_value
 FROM events GROUP BY user_id
 """
+
+
+def streaming_outer_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join on the real engine:
+    purchases joined to the same user's clicks within the following
+    hour, unmatched purchases emitted with a null click — the outer
+    semantics cell the inner e2e doesn't cover. Outer rows only
+    surface when the watermark passes their join horizon and state
+    evicts, so the replay appends one SENTINEL row per side far past
+    the real data's max event time (filtered back out of the
+    result); the post-sentinel no-data batch then flushes every real
+    outer row. The oracle is the equivalent batch left theta join.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_oij_")
+    sink = f"oij_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        sentinel_ts = events.agg(
+            (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts")
+        )
+        sentinels = sentinel_ts.crossJoin(
+            spark.createDataFrame(
+                [(-999, -1, "purchase"), (-999, -2, "click")],
+                "user_id long, event_id long, event_type string",
+            )
+        ).select("user_id", "event_id", "event_type", "ts")
+        sentinels.write.mode("append").parquet(src)
+
+        def read():
+            return spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp"
+            ).parquet(src)
+
+        purchases = (
+            read()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = (
+            read()
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = interval_join_streams(
+            purchases, clicks, key="user_id",
+            left_ts="p_ts", right_ts="c_ts",
+            within="1 hour", watermark="2 hours", how="left_outer",
+        ).select("user_id", "purchase_id", "click_id")
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink).filter(F.col("user_id") != -999)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_OUTER_INTERVAL_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p LEFT JOIN events c
+  ON p.user_id = c.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""

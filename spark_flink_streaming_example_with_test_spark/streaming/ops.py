@@ -42,18 +42,28 @@ def interval_join_streams(
     right_ts: str,
     within: str = "1 minute",
     watermark: str = "2 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right rows within [left_ts, left_ts
+    """Stream-stream join: right rows within [left_ts, left_ts
     + within] on the same key. Both sides carry watermarks and the
     join condition bounds event-time distance, so Spark can size the
     join state and evict rows once the watermark passes — without
     the time bound, stream-stream state grows forever.
+
+    ``how="left_outer"`` emits unmatched left rows (right columns
+    null) — but only when the watermark passes their join horizon
+    and state is evicted, so a bounded replay needs event time to
+    advance past the last real row (see the sentinel pattern in
+    streaming_outer_interval_join_e2e) for the outer results to
+    surface.
 
     Column names: the key keeps its name; both timestamp columns
     survive (they must differ).
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type: {how!r}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -61,7 +71,7 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").drop(F.col(f"r.{key}"))
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
 
 
 RUNNING_TOTALS_OUTPUT = "user_id long, n_events long, total_value double"
