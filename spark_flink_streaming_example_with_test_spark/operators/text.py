@@ -142,3 +142,55 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+def chunk_documents_udtf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """UDTF form of ``chunk_documents``: a Python user-defined table
+    function applied via a LATERAL join — one input row expands to N
+    chunk rows inside the UDTF's generator.
+
+    This exists to cover the UDTF / lateral-join API surface with
+    semantics identical to the expression form (they share one
+    oracle). The expression form is the hot path — a Python UDTF
+    moves every row through a Python worker; the right uses for the
+    API are expansions whose logic genuinely can't be expressed as
+    Catalyst expressions (external tokenizers, model calls), where
+    per-row Python is the cost of the semantics, not overhead.
+    """
+    from pyspark.sql.functions import udtf
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    @udtf(returnType="chunk_id int, chunk_text string, n_tokens int")
+    class ChunkUdtf:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = text.split(" ")
+            # Same start grid as the expression form: 0, stride, ...
+            # up to (and including) the last token index; a doc
+            # shorter than one chunk yields exactly one chunk.
+            for cid, start in enumerate(
+                range(0, max(len(words) - 1, 0) + 1, stride)
+            ):
+                piece = words[start : start + chunk_tokens]
+                yield cid, " ".join(piece), len(piece)
+
+    spark = df.sparkSession
+    spark.udtf.register("__chunk_udtf", ChunkUdtf)
+    view = f"__docs_to_chunk_{id_col}"
+    df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT {id_col}, c.chunk_id, c.chunk_text, c.n_tokens
+        FROM {view}, LATERAL __chunk_udtf({text_col}) c
+        """
+    )

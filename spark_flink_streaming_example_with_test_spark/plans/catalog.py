@@ -126,6 +126,7 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("streaming_outer_interval_join_e2e",
               ref.streaming_outer_interval_join_e2e,
               ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
+    QuerySpec("doc_chunks_udtf", llm.doc_chunks_udtf, llm.DOC_CHUNKS_ORACLE),
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,

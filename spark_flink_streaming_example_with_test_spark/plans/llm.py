@@ -1017,3 +1017,15 @@ SELECT bigram, COUNT(*) AS cnt FROM (
 )
 GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 30
 """
+
+
+def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunking step via a Python UDTF + LATERAL join — the
+    table-function API surface (SURVEY §2.5 UDTF row) proven against
+    the SAME oracle as the expression-based ``doc_chunks``: two
+    implementations, one semantics. The UDTF is the escape hatch for
+    expansions Catalyst expressions can't state (external
+    tokenizers, model calls); for this pure-string chunker the
+    expression form remains the hot path."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tx.chunk_documents_udtf(docs, chunk_tokens=64, overlap=16)

@@ -157,3 +157,12 @@ def test_no_accidental_cartesian_anywhere(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in _INTENTIONAL_NLJ:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, f"unexpected cartesian/NLJ plans: {offenders}"
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Top-k per key must ride the WindowGroupLimit physical
+    optimization (partial per-partition top-k BEFORE the shuffle, so
+    only k rows per key per mapper move) — losing it means shuffling
+    the whole fact table just to keep 3 rows per customer."""
+    plan = _plan(spark, "topk_orders_per_customer")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final

@@ -123,3 +123,19 @@ def test_salted_join_rejects_unsupported_how(spark):
     for how in ("right", "full", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(fact, dim, "k", n_salts=4, how=how)
+
+
+def test_observed_corpus_clean_single_pass_metrics(spark):
+    from spark_flink_streaming_example_with_test_spark.functions.observability import observed_corpus_clean
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, ""), (4, "ok")],
+        "doc_id long, text string",
+    )
+    cleaned, obs = observed_corpus_clean(df)
+    kept = cleaned.count()  # the action that also computes the metrics
+    assert kept == 2
+    m = obs.get
+    assert m["rows_seen"] == 4
+    assert m["rows_dropped"] == 2
+    assert m["total_chars"] == len("hello world") + len("ok")
