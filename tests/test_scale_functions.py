@@ -139,3 +139,48 @@ def test_observed_corpus_clean_single_pass_metrics(spark):
     assert m["rows_seen"] == 4
     assert m["rows_dropped"] == 2
     assert m["total_chars"] == len("hello world") + len("ok")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join defaults actually fire: a join
+    where one key holds half the fact rows gets its oversized
+    shuffle partition split at runtime (SortMergeJoin(skew=true) in
+    the final adaptive plan). Thresholds are lowered to make the
+    local fixture 'big'; on the real cluster the session defaults
+    (64 MB-scale thresholds) do the same for genuinely hot keys —
+    this pins that the engine's conf set reaches the optimizer, not
+    just that the conf strings exist."""
+    import random
+
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        rng = random.Random(5)
+        fact = spark.createDataFrame(
+            [
+                (0 if i % 2 == 0 else rng.randint(1, 2000), "x" * 64)
+                for i in range(200_000)
+            ],
+            "k long, payload string",
+        )
+        dim = spark.createDataFrame(
+            [(i, f"name{i}") for i in range(2001)], "k long, name string"
+        )
+        joined = fact.join(dim, "k").select("k", "name")
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
