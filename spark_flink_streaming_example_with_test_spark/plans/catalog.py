@@ -127,6 +127,9 @@ _SPECS: list[QuerySpec] = [
               ref.streaming_outer_interval_join_e2e,
               ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
     QuerySpec("doc_chunks_udtf", llm.doc_chunks_udtf, llm.DOC_CHUNKS_ORACLE),
+    QuerySpec("pyds_synthetic_activity_stats",
+              ref.pyds_synthetic_activity_stats,
+              ref.SYNTHETIC_ACTIVITY_ORACLE),
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,

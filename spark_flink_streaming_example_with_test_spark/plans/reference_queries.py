@@ -763,3 +763,28 @@ FROM events p LEFT JOIN events c
  AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
 WHERE p.event_type = 'purchase'
 """
+
+
+def pyds_synthetic_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic generator exposed through Spark 4's Python
+    DataSource API (sources/pydatasource.py) — a registrable custom
+    connector read with ``spark.read.format("synthetic_activity")``
+    and summarized exactly like ``synthetic_activity_stats``, sharing
+    its DuckDB RANGE oracle: the connector's partition-sliced Python
+    readers must reproduce the range-projection rows bit-for-bit.
+    ``sf_dir`` is unused: the source generates its own rows."""
+    from spark_flink_streaming_example_with_test_spark.sources.pydatasource import register
+
+    register(spark)
+    ev = (
+        spark.read.format("synthetic_activity")
+        .option("n", 10_000)
+        .option("parts", 8)
+        .load()
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("url").alias("n_urls"),
+    )
