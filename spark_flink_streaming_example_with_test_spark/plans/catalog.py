@@ -130,6 +130,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("pyds_synthetic_activity_stats",
               ref.pyds_synthetic_activity_stats,
               ref.SYNTHETIC_ACTIVITY_ORACLE),
+    QuerySpec("streaming_upsert_sink_e2e", ref.streaming_upsert_sink_e2e,
+              ref.STREAMING_TOTALS_ORACLE),
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,

@@ -788,3 +788,57 @@ def pyds_synthetic_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("ts").alias("last_ts"),
         F.count_distinct("url").alias("n_urls"),
     )
+
+
+def streaming_upsert_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyed-upsert (MERGE) sink on the real engine: per-user
+    running totals in update mode land in a bucket-partitioned
+    parquet table via ``upsert_parquet_writer`` — every micro-batch
+    replaces its keys' rows — and the FINAL TABLE STATE is checked
+    against batch SQL. Proves the end-to-end exactly-once landing
+    path (stateful op -> update stream -> idempotent keyed sink),
+    not just the in-memory aggregate."""
+    import shutil
+    import tempfile
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import running_user_totals
+    from spark_flink_streaming_example_with_test_spark.streaming.sinks import upsert_parquet_writer
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="engine_stream_upsrc_")
+    table_dir = tempfile.mkdtemp(prefix="engine_stream_uptbl_")
+    ckpt = tempfile.mkdtemp(prefix="engine_stream_upckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        query = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(
+                upsert_parquet_writer(table_dir, keys=["user_id"])
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        final = spark.read.parquet(table_dir).select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+        )
+        # Materialize before the temp dirs disappear.
+        rows = final.collect()
+        return spark.createDataFrame(
+            rows, "user_id long, n_events long, total_value double"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(table_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -94,3 +94,67 @@ def idempotent_parquet_writer(path: str) -> BatchWriter:
         df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return sink
+
+
+def upsert_parquet_writer(
+    path: str,
+    keys: list[str],
+    n_buckets: int = 16,
+) -> BatchWriter:
+    """Keyed UPSERT (MERGE) into a bucket-partitioned parquet table —
+    the foreachBatch recipe for landing an update-mode streaming
+    aggregate in a plain file store (no lakehouse table format
+    needed): new keys insert, existing keys are replaced by the
+    batch's row.
+
+    Mechanics per micro-batch:
+    - the table is hash-partitioned on ``pmod(xxhash64(keys), n)``
+      so an upsert rewrites only the buckets its keys land in, not
+      the whole table (dynamic partition overwrite);
+    - surviving old rows = old rows of affected buckets anti-joined
+      on the key; merged = survivors + batch;
+    - the merged frame is EAGERLY checkpointed before the overwrite
+      — otherwise the lazy scan of the old files would race the
+      overwrite of those same files (the classic self-overwrite
+      trap);
+    - a replayed batch (crash between write and offset commit)
+      re-produces the identical merged content — the upsert is
+      idempotent, giving exactly-once table state.
+
+    At scale, bucket count spreads rewrite IO; the anti-join is
+    per-affected-bucket, not per-table. Batches with duplicate keys
+    keep one arbitrary row (update-mode aggregates emit one row per
+    key, so this only matters for malformed inputs).
+    """
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        batch = df.dropDuplicates(keys).withColumn(
+            "__bucket", F.pmod(F.xxhash64(*keys), n_buckets)
+        )
+        try:
+            old = spark.read.parquet(path)
+            exists = True
+        except Exception:
+            exists = False
+        if exists:
+            affected = [
+                r["__bucket"]
+                for r in batch.select("__bucket").distinct().collect()
+            ]
+            survivors = old.filter(old["__bucket"].isin(affected)).join(
+                batch.select(*keys), keys, "left_anti"
+            )
+            merged = survivors.unionByName(batch)
+        else:
+            merged = batch
+        merged.localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).partitionBy("__bucket").parquet(path)
+
+    return sink

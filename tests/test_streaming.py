@@ -222,3 +222,75 @@ def test_pipeline_trigger_processing_time(spark, tmp_path):
             checkpoint_dir=str(tmp_path / "ckpt_trig2"),
             processing_time="not-a-duration",
         )
+
+
+def test_upsert_sink_keyed_merge(spark, tmp_path):
+    """upsert_parquet_writer lands an update-mode aggregate as a
+    keyed table: second batch replaces existing keys and inserts new
+    ones; replaying a batch leaves the table unchanged (idempotent
+    exactly-once state)."""
+    from spark_flink_streaming_example_with_test_spark.streaming.sinks import upsert_parquet_writer
+
+    out = str(tmp_path / "upsert_out")
+    sink = upsert_parquet_writer(out, keys=["user_id"], n_buckets=4)
+
+    b0 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id long, total double"
+    )
+    sink(b0, 0)
+    b1 = spark.createDataFrame(
+        [(2, 25.0), (3, 30.0)], "user_id long, total double"
+    )
+    sink(b1, 1)
+
+    def table():
+        return {
+            r.user_id: r.total
+            for r in spark.read.parquet(out).select("user_id", "total").collect()
+        }
+
+    assert table() == {1: 10.0, 2: 25.0, 3: 30.0}
+    sink(b1, 1)  # crash-replay of the same batch
+    assert table() == {1: 10.0, 2: 25.0, 3: 30.0}
+
+
+def test_upsert_sink_end_to_end_stream(spark, tmp_path):
+    """Full streaming path: update-mode running totals land via the
+    upsert sink; the final table equals the batch aggregate."""
+    import pyspark.sql.functions as F
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import running_user_totals
+    from spark_flink_streaming_example_with_test_spark.streaming.sinks import upsert_parquet_writer
+
+    src = str(tmp_path / "upsert_src")
+    out = str(tmp_path / "upsert_table")
+    rows = [(uid, float(v)) for uid in range(4) for v in range(uid + 2)]
+    data = spark.createDataFrame(rows, "user_id long, value double")
+    data.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.foreachBatch(upsert_parquet_writer(out, keys=["user_id"]))
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "upsert_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.read.parquet(out)
+        .select("user_id", "n_events", "total_value")
+        .collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.total)
+        for r in data.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expect
