@@ -184,3 +184,44 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered layout must (a) preserve rows exactly and (b) give
+    file-level locality on BOTH dimensions: a small 2-D box query
+    touches a small subset of the files, which is what parquet
+    min/max skipping exploits at scale."""
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.functions.layout import (
+        write_zordered,
+        zorder_value,
+    )
+
+    # 256x256 grid, one row per cell.
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(grid, path, "x", "y", n_files=16, bits=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 256 * 256
+    assert back.select(F.sum("x"), F.sum("y")).collect() == grid.select(
+        F.sum("x"), F.sum("y")
+    ).collect()
+
+    # A 32x32 box is 1/64 of the space; with 16 z-range files it must
+    # live in a small minority of them (naive x-sorted layout would
+    # touch EVERY file for a y-box and vice versa).
+    box = back.filter((F.col("x") < 32) & (F.col("y") < 32))
+    files = {r[0] for r in box.select(F.input_file_name()).distinct().collect()}
+    assert 1 <= len(files) <= 4
+
+    # Morton sanity: interleave of (1, 0) -> 0b01, (0, 1) -> 0b10.
+    vals = spark.createDataFrame([(1, 0), (0, 1), (3, 3)], "a long, b long")
+    got = [
+        r.z for r in vals.select(zorder_value("a", "b", 4).alias("z")).collect()
+    ]
+    assert got == [0b01, 0b10, 0b1111]
