@@ -90,3 +90,58 @@ def test_chunking_covers_every_token(spark, n_tokens, chunk, overlap_frac):
     stride = chunk - overlap
     for a, b in zip(chunks, chunks[1:]):
         assert b.chunk_text.split(" ")[0] == f"t{(b.chunk_id) * stride}"
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(
+            # Exact binary fractions (k/64): float32 -> double
+            # promotion is lossless, so the Python twin reproduces
+            # the Spark projection bit-for-bit.
+            st.integers(min_value=-64, max_value=64).map(lambda k: k / 64),
+            min_size=8,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_hyperplane_bucket_matches_python_twin(spark, vecs):
+    """Property: for any vector set, lsh_bucket equals an
+    independent Python evaluation of the same seeded hyperplanes,
+    and scaling a vector by 4 never changes its bucket (projection
+    signs are scale-invariant)."""
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import (
+        hyperplane_signs,
+        lsh_bucket,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "v"]).withColumn(
+        "v", F.col("v").cast("array<double>")
+    )
+    got = {
+        r.vec_id: (r.b, r.b4)
+        for r in df.select(
+            "vec_id",
+            lsh_bucket("v", 6, dim=8).alias("b"),
+            lsh_bucket(
+                F.transform("v", lambda x: x * 4), 6, dim=8
+            ).alias("b4"),
+        ).collect()
+    }
+    planes = hyperplane_signs(6, 8)
+    for i, v in enumerate(vecs):
+        expected = 0
+        for b, coeffs in enumerate(planes):
+            proj = 0.0
+            for j, c in enumerate(coeffs):
+                proj += v[j] * c
+            if proj > 0:
+                expected += 1 << b
+        assert got[i][0] == expected
+        assert got[i][1] == expected  # scale invariance
