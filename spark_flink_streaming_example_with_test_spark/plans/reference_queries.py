@@ -828,16 +828,19 @@ def streaming_upsert_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-        final = spark.read.parquet(table_dir).select(
-            "user_id",
-            "n_events",
-            F.round("total_value", 4).alias("total_value"),
-        )
-        # Materialize before the temp dirs disappear.
-        rows = final.collect()
-        return spark.createDataFrame(
-            rows, "user_id long, n_events long, total_value double"
-        )
+        schema = "user_id long, n_events long, total_value double"
+        try:
+            final = spark.read.parquet(table_dir).select(
+                "user_id",
+                "n_events",
+                F.round("total_value", 4).alias("total_value"),
+            )
+            # Materialize before the temp dirs disappear.
+            rows = final.collect()
+        except Exception:
+            # Zero input rows -> no micro-batch ever wrote the table.
+            rows = []
+        return spark.createDataFrame(rows, schema)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(table_dir, ignore_errors=True)
