@@ -132,6 +132,10 @@ _SPECS: list[QuerySpec] = [
               ref.SYNTHETIC_ACTIVITY_ORACLE),
     QuerySpec("streaming_upsert_sink_e2e", ref.streaming_upsert_sink_e2e,
               ref.STREAMING_TOTALS_ORACLE),
+    QuerySpec("events_variant_kpi", ref.events_variant_kpi,
+              ref.EVENTS_VARIANT_ORACLE),
+    QuerySpec("approx_percentile_values", rel.approx_percentile_values,
+              rel.APPROX_PERCENTILE_ORACLE),
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,

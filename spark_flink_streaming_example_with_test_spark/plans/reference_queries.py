@@ -845,3 +845,30 @@ def streaming_upsert_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(table_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def events_variant_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via Spark 4's VARIANT type:
+    ``parse_json`` ingests the props column ONCE into the binary
+    variant encoding and fields come out with ``try_variant_get`` —
+    the schema-flexible path for payloads whose shape drifts, vs the
+    fixed-schema ``from_json`` struct path (``events_json_kpi``,
+    which stays the right choice when the schema is known and stable
+    — both paths are covered, same table, different contracts). The
+    oracle extracts the same fields with DuckDB's JSON operators."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_k_gt50"),
+    )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) FILTER (CAST(props->>'$.k' AS INT) > 50) AS BIGINT)
+           AS n_k_gt50
+FROM events GROUP BY event_type
+"""

@@ -861,3 +861,42 @@ FROM keyed a JOIN keyed b
   ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
 GROUP BY COALESCE(a.k, '<null>')
 """
+
+
+def approx_percentile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch — the single-pass bounded-memory
+    path for quantiles at 100 TB (exact percentile materializes and
+    sorts every group). Same oracle shape as approx_distinct_users:
+    each engine compares its OWN sketch (Spark: Greenwald-Khanna via
+    percentile_approx; DuckDB: t-digest via APPROX_QUANTILE) against
+    its OWN exact quantile, and the driver hash-compares the exact
+    values plus the within-tolerance booleans."""
+    ev = load_table(spark, sf_dir, "events")
+    exact50 = F.expr("percentile(value, 0.5)")
+    exact95 = F.expr("percentile(value, 0.95)")
+    approx50 = F.expr("percentile_approx(value, 0.5, 1000)")
+    approx95 = F.expr("percentile_approx(value, 0.95, 1000)")
+
+    def within(approx, exact):
+        return (
+            F.abs(approx - exact) / F.greatest(F.abs(exact), F.lit(1.0))
+        ) <= 0.05
+
+    return ev.groupBy("event_type").agg(
+        F.round(exact50, 4).alias("p50_exact"),
+        F.round(exact95, 4).alias("p95_exact"),
+        within(approx50, exact50).alias("p50_ok"),
+        within(approx95, exact95).alias("p95_ok"),
+    )
+
+
+APPROX_PERCENTILE_ORACLE = """
+SELECT event_type,
+       ROUND(QUANTILE_CONT(value, 0.5), 4)  AS p50_exact,
+       ROUND(QUANTILE_CONT(value, 0.95), 4) AS p95_exact,
+       ABS(APPROX_QUANTILE(value, 0.5) - QUANTILE_CONT(value, 0.5))
+         / GREATEST(ABS(QUANTILE_CONT(value, 0.5)), 1.0) <= 0.05 AS p50_ok,
+       ABS(APPROX_QUANTILE(value, 0.95) - QUANTILE_CONT(value, 0.95))
+         / GREATEST(ABS(QUANTILE_CONT(value, 0.95)), 1.0) <= 0.05 AS p95_ok
+FROM events GROUP BY event_type
+"""
