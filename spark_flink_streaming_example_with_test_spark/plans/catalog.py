@@ -136,6 +136,10 @@ _SPECS: list[QuerySpec] = [
               ref.EVENTS_VARIANT_ORACLE),
     QuerySpec("approx_percentile_values", rel.approx_percentile_values,
               rel.APPROX_PERCENTILE_ORACLE),
+    QuerySpec("unigram_logprob_scores", llm.unigram_logprob_scores,
+              llm.UNIGRAM_LOGPROB_ORACLE),
+    QuerySpec("gopher_repetition_flags", llm.gopher_repetition_flags,
+              llm.GOPHER_REPETITION_ORACLE),
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,

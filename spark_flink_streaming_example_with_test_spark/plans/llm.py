@@ -1029,3 +1029,127 @@ def doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression form remains the hot path."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return tx.chunk_documents_udtf(docs, chunk_tokens=64, overlap=16)
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram negative
+    log-probability per document under the corpus's own term
+    distribution — the cheap statistical stand-in for an LM-based
+    quality filter (low mean surprise = stereotyped boilerplate,
+    high = rare-token noise; both tails get filtered in practice).
+
+    Plan: one explode->count for the unigram LM (vocabulary-sized,
+    broadcast), one explode joined against it, one per-doc mean —
+    token rows never pair with each other, so cost is linear in
+    corpus token count at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    lm = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = lm.agg(F.sum("tf").alias("corpus_tokens"))
+    scored = (
+        toks.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn("nlp", -F.log(F.col("tf") / F.col("corpus_tokens")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("nlp"), 6).alias("mean_neg_logprob"),
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+), lm AS (
+  SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+), total AS (
+  SELECT SUM(tf) AS corpus_tokens FROM lm
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-LN(tf * 1.0 / corpus_tokens)), 6) AS mean_neg_logprob
+FROM toks JOIN lm USING (token) CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: fraction of 3-gram
+    occurrences that are repeats of an earlier gram in the SAME
+    document, plus top-token dominance (share of the most frequent
+    token) — two of the published repetition signals used to drop
+    degenerate/looping documents from training corpora. All per-row
+    array expressions plus one aggregate; no joins at all."""
+    from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Materialize the token array ONCE behind the repartition
+    # (Catalyst collapses projections, and higher-order lambdas get
+    # no codegen CSE — referencing a raw split() inside transform/
+    # filter re-splits the text per element: measured 13 s vs 0.5 s
+    # at sf0.1 for this query).
+    tokenized = ensure_min_partitions(
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("w")).filter(
+            F.size("w") >= 3
+        )
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("w", i),
+            F.element_at("w", i + 1),
+            F.element_at("w", i + 2),
+        ),
+    )
+    staged = tokenized.select("doc_id", "w", grams.alias("g"))
+    n_grams = F.size("g")
+    n_distinct_grams = F.size(F.array_distinct("g"))
+    dup_frac = F.when(
+        n_grams > 0, (n_grams - n_distinct_grams) / n_grams
+    ).otherwise(0.0)
+    # Top-token dominance: max per-token count over the distinct
+    # tokens, relative to doc length.
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct("w"),
+            lambda t: F.size(F.filter("w", lambda x: x == t)),
+        )
+    )
+    dominance = top_tok / F.size("w")
+    return staged.select(
+        "doc_id",
+        n_grams.alias("n_3grams"),
+        F.round(dup_frac, 4).alias("dup_3gram_frac"),
+        F.round(dominance, 4).alias("top_token_share"),
+        ((dup_frac > 0.5) | (dominance > 0.2)).alias("flagged"),
+    )
+
+
+GOPHER_REPETITION_ORACLE = """
+WITH base AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id, w,
+         LIST_TRANSFORM(RANGE(1, GREATEST(LEN(w) - 2, 0) + 1),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+  FROM base WHERE LEN(w) >= 3
+), stats AS (
+  SELECT doc_id,
+         LEN(grams) AS n_3grams,
+         CASE WHEN LEN(grams) > 0
+              THEN (LEN(grams) - LEN(LIST_DISTINCT(grams))) * 1.0 / LEN(grams)
+              ELSE 0.0 END AS dup_frac,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+             t -> LEN(LIST_FILTER(w, x -> x = t)))) * 1.0 / LEN(w)
+             AS dominance
+  FROM g
+)
+SELECT doc_id, n_3grams,
+       ROUND(dup_frac, 4) AS dup_3gram_frac,
+       ROUND(dominance, 4) AS top_token_share,
+       (dup_frac > 0.5 OR dominance > 0.2) AS flagged
+FROM stats
+"""
