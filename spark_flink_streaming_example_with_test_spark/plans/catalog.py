@@ -120,37 +120,40 @@ _SPECS: list[QuerySpec] = [
               an.TIME_SPINE_ORACLE),
     QuerySpec("skew_salted_enrichment", an.skew_salted_enrichment,
               an.SKEW_SALTED_ORACLE),
-    # -- New or reshaped this round -------------------------------------
-    QuerySpec("streaming_sliding_window_e2e",
-              ref.streaming_sliding_window_e2e, ref.SLIDING_WINDOW_ORACLE),
-    QuerySpec("streaming_outer_interval_join_e2e",
-              ref.streaming_outer_interval_join_e2e,
-              ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
-    QuerySpec("doc_chunks_udtf", llm.doc_chunks_udtf, llm.DOC_CHUNKS_ORACLE),
-    QuerySpec("pyds_synthetic_activity_stats",
-              ref.pyds_synthetic_activity_stats,
-              ref.SYNTHETIC_ACTIVITY_ORACLE),
-    QuerySpec("streaming_upsert_sink_e2e", ref.streaming_upsert_sink_e2e,
-              ref.STREAMING_TOTALS_ORACLE),
-    QuerySpec("events_variant_kpi", ref.events_variant_kpi,
-              ref.EVENTS_VARIANT_ORACLE),
-    QuerySpec("approx_percentile_values", rel.approx_percentile_values,
-              rel.APPROX_PERCENTILE_ORACLE),
-    QuerySpec("unigram_logprob_scores", llm.unigram_logprob_scores,
-              llm.UNIGRAM_LOGPROB_ORACLE),
-    QuerySpec("gopher_repetition_flags", llm.gopher_repetition_flags,
-              llm.GOPHER_REPETITION_ORACLE),
+    # -- New or reshaped this round (gate-priority order within the
+    # section: the verdict-requested and north-star entries first, so
+    # they sit inside a ~50-entry gate window; API-variant queries
+    # whose oracle twin is already in-window come after) --------------
     QuerySpec("approx_distinct_users", rel.approx_distinct_users,
               rel.APPROX_DISTINCT_ORACLE),
     QuerySpec("q20_dominant_part_suppliers", t2.q20_dominant_part_suppliers,
               t2.Q20_ORACLE),
-    QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
+    QuerySpec("streaming_sliding_window_e2e",
+              ref.streaming_sliding_window_e2e, ref.SLIDING_WINDOW_ORACLE),
     QuerySpec("decontaminate_ngrams", llm.decontaminate_ngrams,
               llm.DECONTAMINATE_ORACLE),
     QuerySpec("stratified_sample_by_source", llm.stratified_sample_by_source,
               llm.STRATIFIED_SAMPLE_ORACLE),
     QuerySpec("bigram_counts_top", llm.bigram_counts_top,
               llm.BIGRAM_COUNTS_ORACLE),
+    QuerySpec("unigram_logprob_scores", llm.unigram_logprob_scores,
+              llm.UNIGRAM_LOGPROB_ORACLE),
+    QuerySpec("gopher_repetition_flags", llm.gopher_repetition_flags,
+              llm.GOPHER_REPETITION_ORACLE),
+    QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
+    QuerySpec("streaming_outer_interval_join_e2e",
+              ref.streaming_outer_interval_join_e2e,
+              ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
+    QuerySpec("streaming_upsert_sink_e2e", ref.streaming_upsert_sink_e2e,
+              ref.STREAMING_TOTALS_ORACLE),
+    QuerySpec("events_variant_kpi", ref.events_variant_kpi,
+              ref.EVENTS_VARIANT_ORACLE),
+    QuerySpec("approx_percentile_values", rel.approx_percentile_values,
+              rel.APPROX_PERCENTILE_ORACLE),
+    QuerySpec("doc_chunks_udtf", llm.doc_chunks_udtf, llm.DOC_CHUNKS_ORACLE),
+    QuerySpec("pyds_synthetic_activity_stats",
+              ref.pyds_synthetic_activity_stats,
+              ref.SYNTHETIC_ACTIVITY_ORACLE),
     # streaming_tws_user_stats_e2e (reference_queries.py) is NOT
     # registered: transformWithStateInPandas needs the protobuf
     # Python package at streaming-runner startup, absent in this
