@@ -124,6 +124,7 @@ _INTENTIONAL_NLJ = {
     "q22_idle_rich_customers",    # scalar avg-balance subquery
     "q20_dominant_part_suppliers",
     "time_spine_gapfill",         # hours x 5 types spine cross
+    "unigram_logprob_scores",     # 1-row corpus-total crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
