@@ -40,15 +40,28 @@ def asof_join(
     right_payload: list[str],
     right_tiebreak: str | None = None,
     how: str = "inner",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """For each left row: the most recent right row at-or-before its
-    timestamp, per key.
+    """For each left row: the nearest right row per key —
+    ``direction="backward"`` (default) takes the most recent right
+    row at-or-before the left timestamp; ``direction="forward"``
+    takes the earliest right row at-or-after it (pandas
+    ``merge_asof`` semantics, distributed).
+
+    ``tolerance`` (an INTERVAL string like ``"2 hours"``) bounds how
+    far the match may be from the left timestamp; out-of-tolerance
+    matches count as no-match. Implemented as a post-filter on the
+    carried right timestamp — the union-window plan (one exchange of
+    L+R) is unchanged.
 
     ``right_tiebreak``: column deciding between right rows that share
     a timestamp (larger wins), making the result deterministic.
-    ``how``: "inner" drops left rows with no prior right row; "left"
-    keeps them with null payload.
+    ``how``: "inner" drops left rows with no match; "left" keeps
+    them with null payload.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_cols = [c for c in left.columns if c not in (on,)]
     tb = right_tiebreak or right_payload[0]
 
@@ -59,6 +72,7 @@ def asof_join(
         F.lit(None).cast(right.schema[tb].dataType).alias("__tb"),
         *[F.col(c) for c in l_cols],
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rt"),
     )
     rhs = right.select(
         F.col(on).alias("__k"),
@@ -67,11 +81,22 @@ def asof_join(
         F.col(tb).alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols],
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_ts).alias("__rt"),
     )
 
+    if direction == "backward":
+        # Ascending traversal: at equal timestamps rights sort before
+        # lefts (<= semantics) and the largest tiebreak is traversed
+        # last, so last(...) picks it.
+        order = [F.asc("__t"), F.asc("__is_left"), F.asc_nulls_first("__tb")]
+    else:
+        # Descending traversal: the most recently traversed right at
+        # each left row is the SMALLEST timestamp >= left_ts; at equal
+        # timestamps the largest tiebreak is traversed last.
+        order = [F.desc("__t"), F.asc("__is_left"), F.asc_nulls_first("__tb")]
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__is_left", "__tb")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = lhs.unionByName(rhs).select(
@@ -80,12 +105,24 @@ def asof_join(
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
             for c in right_payload
         ],
+        F.last("__rt", ignorenulls=True).over(w).alias("__asof_t"),
     )
+    matched = F.col("__asof_t").isNotNull()
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            matched = matched & (F.col("__asof_t") >= F.col("__t") - bound)
+        else:
+            matched = matched & (F.col("__asof_t") <= F.col("__t") + bound)
     out = carried.filter(F.col("__is_left") == 1).select(
         F.col("__k").alias(on),
         *[F.col(c) for c in l_cols],
-        *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_payload],
+        *[
+            F.when(matched, F.col(f"__asof_{c}")).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+        matched.alias("__matched"),
     )
     if how == "inner":
-        out = out.filter(F.col(f"asof_{right_payload[0]}").isNotNull())
-    return out
+        out = out.filter(F.col("__matched"))
+    return out.drop("__matched")

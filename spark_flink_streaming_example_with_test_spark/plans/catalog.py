@@ -141,6 +141,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("gopher_repetition_flags", llm.gopher_repetition_flags,
               llm.GOPHER_REPETITION_ORACLE),
     QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
+    QuerySpec("asof_next_click_after_signup",
+              rel.asof_next_click_after_signup, rel.ASOF_FORWARD_ORACLE),
+    QuerySpec("scd2_user_value_history", rel.scd2_user_value_history,
+              rel.SCD2_ORACLE),
     QuerySpec("streaming_outer_interval_join_e2e",
               ref.streaming_outer_interval_join_e2e,
               ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),

@@ -900,3 +900,134 @@ SELECT event_type,
          / GREATEST(ABS(QUANTILE_CONT(value, 0.95)), 1.0) <= 0.05 AS p95_ok
 FROM events GROUP BY event_type
 """
+
+
+def asof_next_click_after_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each signup event, the
+    user's earliest click at-or-after it, but only within 2 hours —
+    the attribution-window lookup (pandas merge_asof
+    direction='forward' semantics, distributed). Same union-window
+    plan as the backward form: one exchange of L+R, no pair
+    explosion; the tolerance is a post-filter on the carried
+    timestamp. Largest click_id wins timestamp ties."""
+    from spark_flink_streaming_example_with_test_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+    out = asof_join(
+        signups,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_payload=["c_ts", "click_id", "value"],
+        right_tiebreak="click_id",
+        how="inner",
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.col("asof_c_ts").alias("click_ts"),
+        F.col("asof_click_id").alias("click_id"),
+        F.round("asof_value", 4).alias("click_value"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'signup'
+), c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts,
+         event_id AS click_id, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT user_id, event_id, ts, click_ts, click_id, click_value FROM (
+  SELECT s.user_id, s.event_id, s.ts,
+         c.c_ts AS click_ts, c.click_id,
+         ROUND(c.value, 4) AS click_value,
+         ROW_NUMBER() OVER (PARTITION BY s.event_id
+                            ORDER BY c.c_ts ASC, c.click_id DESC) AS rn
+  FROM s JOIN c ON s.user_id = c.user_id
+   AND c.c_ts >= s.ts AND c.c_ts <= s.ts + INTERVAL 2 HOUR
+) WHERE rn = 1
+"""
+
+
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) construction + point-in-time
+    probe: each user's click values become versioned dimension rows
+    with [valid_from, valid_to) ranges (valid_to = next click's ts via
+    lead; open-ended for the current version), then purchase events
+    probe the dimension with a BETWEEN join — the warehouse pattern
+    for "what was the attribute AT THE TIME of the fact". The
+    dimension build is one window pass; the probe is an equi-join on
+    user plus a range predicate the per-user version count keeps
+    small."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = clicks.select(
+        "user_id",
+        F.col("value").alias("dim_value"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+        F.col("event_id").alias("version_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return (
+        purchases.join(
+            dim,
+            (purchases.user_id == dim.user_id)
+            & (purchases.ts >= dim.valid_from)
+            & (purchases.ts < dim.valid_to),
+        )
+        .select(
+            purchases.user_id,
+            "event_id",
+            "ts",
+            "version_id",
+            F.round("dim_value", 4).alias("value_at_purchase"),
+        )
+    )
+
+
+SCD2_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+  FROM events WHERE event_type = 'click'
+), dim AS (
+  SELECT user_id, value AS dim_value,
+         ts AS valid_from,
+         COALESCE(LEAD(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+         event_id AS version_id
+  FROM clicks
+), p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id, p.ts, dim.version_id,
+       ROUND(dim.dim_value, 4) AS value_at_purchase
+FROM p JOIN dim ON p.user_id = dim.user_id
+ AND p.ts >= dim.valid_from AND p.ts < dim.valid_to
+"""

@@ -157,3 +157,43 @@ def test_ivf_with_kmeans_centroids_exact_recall(clustered_vectors):
     e = {(r.q_id, r.vec_id) for r in exact.collect()}
     a = {(r.q_id, r.vec_id) for r in approx.collect()}
     assert e == a  # trained quantizer -> perfect recall at n_probe=1
+
+
+def test_asof_forward_with_tolerance(spark):
+    """Forward direction picks the EARLIEST right row at-or-after
+    each left timestamp; tolerance nulls matches farther than the
+    bound; equal-timestamp ties go to the largest tiebreak."""
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "a"),
+         (1, "2024-01-01 13:00:00", "b"),
+         (2, "2024-01-01 10:00:00", "c")],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", 100),
+         (1, "2024-01-01 10:30:00", 101),   # tie: larger rid wins
+         (1, "2024-01-01 16:00:00", 102),   # 3h after left 'b' -> out of tolerance
+         (2, "2024-01-01 09:00:00", 200)],  # before left 'c' -> no forward match
+        "k long, rts string, rid long",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_payload=["rid"], right_tiebreak="rid",
+        how="left", direction="forward", tolerance="2 hours",
+    )
+    got = {r.tag: r.asof_rid for r in out.collect()}
+    assert got == {"a": 101, "b": None, "c": None}
+
+    inner = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        right_payload=["rid"], right_tiebreak="rid",
+        how="inner", direction="forward", tolerance=None,
+    )
+    got_inner = {r.tag: r.asof_rid for r in inner.collect()}
+    # Without tolerance, left 'b' reaches the 16:00 row.
+    assert got_inner == {"a": 101, "b": 102}
