@@ -476,3 +476,69 @@ SELECT c_mktsegment, COUNT(*) AS n,
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """
+
+
+def cogroup_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped Arrow processing (groupBy().cogroup().applyInPandas):
+    each user's clicks and purchases arrive as two aligned pandas
+    frames and Python computes conversion stats that need BOTH sides
+    at once — the two-sided escape hatch (the one-sided twin is
+    applyInPandas). Here the pandas body is deliberately simple
+    (counts + first-click-to-first-purchase delay) so a SQL oracle
+    can verify the plumbing end to end; the real use is logic SQL
+    can't state (per-user model scoring over aligned histories).
+
+    Scale shape: one co-partitioned shuffle on user_id for both
+    inputs, Arrow transfer of each group once — same cost class as a
+    keyed aggregate plus the Python hop.
+    """
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+
+    def stats(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        n_clicks = len(left)
+        n_purchases = len(right)
+        if n_clicks and n_purchases:
+            delay = (right["ts"].min() - left["ts"].min()).total_seconds()
+        else:
+            delay = None
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [n_clicks],
+                "n_purchases": [n_purchases],
+                "first_delay_sec": [delay],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            stats,
+            "user_id long, n_clicks long, n_purchases long, "
+            "first_delay_sec double",
+        )
+    )
+
+
+COGROUP_CONVERSION_ORACLE = """
+WITH c AS (
+  SELECT user_id, COUNT(*) AS n_clicks, MIN(CAST(ts AS TIMESTAMP)) AS first_c
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, COUNT(*) AS n_purchases, MIN(CAST(ts AS TIMESTAMP)) AS first_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       CASE WHEN n_clicks IS NOT NULL AND n_purchases IS NOT NULL
+            THEN EPOCH(first_p - first_c) END AS first_delay_sec
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+"""

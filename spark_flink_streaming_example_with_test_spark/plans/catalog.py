@@ -145,6 +145,8 @@ _SPECS: list[QuerySpec] = [
               rel.asof_next_click_after_signup, rel.ASOF_FORWARD_ORACLE),
     QuerySpec("scd2_user_value_history", rel.scd2_user_value_history,
               rel.SCD2_ORACLE),
+    QuerySpec("cogroup_user_conversion", an.cogroup_user_conversion,
+              an.COGROUP_CONVERSION_ORACLE),
     QuerySpec("streaming_outer_interval_join_e2e",
               ref.streaming_outer_interval_join_e2e,
               ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
