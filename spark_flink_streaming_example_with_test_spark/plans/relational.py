@@ -377,17 +377,41 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 
 
 def cube_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = load_table(spark, sf_dir, "part")
-    return p.cube("p_brand", "p_size").agg(
-        F.count("*").alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    """CUBE over (brand, size). The 4-dp average is computed as
+    half-up integer division on exact cents — an average of 2-dp
+    prices lands exactly on .xxxx5 whenever the group size divides
+    evenly, where double ROUND diverges between engines (caught by
+    sf0.1 parity; the smaller fixtures never hit a tie)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        p.cube("p_brand", "p_size")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("cents").alias("__s"),
+        )
+        .select(
+            "p_brand",
+            "p_size",
+            "n_parts",
+            (
+                F.expr("(200 * __s + n_parts) DIV (2 * n_parts)") / 10_000.0
+            ).alias("avg_price"),
+        )
     )
 
 
 CUBE_ORACLE = """
-SELECT p_brand, p_size, COUNT(*) AS n_parts,
-       ROUND(AVG(p_retailprice), 4) AS avg_price
-FROM part GROUP BY CUBE (p_brand, p_size)
+SELECT p_brand, p_size, n_parts,
+       ((200 * s + n_parts) // (2 * n_parts)) / 10000.0 AS avg_price
+FROM (
+  SELECT p_brand, p_size, COUNT(*) AS n_parts,
+         CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS s
+  FROM part GROUP BY CUBE (p_brand, p_size)
+)
 """
 
 

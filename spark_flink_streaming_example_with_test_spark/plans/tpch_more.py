@@ -497,14 +497,26 @@ def q2_min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
-    unit = F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)
-    per_pair = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(unit), 4).alias("min_unit_price")
+    # Tie-free 4-dp unit price: prices are exact cents, so the
+    # rounding is done as HALF-UP INTEGER DIVISION on (cents*100)/qty
+    # — extendedprice/quantity lands exactly on .xxxx5 for qty in
+    # {2,4,8,...}, where double ROUND diverges between engines
+    # (caught by sf0.1 parity; sf0.01 never hit a tie).
+    staged = l.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    unit4 = F.expr("(200 * cents + q) DIV (2 * q)")
+    per_pair = staged.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit4).alias("u4")
     )
     w = Window.partitionBy("l_partkey")
     best = (
-        per_pair.withColumn("best", F.min("min_unit_price").over(w))
-        .filter(F.col("min_unit_price") == F.col("best"))
+        per_pair.withColumn("best", F.min("u4").over(w))
+        .filter(F.col("u4") == F.col("best"))
+        .withColumn("min_unit_price", F.col("u4") / 10_000.0)
     )
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
@@ -514,19 +526,24 @@ def q2_min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q2_ORACLE = """
-WITH per_pair AS (
+WITH staged AS (
   SELECT l_partkey, l_suppkey,
-         ROUND(MIN(ROUND(l_extendedprice / l_quantity, 4)), 4) AS min_unit_price
-  FROM lineitem GROUP BY l_partkey, l_suppkey
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+), per_pair AS (
+  SELECT l_partkey, l_suppkey,
+         MIN((200 * cents + q) // (2 * q)) AS u4
+  FROM staged GROUP BY l_partkey, l_suppkey
 ), best AS (
-  SELECT *, MIN(min_unit_price) OVER (PARTITION BY l_partkey) AS best
+  SELECT *, MIN(u4) OVER (PARTITION BY l_partkey) AS best
   FROM per_pair
 )
-SELECT p_partkey, p_name, s_name, min_unit_price
+SELECT p_partkey, p_name, s_name, u4 / 10000.0 AS min_unit_price
 FROM best
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
-WHERE p_size < 10 AND min_unit_price = best
+WHERE p_size < 10 AND u4 = best
 """
 
 
