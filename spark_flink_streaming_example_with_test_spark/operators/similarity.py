@@ -283,41 +283,51 @@ def bucketed_similar_pairs(
     )
 
 
+def label_centroid_positions(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(label, position) centroid components as long-form rows
+    ``(label, n, pos, val)`` — the 100 TB-safe centroid aggregation.
+
+    ``posexplode`` widens each vector to dim rows, but the
+    ``groupBy(label, pos)`` aggregate is map-side combinable: every
+    mapper reduces its split to at most k x dim partial rows before
+    the exchange, so the shuffle carries k x dim x mappers tiny rows
+    and no reducer ever materializes a label's full vector set. (The
+    previous ``applyInPandas`` form shuffled every vector of a label
+    into ONE pandas group — terabytes per task at 100 TB.) Fully
+    JVM-side: whole-stage codegen, no Arrow transfer.
+    """
+    return (
+        df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.count("*").alias("n"), F.round(F.avg("x"), 6).alias("val"))
+        .select(label_col, "n", "pos", "val")
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Per-label centroid (element-wise mean vector) via Arrow-batched
-    ``applyInPandas`` — the documented escape hatch for semantics the
-    built-in aggregates can't express (there is no element-wise array
-    mean in pyspark.sql.functions; the explode+groupBy(position)
-    alternative shuffles |corpus| x dim rows instead of |corpus|).
+    """Per-label centroid (element-wise mean vector): the long-form
+    position means from :func:`label_centroid_positions` re-assembled
+    into ``(label, n, centroid array<double>)``.
 
-    One shuffle on the label key, NumPy does the column math per
-    group, centroid elements rounded JVM-side for cross-engine
-    stability.
+    The re-assembly groups k x dim tiny rows by label — k groups of
+    dim scalars, trivially reducer-safe at any corpus size because the
+    corpus was already aggregated away in the positions step.
     """
-    import numpy as np
-    import pandas as pd
-
-    def centroid(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype("float64")
-        return pd.DataFrame(
-            {
-                label_col: [pdf[label_col].iloc[0]],
-                "n": [len(pdf)],
-                "centroid": [mat.mean(axis=0).tolist()],
-            }
-        )
-
-    out = df.select(label_col, vec_col).groupBy(label_col).applyInPandas(
-        centroid, f"{label_col} int, n long, centroid array<double>"
-    )
-    return out.select(
-        label_col,
-        "n",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    pos = label_centroid_positions(df, label_col, vec_col)
+    return pos.groupBy(label_col).agg(
+        F.max("n").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            lambda s: s["val"],
+        ).alias("centroid"),
     )
 
 

@@ -690,27 +690,28 @@ GROUP BY source, label
 
 
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label embedding centroid — the Arrow/pandas UDAF path
-    (no built-in element-wise array mean); oracle recomputes the
-    means positionally in SQL."""
+    """Per-label embedding centroid in long form ``(label, n, pos,
+    val)`` — one row per centroid component, computed by the
+    map-side-combinable posexplode aggregation
+    (operators/similarity.py label_centroid_positions). Long-form
+    output is deliberately array-free: scalar rows survive any
+    row-canonicalizer, and the same rows re-assemble to the centroid
+    array via label_centroids for consumers that want vectors
+    (kmeans_fit does)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.label_centroids(emb)
+    return sim.label_centroid_positions(emb)
 
 
 EMB_CENTROIDS_ORACLE = """
 WITH u AS (
   SELECT label,
          UNNEST(embedding::DOUBLE[]) AS x,
-         GENERATE_SUBSCRIPTS(embedding::DOUBLE[], 1) AS pos
+         CAST(GENERATE_SUBSCRIPTS(embedding::DOUBLE[], 1) - 1 AS INT) AS pos
   FROM embeddings
-), m AS (
-  SELECT label, pos, ROUND(AVG(x), 6) AS mx FROM u GROUP BY label, pos
-), c AS (
-  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
 )
-SELECT m.label, c.n, LIST(m.mx ORDER BY m.pos) AS centroid
-FROM m JOIN c ON m.label = c.label
-GROUP BY m.label, c.n
+SELECT label, COUNT(*) AS n, pos, ROUND(AVG(x), 6) AS val
+FROM u
+GROUP BY label, pos
 """
 
 

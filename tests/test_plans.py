@@ -160,6 +160,25 @@ def test_no_accidental_cartesian_anywhere(spark):
     assert not offenders, f"unexpected cartesian/NLJ plans: {offenders}"
 
 
+def test_label_centroids_partial_agg_no_pandas(spark):
+    """The centroid aggregation must be the map-side-combinable
+    posexplode + groupBy(label, pos) shape: partial aggregation
+    before the exchange, and NO FlatMapGroupsInPandas anywhere — the
+    applyInPandas form it replaced shuffled every vector of a label
+    into one pandas group (reducer OOM at 100 TB)."""
+    plan = _plan(spark, "embedding_label_centroids")
+    assert "partial_" in plan  # map-side combine of (label, pos) sums
+    assert "FlatMapGroupsInPandas" not in plan
+    # the array re-assembly path must stay pandas-free too
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import label_centroids
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    aplan = label_centroids(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in aplan
+    assert "partial_" in aplan
+
+
 def test_topk_uses_window_group_limit(spark):
     """Top-k per key must ride the WindowGroupLimit physical
     optimization (partial per-partition top-k BEFORE the shuffle, so
