@@ -33,41 +33,79 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # Quantities are integer-valued doubles: their sum is exact in
+    # any order. The price sums are accumulation-order sensitive as
+    # doubles -> scale each per-row money value to its exact integer
+    # unit (price: 2 decimal digits -> cents; price*(1-disc): 4 ->
+    # 1e-4 units; charge: 6 -> 1e-6 units) and SUM LONGs — exact in
+    # any order and a pure codegen primitive, ~2x cheaper than the
+    # per-row DECIMAL(18,6) accumulation it replaces. The 2-dp
+    # result is recovered with HALF-UP INTEGER DIVISION so both
+    # engines round identically (no double ties). Headroom: 1e-6
+    # units reach ~1.2e11/row, so a LONG group sum holds ~8e7 max-
+    # value rows per group; past that scale flip ch_u to
+    # DECIMAL(38,0) accumulation (one cast) — the win here is
+    # removing per-row decimal arithmetic from the hot scan.
+    prepped = l.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("bp_u"),
+        F.round(disc_price * 10_000).cast("long").alias("dp_u"),
+        F.round(charge * 1_000_000).cast("long").alias("ch_u"),
+    )
     return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        prepped.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # Quantities are integer-valued doubles: their sum is
-            # exact in any order. The price sums are cent-valued and
-            # accumulation-order sensitive -> per-row DECIMAL cast
-            # (_money_sum) so Spark and the oracle agree exactly.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _money_sum(F.col("l_extendedprice"), "sum_base_price"),
-            _money_sum(disc_price, "sum_disc_price"),
-            _money_sum(charge, "sum_charge"),
+            F.sum("bp_u").alias("__bp"),
+            F.sum("dp_u").alias("__dp"),
+            F.sum("ch_u").alias("__ch"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            (F.col("__bp") / 100.0).alias("sum_base_price"),
+            (F.expr("(2 * __dp + 100) DIV 200") / 100.0).alias("sum_disc_price"),
+            (F.expr("(2 * __ch + 10000) DIV 20000") / 100.0).alias("sum_charge"),
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        )
     )
 
 
 Q1_ORACLE = """
+WITH u AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice, l_discount,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS bp_u,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+             AS dp_u,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000)
+             AS BIGINT) AS ch_u
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
-       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
-           AS sum_base_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
-       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+       CAST(SUM(bp_u) AS BIGINT) / 100.0 AS sum_base_price,
+       ((2 * CAST(SUM(dp_u) AS BIGINT) + 100) // 200) / 100.0 AS sum_disc_price,
+       ((2 * CAST(SUM(ch_u) AS BIGINT) + 10000) // 20000) / 100.0 AS sum_charge,
        ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
        ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
        ROUND(AVG(l_discount), 4)                                    AS avg_disc,
        COUNT(*)                                                     AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM u
 GROUP BY l_returnflag, l_linestatus
 """
 
