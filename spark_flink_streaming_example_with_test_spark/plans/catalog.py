@@ -46,6 +46,39 @@ class QuerySpec:
 
 
 _SPECS: list[QuerySpec] = [
+    # -- Round-4 gate priority: the 15 queries with no driver
+    # CORRECTNESS row in any prior round (r01-r03 gated the same ~50
+    # entry window; these sat beyond it). Verdict r03 item #1. -----------
+    QuerySpec("scd2_user_value_history", rel.scd2_user_value_history,
+              rel.SCD2_ORACLE),
+    QuerySpec("cogroup_user_conversion", an.cogroup_user_conversion,
+              an.COGROUP_CONVERSION_ORACLE),
+    QuerySpec("streaming_outer_interval_join_e2e",
+              ref.streaming_outer_interval_join_e2e,
+              ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
+    QuerySpec("streaming_upsert_sink_e2e", ref.streaming_upsert_sink_e2e,
+              ref.STREAMING_TOTALS_ORACLE),
+    QuerySpec("events_variant_kpi", ref.events_variant_kpi,
+              ref.EVENTS_VARIANT_ORACLE),
+    QuerySpec("approx_percentile_values", rel.approx_percentile_values,
+              rel.APPROX_PERCENTILE_ORACLE),
+    QuerySpec("doc_chunks_udtf", llm.doc_chunks_udtf, llm.DOC_CHUNKS_ORACLE),
+    QuerySpec("pyds_synthetic_activity_stats",
+              ref.pyds_synthetic_activity_stats,
+              ref.SYNTHETIC_ACTIVITY_ORACLE),
+    QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
+              t2.Q14_ORACLE),
+    QuerySpec("q15_top_supplier", t2.q15_top_supplier, t2.Q15_ORACLE),
+    QuerySpec("q16_part_supplier_counts", t2.q16_part_supplier_counts,
+              t2.Q16_ORACLE),
+    QuerySpec("q17_small_quantity_revenue", t2.q17_small_quantity_revenue,
+              t2.Q17_ORACLE),
+    QuerySpec("q19_disjunctive_predicates", t2.q19_disjunctive_predicates,
+              t2.Q19_ORACLE),
+    QuerySpec("q21_waiting_suppliers", t2.q21_waiting_suppliers,
+              t2.Q21_ORACLE),
+    QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
+              t2.Q22_ORACLE),
     # -- North-star LLM ops (no driver row in round 1) ------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
@@ -143,23 +176,6 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
     QuerySpec("asof_next_click_after_signup",
               rel.asof_next_click_after_signup, rel.ASOF_FORWARD_ORACLE),
-    QuerySpec("scd2_user_value_history", rel.scd2_user_value_history,
-              rel.SCD2_ORACLE),
-    QuerySpec("cogroup_user_conversion", an.cogroup_user_conversion,
-              an.COGROUP_CONVERSION_ORACLE),
-    QuerySpec("streaming_outer_interval_join_e2e",
-              ref.streaming_outer_interval_join_e2e,
-              ref.STREAMING_OUTER_INTERVAL_JOIN_ORACLE),
-    QuerySpec("streaming_upsert_sink_e2e", ref.streaming_upsert_sink_e2e,
-              ref.STREAMING_TOTALS_ORACLE),
-    QuerySpec("events_variant_kpi", ref.events_variant_kpi,
-              ref.EVENTS_VARIANT_ORACLE),
-    QuerySpec("approx_percentile_values", rel.approx_percentile_values,
-              rel.APPROX_PERCENTILE_ORACLE),
-    QuerySpec("doc_chunks_udtf", llm.doc_chunks_udtf, llm.DOC_CHUNKS_ORACLE),
-    QuerySpec("pyds_synthetic_activity_stats",
-              ref.pyds_synthetic_activity_stats,
-              ref.SYNTHETIC_ACTIVITY_ORACLE),
     # streaming_tws_user_stats_e2e (reference_queries.py) is NOT
     # registered: transformWithStateInPandas needs the protobuf
     # Python package at streaming-runner startup, absent in this
@@ -167,20 +183,6 @@ _SPECS: list[QuerySpec] = [
     # operator + e2e query exist and self-test where the dependency
     # is available (tests/test_streaming_ops.py skips cleanly here);
     # the applyInPandasWithState twin is the gate-checked form.
-    # -- TPC-H tail (beyond round 1's gate window) ----------------------
-    QuerySpec("q14_promo_revenue_share", t2.q14_promo_revenue_share,
-              t2.Q14_ORACLE),
-    QuerySpec("q15_top_supplier", t2.q15_top_supplier, t2.Q15_ORACLE),
-    QuerySpec("q16_part_supplier_counts", t2.q16_part_supplier_counts,
-              t2.Q16_ORACLE),
-    QuerySpec("q17_small_quantity_revenue", t2.q17_small_quantity_revenue,
-              t2.Q17_ORACLE),
-    QuerySpec("q19_disjunctive_predicates", t2.q19_disjunctive_predicates,
-              t2.Q19_ORACLE),
-    QuerySpec("q21_waiting_suppliers", t2.q21_waiting_suppliers,
-              t2.Q21_ORACLE),
-    QuerySpec("q22_idle_rich_customers", t2.q22_idle_rich_customers,
-              t2.Q22_ORACLE),
     # -- Reference surface (events table; green in round 1) -------------
     QuerySpec("activity_windowed_count", ref.activity_windowed_count,
               ref.ACTIVITY_WINDOWED_ORACLE, headline=True),
