@@ -46,6 +46,18 @@ class QuerySpec:
 
 
 _SPECS: list[QuerySpec] = [
+    # -- Round-5 gate priority: queries whose semantics or oracle
+    # changed this round, so they need a FRESH driver row.
+    # dedup_minhash_lsh + similarity_ivf_kmeans graduated from
+    # rows-only to hash-checked (verdict r04 items #1/#5);
+    # q1's half-up division moved to the even-divisor form in both
+    # engines (verdict r04 item #2). ------------------------------------
+    QuerySpec("dedup_minhash_lsh", llm.dedup_minhash_lsh,
+              llm.DEDUP_MINHASH_LSH_ORACLE, headline=True),
+    QuerySpec("similarity_ivf_kmeans", llm.similarity_ivf_kmeans,
+              llm.SIMILARITY_IVF_KMEANS_ORACLE),
+    QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
+              headline=True),
     # -- Round-4 gate priority: the 15 queries with no driver
     # CORRECTNESS row in any prior round (r01-r03 gated the same ~50
     # entry window; these sat beyond it). Verdict r03 item #1. -----------
@@ -82,7 +94,6 @@ _SPECS: list[QuerySpec] = [
     # -- North-star LLM ops (no driver row in round 1) ------------------
     QuerySpec("dedup_exact_docs", llm.dedup_exact_docs,
               llm.DEDUP_EXACT_ORACLE, headline=True),
-    QuerySpec("dedup_minhash_lsh", llm.dedup_minhash_lsh, None, headline=True),
     QuerySpec("dedup_minhash_recall", llm.dedup_minhash_recall,
               llm.DEDUP_MINHASH_RECALL_ORACLE),
     QuerySpec("dedup_ngram_jaccard", llm.dedup_ngram_jaccard,
@@ -108,7 +119,6 @@ _SPECS: list[QuerySpec] = [
               llm.EMB_CENTROIDS_ORACLE),
     QuerySpec("embedding_norms", llm.embedding_norms,
               llm.EMBEDDING_NORMS_ORACLE),
-    QuerySpec("similarity_ivf_kmeans", llm.similarity_ivf_kmeans, None),
     QuerySpec("text_quality_scores", llm.text_quality_scores,
               llm.TEXT_QUALITY_ORACLE, headline=True),
     QuerySpec("lang_id_heuristic", llm.lang_id_heuristic, llm.LANG_ID_ORACLE),
@@ -176,14 +186,16 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("map_props_entries", t2.map_props_entries, t2.MAP_PROPS_ORACLE),
     QuerySpec("asof_next_click_after_signup",
               rel.asof_next_click_after_signup, rel.ASOF_FORWARD_ORACLE),
-    # streaming_tws_user_stats_e2e (reference_queries.py) is NOT
-    # registered: transformWithStateInPandas needs the protobuf
-    # Python package at streaming-runner startup, absent in this
-    # sandbox (same env-constraint class as Kafka/JDBC). The
-    # operator + e2e query exist and self-test where the dependency
-    # is available (tests/test_streaming_ops.py skips cleanly here);
-    # the applyInPandasWithState twin is the gate-checked form.
     # -- Reference surface (events table; green in round 1) -------------
+    # NOTE on the streaming e2e entries here and in the round-4 block
+    # above: streaming_tws_user_stats_e2e (reference_queries.py) is
+    # NOT registered — transformWithStateInPandas needs the protobuf
+    # Python package at streaming-runner startup, absent in this
+    # sandbox (same env-constraint class as Kafka/JDBC). The operator
+    # + e2e query exist and self-test where the dependency is
+    # available (tests/test_streaming_ops.py skips cleanly here); the
+    # applyInPandasWithState twin (streaming_running_user_totals) is
+    # the gate-checked form.
     QuerySpec("activity_windowed_count", ref.activity_windowed_count,
               ref.ACTIVITY_WINDOWED_ORACLE, headline=True),
     QuerySpec("activity_passthrough", ref.activity_passthrough,
@@ -211,8 +223,6 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("synthetic_activity_stats", ref.synthetic_activity_stats,
               ref.SYNTHETIC_ACTIVITY_ORACLE),
     # -- Relational gap map (green in round 1) --------------------------
-    QuerySpec("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_ORACLE,
-              headline=True),
     QuerySpec("q3_shipping_priority", rel.q3_shipping_priority, rel.Q3_ORACLE,
               headline=True),
     QuerySpec("q5_local_supplier_volume", rel.q5_local_supplier_volume,

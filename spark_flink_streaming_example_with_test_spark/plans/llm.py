@@ -31,12 +31,62 @@ FROM documents GROUP BY md5(text)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup with exact-Jaccard verification.
-    No oracle: signatures hash with Spark's xxhash64, which DuckDB
-    doesn't implement — correctness is covered by planted-duplicate
-    unit tests plus the rows-only driver check."""
+    """MinHash+LSH near-dedup with exact-Jaccard verification,
+    shaped for a full hash-checked oracle row: each emitted pair
+    carries ``verified_in_exact`` — membership in the exact
+    inverted-index 3-gram Jaccard >= 0.5 pair set, which DuckDB
+    recomputes independently (the signatures themselves hash with
+    Spark's xxhash64, which DuckDB lacks; the VERIFIED pair set and
+    its Jaccard values are engine-independent). The oracle emits the
+    exact pair set with TRUE, so an LSH recall miss (missing row),
+    a spurious candidate surviving verification (FALSE boolean), or
+    a drifted Jaccard value each fail the driver compare. Measured
+    recall 1.0 / precision 1.0 at sf0.001-0.1 (see
+    dedup_minhash_recall), with honest-probability headroom pinned
+    there rather than here."""
     docs = load_table(spark, sf_dir, "documents")
-    return dd.minhash_near_duplicates(docs, threshold=0.5).orderBy("id_a", "id_b")
+    lsh = dd.minhash_near_duplicates(docs, threshold=0.5)
+    exact = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(True).alias("__in_exact")
+    )
+    return (
+        lsh.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.coalesce("__in_exact", F.lit(False)).alias("verified_in_exact"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_MINHASH_LSH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard,
+       TRUE AS verified_in_exact
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,18 +766,108 @@ GROUP BY label, pos
 
 
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 with a TRAINED coarse quantizer: 2 Lloyd's
-    iterations of DataFrame-native k-means (operators/similarity.py
-    kmeans_fit) instead of seed vectors. Iterative -> no SQL oracle
-    (driver records the rows-only check); recall-vs-exact and
-    centroid-recovery are covered by unit tests on planted
-    clusters."""
+    """Trained-quantizer IVF, shaped for a full hash-checked oracle
+    row (the sanctioned sketch-query shape): the iterative parts
+    (Lloyd's k-means, the IVF search itself) can't be replayed in
+    SQL, but ITERATION-1 ASSIGNMENT with the seeded centroids is a
+    pure argmin over k broadcast rows — DuckDB recomputes it exactly
+    — so the output is one row per corpus vector ``(vec_id,
+    cent_id)`` of that assignment, plus two property booleans the
+    Spark side computes genuinely and the oracle emits as literals:
+
+    - ``inertia_monotone``: total within-cluster squared distance
+      under the TRAINED centroids (kmeans_fit, 2 Lloyd's iterations)
+      <= the seed-assignment inertia — Lloyd's must not regress.
+    - ``ivf_topk_ok``: the end-to-end IVF search with the trained
+      quantizer returns exactly 5 queries x 10 dense-ranked
+      neighbors with cosine in [-1, 1].
+
+    A k-means regression (wrong update, broken assignment, drifted
+    quantizer) flips a boolean or perturbs the assignment rows and
+    fails the driver's hash match. Centroid-recovery on planted
+    clusters stays covered by unit tests (tests/test_similarity.py).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.window import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.kmeans_fit(emb, k=16, iters=2)
-    queries = emb.filter(F.col("vec_id") < 5)
-    return sim.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents).select(
-        "q_id", "vec_id", "cos_sim", "rk"
+    k = 16
+    # Three consumers of the prepped vectors (seed assignment,
+    # trained-inertia scan, IVF corpus side) -> persist once.
+    prepped = (
+        sim.with_unit_prep(emb)
+        .select(F.col("vec_id").alias("__id"), "v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    seeds = prepped.filter(F.col("__id") < k).select(
+        F.col("__id").cast("int").alias("cent_id"), F.col("v").alias("cv")
+    )
+    d = F.round(sim.sq_dist("v", "cv"), 6)
+    w = Window.partitionBy("__id").orderBy("d", "cent_id")
+    assign1 = (
+        prepped.crossJoin(F.broadcast(seeds))
+        .select("__id", "cent_id", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("__id", "cent_id", "d")
+        .persist(StorageLevel.MEMORY_AND_DISK)  # rows + inertia1
+    )
+    inertia1 = assign1.agg(F.sum("d").alias("i1"))
+
+    cents = sim.kmeans_fit(emb, k=k, iters=2)
+    inertia2 = (
+        prepped.crossJoin(F.broadcast(cents))
+        .select("__id", F.round(sim.sq_dist("v", "cv"), 6).alias("d"))
+        .groupBy("__id")
+        .agg(F.min("d").alias("d"))
+        .agg(F.sum("d").alias("i2"))
+    )
+    # 1e-3 slack: per-row distances round at 6 dp and centroids at
+    # 6 dp per component, so exact-arithmetic monotonicity holds
+    # only up to accumulated rounding noise.
+    props = inertia1.crossJoin(inertia2).select(
+        (F.col("i2") <= F.col("i1") + 1e-3).alias("inertia_monotone")
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = sim.ivf_topk(emb, queries, k=10, n_probe=4, centroids=cents)
+    ivf_ok = ivf.agg(
+        (
+            (F.count("*") == 50)
+            & (F.max("rk") == 10)
+            & (F.min("cos_sim") >= -1.000001)
+            & (F.max("cos_sim") <= 1.000001)
+        ).alias("ivf_topk_ok")
+    )
+    return (
+        assign1.select(F.col("__id").alias("vec_id"), "cent_id")
+        .crossJoin(props)
+        .crossJoin(ivf_ok)
+        .orderBy("vec_id")
+    )
+
+
+SIMILARITY_IVF_KMEANS_ORACLE = """
+WITH prepped AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cent_id, v AS cv FROM prepped WHERE vec_id < 16
+), dists AS (
+  SELECT p.vec_id, s.cent_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(p.v) + 1),
+               i -> (p.v[i] - s.cv[i]) * (p.v[i] - s.cv[i]))), 6) AS d
+  FROM prepped p CROSS JOIN seeds s
+), assign1 AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cent_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(cent_id AS INTEGER) AS cent_id,
+       TRUE AS inertia_monotone, TRUE AS ivf_topk_ok
+FROM assign1 ORDER BY vec_id
+"""
 
 
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,12 +40,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1e-4 units; charge: 6 -> 1e-6 units) and SUM LONGs — exact in
     # any order and a pure codegen primitive, ~2x cheaper than the
     # per-row DECIMAL(18,6) accumulation it replaces. The 2-dp
-    # result is recovered with HALF-UP INTEGER DIVISION so both
-    # engines round identically (no double ties). Headroom: 1e-6
-    # units reach ~1.2e11/row, so a LONG group sum holds ~8e7 max-
-    # value rows per group; past that scale flip ch_u to
-    # DECIMAL(38,0) accumulation (one cast) — the win here is
-    # removing per-row decimal arithmetic from the hot scan.
+    # result is recovered with HALF-UP INTEGER DIVISION in the
+    # even-divisor form (sum + d/2) DIV d — the divisors (100,
+    # 10000) are even, so this equals round-half-up exactly without
+    # doubling the sum first, keeping full LONG headroom on the
+    # accumulator. PRECONDITION: sums are non-negative (Q1 money is
+    # all positive) — Spark DIV truncates toward zero while DuckDB
+    # // floors, so the engines would diverge on negative totals.
+    # Headroom: 1e-6 units reach ~1.2e11/row, so a LONG group sum
+    # holds ~7.6e7 max-value rows per group; past that scale flip
+    # ch_u to DECIMAL(38,0) accumulation (one cast) — the win here
+    # is removing per-row decimal arithmetic from the hot scan.
     prepped = l.filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     ).select(
@@ -75,8 +80,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
             "sum_qty",
             (F.col("__bp") / 100.0).alias("sum_base_price"),
-            (F.expr("(2 * __dp + 100) DIV 200") / 100.0).alias("sum_disc_price"),
-            (F.expr("(2 * __ch + 10000) DIV 20000") / 100.0).alias("sum_charge"),
+            (F.expr("(__dp + 50) DIV 100") / 100.0).alias("sum_disc_price"),
+            (F.expr("(__ch + 5000) DIV 10000") / 100.0).alias("sum_charge"),
             "avg_qty",
             "avg_price",
             "avg_disc",
@@ -99,8 +104,8 @@ WITH u AS (
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
        CAST(SUM(bp_u) AS BIGINT) / 100.0 AS sum_base_price,
-       ((2 * CAST(SUM(dp_u) AS BIGINT) + 100) // 200) / 100.0 AS sum_disc_price,
-       ((2 * CAST(SUM(ch_u) AS BIGINT) + 10000) // 20000) / 100.0 AS sum_charge,
+       ((CAST(SUM(dp_u) AS BIGINT) + 50) // 100) / 100.0 AS sum_disc_price,
+       ((CAST(SUM(ch_u) AS BIGINT) + 5000) // 10000) / 100.0 AS sum_charge,
        ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
        ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
        ROUND(AVG(l_discount), 4)                                    AS avg_disc,
