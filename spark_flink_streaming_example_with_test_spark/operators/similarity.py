@@ -351,14 +351,16 @@ def kmeans_fit(
     (cent_id int, cv array<double>).
 
     Each iteration is one broadcast nested-loop assignment (centroids
-    are k rows — trivially broadcastable) plus one applyInPandas
-    centroid recompute (shuffle on cent_id, k groups). Driver only
-    orchestrates the loop; all data stays distributed — at 100 TB
-    you'd fit on a sample, but the plan shape is already the right
-    one. Deterministic: seeded by the first k vectors, distances
-    rounded before the argmin so float noise can't flip assignments,
-    ties break to the lowest cent_id. Empty clusters drop (k may
-    shrink)."""
+    are k rows — trivially broadcastable) plus one centroid recompute
+    via :func:`label_centroids` — the posexplode + groupBy(cent_id,
+    pos) MAP-SIDE PARTIAL aggregation, fully JVM-side (no Arrow, no
+    pandas; the shuffle carries at most k x dim partial rows per
+    mapper). Driver only orchestrates the loop; all data stays
+    distributed — at 100 TB you'd fit on a sample, but the plan
+    shape is already the right one. Deterministic: seeded by the
+    first k vectors, distances rounded before the argmin so float
+    noise can't flip assignments, ties break to the lowest cent_id.
+    Empty clusters drop (k may shrink)."""
     prepped = with_unit_prep(df, vec_col).select(F.col(id_col).alias("__id"), "v")
     cents = prepped.filter(F.col("__id") < k).select(
         F.col("__id").cast("int").alias("cent_id"), F.col("v").alias("cv")
