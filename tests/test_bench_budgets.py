@@ -22,11 +22,18 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: (query name, per-query cap in seconds at sf0.01, local[32] warm-ish)
 BUDGETS = [
-    ("dedup_minhash_lsh", 20.0),
+    ("dedup_minhash_lsh", 30.0),  # now also computes the exact-verify set
     ("similarity_topk_cosine", 15.0),
     ("q9_product_type_profit", 15.0),
     ("q5_local_supplier_volume", 15.0),
     ("q3_shipping_priority", 15.0),
+    # Round-5 additions (verdict r02 #6 / r03 #4 / r04 #4): the four
+    # headline queries whose round-over-round swings were pure
+    # sandbox noise — pinned so a real regression is attributable.
+    ("q1_pricing_summary", 10.0),
+    ("events_json_kpi", 10.0),
+    ("activity_windowed_count", 10.0),
+    ("token_counts_top", 10.0),
 ]
 
 
