@@ -21,8 +21,16 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
     analyzed plan), not ``df.rdd.getNumPartitions()`` — the RDD
     bridge forces a full plan conversion per call and throws on
     streaming DataFrames. Streaming inputs pass through untouched
-    (micro-batch sizing owns their parallelism); plans with no file
-    provenance (in-memory test frames) count as 1 source split.
+    (micro-batch sizing owns their parallelism).
+
+    When the file probe says "narrow", a second probe checks the
+    physical plan for an existing shuffle: a frame that already went
+    through an exchange (aggregate, join, repartition) has
+    ``spark.sql.shuffle.partitions`` output slices regardless of how
+    few files fed it, so repartitioning again would only add a
+    pointless round-robin shuffle. Plans where neither probe works
+    (no file provenance, no exchange — e.g. in-memory test frames)
+    count as 1 split and are repartitioned.
     """
     if df.isStreaming:
         return df
@@ -31,6 +39,14 @@ def ensure_min_partitions(df: DataFrame, target: int | None = None) -> DataFrame
         n_splits = max(len(df.inputFiles()), 1)
     except Exception:
         n_splits = 1
-    if n_splits < target:
-        return df.repartition(target)
-    return df
+    if n_splits >= target:
+        return df
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            return df
+    except Exception:
+        # Spark Connect has no _jdf bridge; keep the conservative
+        # "treat as 1 split" behavior there.
+        pass
+    return df.repartition(target)

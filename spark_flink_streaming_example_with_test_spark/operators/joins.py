@@ -26,9 +26,58 @@ frequency.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+_INTERVAL_UNITS = frozenset(
+    {
+        "year",
+        "month",
+        "week",
+        "day",
+        "hour",
+        "minute",
+        "second",
+        "millisecond",
+        "microsecond",
+    }
+)
+
+
+def _validate_tolerance(tolerance: str) -> None:
+    """Validate an as-of tolerance INTERVAL string eagerly, so a typo
+    raises a clear ValueError at plan-build time instead of a parser
+    stack trace deep inside analysis.
+
+    Accepted shape: one or more ``<number> <unit>`` pairs, e.g.
+    ``"2 hours"``, ``"1 hour 30 minutes"``. Negative or zero-pair
+    strings are rejected — tolerance is a magnitude.
+    """
+    if not isinstance(tolerance, str) or not tolerance.strip():
+        raise ValueError(
+            f"asof_join tolerance must be a non-empty INTERVAL string "
+            f"like '2 hours', got {tolerance!r}"
+        )
+    toks = tolerance.strip().lower().split()
+    if len(toks) % 2 != 0:
+        raise ValueError(
+            f"asof_join tolerance {tolerance!r} must be '<number> <unit>' "
+            f"pairs, e.g. '2 hours' or '1 hour 30 minutes'"
+        )
+    for num, unit in zip(toks[::2], toks[1::2]):
+        if not re.fullmatch(r"\d+(\.\d+)?", num):
+            raise ValueError(
+                f"asof_join tolerance {tolerance!r}: {num!r} is not a "
+                f"non-negative number"
+            )
+        if unit.rstrip("s") not in _INTERVAL_UNITS:
+            raise ValueError(
+                f"asof_join tolerance {tolerance!r}: unknown unit {unit!r} "
+                f"(expected one of {sorted(_INTERVAL_UNITS)})"
+            )
 
 
 def asof_join(
@@ -62,6 +111,8 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None:
+        _validate_tolerance(tolerance)
     l_cols = [c for c in left.columns if c not in (on,)]
     tb = right_tiebreak or right_payload[0]
 

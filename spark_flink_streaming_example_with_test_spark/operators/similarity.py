@@ -287,6 +287,7 @@ def label_centroid_positions(
     df: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Per-(label, position) centroid components as long-form rows
     ``(label, n, pos, val)`` — the 100 TB-safe centroid aggregation.
@@ -299,7 +300,23 @@ def label_centroid_positions(
     previous ``applyInPandas`` form shuffled every vector of a label
     into ONE pandas group — terabytes per task at 100 TB.) Fully
     JVM-side: whole-stage codegen, no Arrow transfer.
+
+    Precondition: all non-null vectors of a label share one
+    dimension. NULL/empty vectors contribute nothing (``posexplode``
+    emits no rows for them); *ragged* vectors would silently average
+    each position over only the vectors long enough to reach it.
+    Pass ``expected_dim`` to enforce the precondition in-plan: a
+    codegen'd ``assert_true`` fails the job on the first vector whose
+    size differs (nulls stay exempt) — a per-row expression, no extra
+    pass or shuffle.
     """
+    if expected_dim is not None:
+        ok = F.col(vec_col).isNull() | (F.size(vec_col) == F.lit(expected_dim))
+        df = df.filter(
+            F.assert_true(
+                ok, F.concat(F.lit(f"{vec_col} dimension != {expected_dim}: size="), F.size(vec_col))
+            ).isNull()
+        )
     return (
         df.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
         .groupBy(label_col, "pos")
@@ -312,6 +329,7 @@ def label_centroids(
     df: DataFrame,
     label_col: str = "label",
     vec_col: str = "embedding",
+    expected_dim: int | None = None,
 ) -> DataFrame:
     """Per-label centroid (element-wise mean vector): the long-form
     position means from :func:`label_centroid_positions` re-assembled
@@ -320,8 +338,10 @@ def label_centroids(
     The re-assembly groups k x dim tiny rows by label — k groups of
     dim scalars, trivially reducer-safe at any corpus size because the
     corpus was already aggregated away in the positions step.
+    Uniform-dimension precondition and the optional ``expected_dim``
+    in-plan guard: see :func:`label_centroid_positions`.
     """
-    pos = label_centroid_positions(df, label_col, vec_col)
+    pos = label_centroid_positions(df, label_col, vec_col, expected_dim)
     return pos.groupBy(label_col).agg(
         F.max("n").alias("n"),
         F.transform(

@@ -184,13 +184,24 @@ def chunk_documents_udtf(
                 piece = words[start : start + chunk_tokens]
                 yield cid, " ".join(piece), len(piece)
 
+    import uuid
+
     spark = df.sparkSession
-    spark.udtf.register("__chunk_udtf", ChunkUdtf)
-    view = f"__docs_to_chunk_{id_col}"
+    # Per-call names: a fixed view/function name would let two calls
+    # (different params, or same id_col concurrently) clobber each
+    # other's registration before the first plan is analyzed.
+    tag = uuid.uuid4().hex
+    fn_name = f"__chunk_udtf_{tag}"
+    view = f"__docs_to_chunk_{tag}"
+    spark.udtf.register(fn_name, ChunkUdtf)
     df.select(F.col(id_col), F.col(text_col)).createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         f"""
         SELECT {id_col}, c.chunk_id, c.chunk_text, c.n_tokens
-        FROM {view}, LATERAL __chunk_udtf({text_col}) c
+        FROM {view}, LATERAL {fn_name}({text_col}) c
         """
     )
+    # Force analysis so the plan binds to this call's view/UDTF now;
+    # the resolved plan stays valid for later execution.
+    out.schema
+    return out

@@ -86,23 +86,47 @@ class _ActivityStreamReader(DataSourceStreamReader):
     monotonic-offset contract Kafka partitions expose, minus the
     broker. ``latestOffset`` advances by ``rows_per_batch`` per
     trigger and caps at ``n``, so a bounded test drains in
-    ceil(n / rows_per_batch) batches."""
+    ceil(n / rows_per_batch) batches.
+
+    Restart semantics: on a checkpoint restart Spark builds a FRESH
+    reader (counter back at 0) but hands ``partitions`` the
+    checkpointed start offset. The reader fast-forwards off that:
+    ``_floor`` records the highest index ever planned, ``partitions``
+    clamps its range to ``[floor, ...]`` so checkpointed rows are
+    never re-emitted, and ``latestOffset`` resumes from the floor.
+    The first post-restart trigger may therefore plan one empty
+    catch-up batch (the Python stream-reader API gives
+    ``latestOffset`` no view of the checkpoint, so its first answer
+    can undershoot the checkpointed start). A second crash inside
+    that single catch-up window can replay up to ``rows_per_batch``
+    rows — the API's limit, not state we can recover."""
 
     def __init__(self, options):
         self.n = int(options.get("n", 10_000))
         self.parts = int(options.get("parts", 4))
         self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
         self._current = 0
+        # Highest row index this reader instance has ever planned —
+        # catches the checkpointed start offset after a restart.
+        self._floor = 0
 
     def initialOffset(self):
         return {"index": 0}
 
     def latestOffset(self):
-        self._current = min(self._current + self.rows_per_batch, self.n)
+        base = max(self._current, self._floor)
+        self._current = min(base + self.rows_per_batch, self.n)
         return {"index": self._current}
 
     def partitions(self, start, end):
-        return _split(start["index"], end["index"], self.parts)
+        lo, hi = start["index"], end["index"]
+        # Never plan below the floor (re-emission), and collapse an
+        # inverted post-restart range (hi < lo) to an empty batch.
+        lo = max(lo, self._floor)
+        hi = max(hi, lo)
+        self._floor = hi
+        self._current = max(self._current, self._floor)
+        return _split(lo, hi, self.parts)
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):

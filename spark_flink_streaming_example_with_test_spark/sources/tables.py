@@ -31,17 +31,30 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS) which Spark's
-    vectorized reader rejects; we read nanos as int64
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
-    microseconds — the same truncation DuckDB applies when casting
-    TIMESTAMP_NS to TIMESTAMP, so oracle comparisons line up.
+    ``events.ts`` has shipped in two physical layouts across fixture
+    generations: parquet TIMESTAMP(NANOS) (read as int64 via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to
+    microseconds — the same truncation DuckDB applies casting
+    TIMESTAMP_NS to TIMESTAMP) and, in newer fixtures, plain
+    TIMESTAMP(MICROS) NTZ which needs no conversion. The nanos->long
+    conversion is therefore guarded on the column's actual dtype;
+    this also covers DERIVED events tables (filtered/empty copies
+    written by tests or downstream jobs), where blindly dividing a
+    timestamp by 1000 is an analysis error.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Normalize to the session-tz TIMESTAMP every consumer was
+            # written against (UTC session -> same instant); NTZ also
+            # rejects casts LTZ allows (e.g. to double for epoch math).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 

@@ -127,34 +127,48 @@ def upsert_parquet_writer(
     key, so this only matters for malformed inputs).
     """
 
+    _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
+
     def sink(df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
         spark = df.sparkSession
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        batch = df.dropDuplicates(keys).withColumn(
-            "__bucket", F.pmod(F.xxhash64(*keys), n_buckets)
-        )
+        # Dynamic overwrite only for the duration of this batch's
+        # write — restore the session's prior setting afterwards so a
+        # foreachBatch sink never leaks config into unrelated jobs
+        # sharing the session.
         try:
-            old = spark.read.parquet(path)
-            exists = True
+            prev = spark.conf.get(_OVERWRITE_MODE)
         except Exception:
-            exists = False
-        if exists:
-            affected = [
-                r["__bucket"]
-                for r in batch.select("__bucket").distinct().collect()
-            ]
-            survivors = old.filter(old["__bucket"].isin(affected)).join(
-                batch.select(*keys), keys, "left_anti"
+            prev = None
+        spark.conf.set(_OVERWRITE_MODE, "dynamic")
+        try:
+            batch = df.dropDuplicates(keys).withColumn(
+                "__bucket", F.pmod(F.xxhash64(*keys), n_buckets)
             )
-            merged = survivors.unionByName(batch)
-        else:
-            merged = batch
-        merged.localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).partitionBy("__bucket").parquet(path)
+            try:
+                old = spark.read.parquet(path)
+                exists = True
+            except Exception:
+                exists = False
+            if exists:
+                affected = [
+                    r["__bucket"]
+                    for r in batch.select("__bucket").distinct().collect()
+                ]
+                survivors = old.filter(old["__bucket"].isin(affected)).join(
+                    batch.select(*keys), keys, "left_anti"
+                )
+                merged = survivors.unionByName(batch)
+            else:
+                merged = batch
+            merged.localCheckpoint(eager=True).write.mode(
+                "overwrite"
+            ).partitionBy("__bucket").parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(_OVERWRITE_MODE)
+            else:
+                spark.conf.set(_OVERWRITE_MODE, prev)
 
     return sink

@@ -28,6 +28,8 @@ def _norm_cell(v):
     if isinstance(v, numbers.Integral):
         return ("i", int(v))
     if isinstance(v, Decimal):
+        if v.is_nan():
+            return ("nan",)
         return ("f", round(float(v), 9))
     if isinstance(v, numbers.Real):
         f = float(v)

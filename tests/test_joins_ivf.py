@@ -197,3 +197,46 @@ def test_asof_forward_with_tolerance(spark):
     got_inner = {r.tag: r.asof_rid for r in inner.collect()}
     # Without tolerance, left 'b' reaches the 16:00 row.
     assert got_inner == {"a": 101, "b": 102}
+
+
+def test_asof_tolerance_validation(trades_quotes):
+    """A malformed tolerance must raise a clear ValueError at
+    plan-build time, before any Spark analysis runs."""
+    trades, quotes = trades_quotes
+
+    def build(tol):
+        return asof_join(
+            trades, quotes, on="uid", left_ts="t_ts", right_ts="q_ts",
+            right_payload=["qid"], right_tiebreak="qid", tolerance=tol,
+        )
+
+    with pytest.raises(ValueError, match="unknown unit"):
+        build("2 fortnights")
+    with pytest.raises(ValueError, match="pairs"):
+        build("2")
+    with pytest.raises(ValueError, match="non-negative number"):
+        build("-5 minutes")
+    with pytest.raises(ValueError, match="non-empty"):
+        build("   ")
+    # Compound intervals are valid and must still build + run.
+    out = build("1 hour 30 minutes")
+    assert out.count() == 3
+
+
+def test_asof_empty_right_side(spark, trades_quotes):
+    """Empty right side: inner drops everything, left keeps all rows
+    with null payload — no exception."""
+    trades, quotes = trades_quotes
+    empty_quotes = quotes.limit(0)
+    inner = asof_join(
+        trades, empty_quotes, on="uid", left_ts="t_ts", right_ts="q_ts",
+        right_payload=["qid"], right_tiebreak="qid", how="inner",
+    )
+    assert inner.count() == 0
+    left = asof_join(
+        trades, empty_quotes, on="uid", left_ts="t_ts", right_ts="q_ts",
+        right_payload=["qid"], right_tiebreak="qid", how="left",
+    )
+    rows = left.collect()
+    assert len(rows) == 5
+    assert all(r.asof_qid is None for r in rows)
