@@ -45,8 +45,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_minhash_recall), with honest-probability headroom pinned
     there rather than here."""
     docs = load_table(spark, sf_dir, "documents")
-    lsh = dd.minhash_near_duplicates(docs, threshold=0.5)
-    exact = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5).select(
+    lsh = dd.minhash_near_duplicates(docs, threshold=0.5).persist()
+    # The string-gram exact recomputation only needs to cover pairs
+    # the LSH path emits, and both endpoints of such a pair are LSH
+    # candidates by construction — so the inverted-index join runs
+    # over the candidate documents only (semi-join pushdown), not the
+    # whole corpus. Recall misses are invisible to this query's output
+    # either way (it emits LSH rows); they are caught by the ORACLE,
+    # which computes the full exact pair set and would carry extra
+    # rows. At 100 TB this turns the verification join from
+    # corpus-sized into candidate-sized.
+    cand_ids = lsh.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    exact = dd.ngram_jaccard_pairs(docs_c, shingle_len=3, threshold=0.5).select(
         "id_a", "id_b", F.lit(True).alias("__in_exact")
     )
     return (
