@@ -342,3 +342,69 @@ def simhash64(
         ).otherwise(F.lit(0).cast("long"))
         simhash = term if simhash is None else simhash.bitwiseOR(term)
     return agg.select(F.col(id_col), simhash.alias("simhash"))
+
+
+def segment_duplication_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_len: int = 8,
+    dup_threshold: int = 2,
+    flag_ratio: float = 0.5,
+) -> DataFrame:
+    """Corpus-level duplicated-segment measurement (the scalable
+    approximation of "what fraction of this document is copied
+    somewhere else in the corpus" from the train-data-dedup
+    literature): each document is cut into consecutive
+    non-overlapping ``seg_len``-word segments, every segment's
+    corpus-wide frequency is counted, and each document is scored by
+    the fraction of its segments whose frequency reaches
+    ``dup_threshold``. Documents shorter than one full segment are
+    excluded (they have no segment signal).
+
+    Output: ``(doc_id, n_segments, n_dup_segments, dup_ratio,
+    flagged)`` with ``flagged = dup_ratio >= flag_ratio``.
+
+    Scale shape: segments are xxhash64'd so the frequency groupBy
+    and the join back to instances shuffle 8-byte keys, never
+    segment text (same stance as the hashed MinHash shingles; the
+    string-keyed DuckDB oracle agrees modulo 64-bit collisions).
+    The explode emits tokens/seg_len rows per doc — an 1/seg_len
+    REDUCTION from the token stream — and the frequency aggregate is
+    map-side combinable.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    n_full = F.floor(F.size("toks") / seg_len).cast("int")
+    seg_hashes = F.transform(
+        F.sequence(F.lit(0), F.col("n_full") - 1),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(F.col("toks"), i * seg_len + 1, seg_len))
+        ),
+    )
+    inst = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), toks.alias("toks"))
+        .filter(F.size("toks") >= seg_len)
+        .select(F.col(id_col), n_full.alias("n_full"), "toks")
+        .select(F.col(id_col), F.explode(seg_hashes).alias("seg"))
+    )
+    freq = inst.groupBy("seg").agg(F.count("*").alias("f"))
+    return (
+        inst.join(freq, "seg")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count_if(F.col("f") >= dup_threshold).alias("n_dup_segments"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_dup_segments",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 4).alias(
+                "dup_ratio"
+            ),
+            (
+                F.col("n_dup_segments") / F.col("n_segments") >= flag_ratio
+            ).alias("flagged"),
+        )
+    )

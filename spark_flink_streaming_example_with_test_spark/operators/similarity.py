@@ -400,3 +400,69 @@ def kmeans_fit(
             vec_col="v",
         ).select(F.col("label").alias("cent_id"), F.col("centroid").alias("cv"))
     return cents
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization encoding: each vector is split into ``m``
+    contiguous subvectors and each subvector is assigned the id of
+    its nearest codebook centroid (squared L2), yielding an m-byte
+    code per vector — the storage layer under IVF-PQ ANN indexes.
+
+    The codebook here is seeded deterministically (the vectors with
+    ``id < k``, sliced per subspace) — the same convention as the IVF
+    seed centroids — so both engines can reproduce it; a trained
+    codebook (k-means per subspace) would slot into the same plan.
+
+    Output: ``(vec_id, codes array<long>, qerr)`` where ``qerr`` is
+    the total squared reconstruction error (sum of per-subspace
+    min distances), rounded for cross-engine comparison.
+
+    Scale shape: the codebook is k tiny rows broadcast to every
+    executor (an intentional k-fold row expansion, k constant); the
+    argmin folds back map-side via ``min(struct(dist, cent_id))`` —
+    deterministic tiebreak on centroid id, one shuffle keyed by
+    ``id_col``, no per-vector state anywhere.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    sub = dim // m
+    v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cb = v.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cent_id"), F.col("v").alias("cv")
+    )
+
+    def sub_dist(j: int) -> Column:
+        dv = F.slice("v", j * sub + 1, sub)
+        dc = F.slice("cv", j * sub + 1, sub)
+        return F.aggregate(
+            F.zip_with(dv, dc, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pairs = v.crossJoin(F.broadcast(cb)).select(
+        id_col,
+        "cent_id",
+        *[sub_dist(j).alias(f"d{j}") for j in range(m)],
+    )
+    best = pairs.groupBy(id_col).agg(
+        *[
+            F.min(F.struct(F.col(f"d{j}").alias("d"), F.col("cent_id").alias("c"))).alias(f"b{j}")
+            for j in range(m)
+        ]
+    )
+    qerr = sum(F.col(f"b{j}.d") for j in range(m))
+    return best.select(
+        id_col,
+        F.array(*[F.col(f"b{j}.c") for j in range(m)]).alias("codes"),
+        F.round(qerr, 6).alias("qerr"),
+    )

@@ -13,6 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Minimal English stop-list used by the language-ID heuristic.
 EN_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
@@ -205,3 +206,45 @@ def chunk_documents_udtf(
     # the resolved plan stays valid for later execution.
     out.schema
     return out
+
+
+def pack_token_budget(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    part_col: str = "source",
+    budget: int = 512,
+) -> DataFrame:
+    """Sequence-packing assignment for pretraining: documents of a
+    shard (``part_col``) are concatenated in ``id_col`` order and cut
+    every ``budget`` tokens; a document's pack is the cut window its
+    first token falls in (``pack_id = floor(preceding_tokens /
+    budget)``). Output is the per-pack manifest ``(source, pack_id,
+    n_docs, pack_tokens)``.
+
+    Scale shape: the running sum windows over ``part_col`` — one
+    shuffle keyed by shard, never a global single-partition sort
+    (the classic scale killer for ORDER BY cumsums). Shards are the
+    natural packing domain anyway: a pack must be readable from one
+    shard at training time.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = F.size(F.split(F.col(text_col), " "))
+    return (
+        df.select(F.col(part_col), F.col(id_col), toks.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget
+            ).cast("long"),
+        )
+        .groupBy(part_col, "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+    )

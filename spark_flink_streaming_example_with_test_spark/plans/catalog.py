@@ -46,8 +46,18 @@ class QuerySpec:
 
 
 _SPECS: list[QuerySpec] = [
+    # -- Round-6 gate priority: new operators (corpus segment dedup,
+    # sequence packing, PQ encoding) plus dedup_minhash_lsh, whose
+    # exact-verification join was semi-join-restricted this round —
+    # all four need a FRESH driver row. --------------------------------
+    QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,
+              llm.CORPUS_SEGMENT_ORACLE),
+    QuerySpec("pack_token_budget", llm.pack_token_budget_query,
+              llm.PACK_TOKEN_ORACLE),
+    QuerySpec("embedding_pq_codes", llm.embedding_pq_codes,
+              llm.EMBEDDING_PQ_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
-    # changed this round, so they need a FRESH driver row.
+    # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from
     # rows-only to hash-checked (verdict r04 items #1/#5);
     # q1's half-up division moved to the even-divisor form in both

@@ -1307,3 +1307,94 @@ SELECT doc_id, n_3grams,
        (dup_frac > 0.5 OR dominance > 0.2) AS flagged
 FROM stats
 """
+
+
+# --- Round-6 additions: corpus segment dedup, sequence packing, PQ --
+
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-segment stats over the corpus (8-word
+    non-overlapping segments, corpus frequency >= 2 marks a segment
+    duplicated) — the scalable proxy for "how much of this doc is
+    copied elsewhere" used to drop boilerplate-heavy documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.segment_duplication_stats(
+        docs, seg_len=8, dup_threshold=2, flag_ratio=0.5
+    )
+
+
+CORPUS_SEGMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(RANGE(0, LEN(w) // 8),
+                        i -> ARRAY_TO_STRING(w[i*8+1 : i*8+8], ' ')) AS s
+  FROM toks WHERE LEN(w) >= 8
+), inst AS (
+  SELECT doc_id, UNNEST(s) AS seg FROM segs
+), freq AS (
+  SELECT seg, COUNT(*) AS f FROM inst GROUP BY seg
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) FILTER (WHERE f >= 2) AS BIGINT) AS n_dup_segments,
+       ROUND(COUNT(*) FILTER (WHERE f >= 2) * 1.0 / COUNT(*), 4) AS dup_ratio,
+       (COUNT(*) FILTER (WHERE f >= 2) * 1.0 / COUNT(*)) >= 0.5 AS flagged
+FROM inst JOIN freq USING (seg)
+GROUP BY doc_id
+"""
+
+
+def pack_token_budget_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: documents of each source shard
+    concatenated in doc_id order and cut every 512 tokens; one row
+    per (source, pack)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.pack_token_budget(docs, budget=512)
+
+
+PACK_TOKEN_ORACLE = """
+WITH t AS (
+  SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n FROM documents
+), c AS (
+  SELECT source, doc_id, n,
+         COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM t
+)
+SELECT source, CAST(off // 512 AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS pack_tokens
+FROM c GROUP BY source, pack_id
+"""
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes for every embedding: 4 subspaces of
+    16 dims, 8 seeded centroids per subspace (vectors with id < 8 as
+    the codebook, the IVF seed convention)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_encode(emb, m=4, k=8, dim=64)
+
+
+EMBEDDING_PQ_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cb AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, cb.cent_id, j.j,
+         LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+             i -> (v[j.j*16 + i] - cv[j.j*16 + i])
+                * (v[j.j*16 + i] - cv[j.j*16 + i]))) AS dist
+  FROM e CROSS JOIN cb CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS j) j
+), best AS (
+  SELECT vec_id, j,
+         MIN(STRUCT_PACK(d := dist, c := cent_id)) AS b
+  FROM d GROUP BY vec_id, j
+)
+SELECT vec_id,
+       LIST(b.c ORDER BY j) AS codes,
+       ROUND(LIST_SUM(LIST(b.d ORDER BY j)), 6) AS qerr
+FROM best GROUP BY vec_id
+"""

@@ -152,3 +152,29 @@ def test_lsh_bands_must_divide_num_hashes(spark):
     sigs = spark.createDataFrame([(1, [1, 2, 3, 4, 5])], ["doc_id", "signature"])
     with pytest.raises(ValueError, match="must divide"):
         lsh_candidate_pairs(sigs, num_hashes=5, bands=2)
+
+
+def test_segment_duplication_stats_hand_example(spark):
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import segment_duplication_stats
+
+    # doc 2 copies doc 1's first segment; doc 3 is all-original;
+    # doc 4 is too short for a full segment and must be excluded.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # segs: [a b c d], [e f g h]
+            (2, "a b c d x y z w"),        # segs: [a b c d], [x y z w]
+            (3, "p q r s t u v w x"),      # segs: [p q r s], [t u v w] (tail dropped)
+            (4, "one two three"),          # < seg_len -> excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in segment_duplication_stats(docs, seg_len=4).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_segments == 2 and rows[1].n_dup_segments == 1
+    assert rows[1].dup_ratio == 0.5 and bool(rows[1].flagged)
+    assert rows[2].n_dup_segments == 1
+    assert rows[3].n_segments == 2 and rows[3].n_dup_segments == 0
+    assert not rows[3].flagged

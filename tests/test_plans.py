@@ -125,6 +125,7 @@ _INTENTIONAL_NLJ = {
     "q20_dominant_part_suppliers",
     "time_spine_gapfill",         # hours x 5 types spine cross
     "unigram_logprob_scores",     # 1-row corpus-total crossJoin
+    "embedding_pq_codes",         # 8-row codebook broadcast
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,

@@ -165,3 +165,37 @@ def test_unit_prep_casts_to_double(vectors):
     prepped = with_unit_prep(vectors)
     assert dict(prepped.dtypes)["v"] == "array<double>"
     assert dict(prepped.dtypes)["v_norm"] == "double"
+
+
+def test_pq_encode_assignment_and_tiebreak(spark):
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import pq_encode
+
+    # dim=4, m=2 subspaces of 2; codebook = vectors 0 and 1.
+    # Vector 2 is nearest centroid 1 in both subspaces; vector 3 is
+    # equidistant from both centroids in subspace 0 (tie -> smaller
+    # cent_id) and exactly centroid 0 in subspace 1.
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 4.0, 0.0]),
+            (2, [2.1, 0.0, 3.9, 0.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in pq_encode(emb, m=2, k=2, dim=4).collect()}
+    assert rows[0].codes == [0, 0] and rows[0].qerr == 0.0
+    assert rows[1].codes == [1, 1] and rows[1].qerr == 0.0
+    assert rows[2].codes == [1, 1]
+    assert rows[3].codes == [0, 0]  # subspace-0 tie resolved to cent 0
+    assert pq_encode(emb, m=2, k=2, dim=4).schema["codes"].dataType.simpleString() == "array<bigint>"
+
+
+def test_pq_encode_rejects_bad_m(spark):
+    import pytest
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import pq_encode
+
+    emb = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="must divide"):
+        pq_encode(emb, m=3, k=1, dim=4)

@@ -138,3 +138,25 @@ def test_text_ops_tolerate_null_text(spark):
     # stats: null text propagates nulls, row preserved
     stats = {r.doc_id: r.n_tokens for r in with_token_stats(df).collect()}
     assert stats[1] is None and stats[0] == 8
+
+
+def test_pack_token_budget_boundaries(spark):
+    from spark_flink_streaming_example_with_test_spark.operators.text import pack_token_budget
+
+    # Shard "s": docs of 6, 3, and 4 tokens with budget 8:
+    # offsets 0, 6, 9 -> packs 0, 0, 1 (a doc belongs to the pack its
+    # FIRST token falls in; doc 2 straddles 8 but starts at offset 6).
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a a a a a a"),
+            (2, "s", "b b b"),
+            (3, "s", "c c c c"),
+            (4, "t", "d d"),  # separate shard packs independently
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in pack_token_budget(docs, budget=8).collect()
+    }
+    assert out == {("s", 0): (2, 9), ("s", 1): (1, 4), ("t", 0): (1, 2)}
