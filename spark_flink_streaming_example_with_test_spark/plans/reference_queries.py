@@ -872,3 +872,78 @@ SELECT event_type, COUNT(*) AS n,
            AS n_k_gt50
 FROM events GROUP BY event_type
 """
+
+
+def streaming_manifest_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-DataSource WRITER on the real engine: events
+    replayed through a bounded file stream land in a
+    ``manifest_jsonl`` directory (per-task part files + per-batch
+    atomic manifests), then the COMMITTED content — resolved through
+    the manifest set exactly as a downstream reader would — is
+    aggregated and checked against batch SQL over the original
+    table. Proves the sink's commit protocol end to end: every input
+    row visible exactly once, no uncommitted partials."""
+    import shutil
+    import tempfile
+
+    from spark_flink_streaming_example_with_test_spark.sources.pydatasink import (
+        read_committed,
+        register,
+    )
+
+    register(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_mansrc_")
+    sink_dir = tempfile.mkdtemp(prefix="engine_stream_mansink_")
+    ckpt = tempfile.mkdtemp(prefix="engine_stream_manckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        query = (
+            stream.writeStream.format("manifest_jsonl")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        schema = "event_type string, n long, sum_value double, n_users long"
+        try:
+            landed = read_committed(
+                spark,
+                sink_dir,
+                schema="event_id long, user_id long, event_type string, value double",
+            )
+            rows = (
+                landed.groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.round(F.sum("value"), 4).alias("sum_value"),
+                    F.countDistinct("user_id").alias("n_users"),
+                )
+                .collect()
+            )
+        except Exception:
+            rows = []  # zero input rows -> no manifest ever committed
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+STREAMING_MANIFEST_ORACLE = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
