@@ -187,3 +187,35 @@ def test_topk_uses_window_group_limit(spark):
     the whole fact table just to keep 3 rows per customer."""
     plan = _plan(spark, "topk_orders_per_customer")
     assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
+def test_pack_token_budget_single_shard_shuffle(spark):
+    """Packing must shuffle ONCE on the shard key: the window's
+    hashpartitioning(source) also satisfies the downstream
+    (source, pack_id) aggregate (subset clustering), and nothing may
+    collapse to a single partition (the global-ORDER-BY cumsum
+    trap)."""
+    plan = _plan(spark, "pack_token_budget")
+    assert "SinglePartition" not in plan
+    # one shuffle: the window's hashpartitioning on source
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_corpus_segment_dedup_hashed_keys_and_partial_agg(spark):
+    """Segment frequency counting must combine map-side and shuffle
+    hashed keys (xxhash64 longs), never segment text."""
+    plan = _plan(spark, "corpus_segment_dedup")
+    assert "partial_count" in plan
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_pq_codes_broadcast_codebook_no_smj(spark):
+    """PQ assignment must ride the k-row broadcast codebook — no
+    sort-merge join, no corpus-sized shuffle on the pair side; the
+    only hash exchange is the final per-vector argmin aggregate."""
+    plan = _plan(spark, "embedding_pq_codes")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan  # argmin folds map-side
