@@ -145,3 +145,92 @@ def test_hyperplane_bucket_matches_python_twin(spark, vecs):
                 expected += 1 << b
         assert got[i][0] == expected
         assert got[i][1] == expected  # scale invariance
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),        # shard
+            st.integers(1, 20),                   # token count
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    budget=st.integers(3, 12),
+)
+def test_pack_token_budget_invariants(spark, docs, budget):
+    """Packing invariants on arbitrary corpora: pack token totals sum
+    to the corpus total per shard; pack ids are the dense prefix of
+    the cut grid (every cut window up to the last used one that
+    contains at least one doc START is present); every doc's pack
+    matches the brute-force offset computation."""
+    from spark_flink_streaming_example_with_test_spark.operators.text import pack_token_budget
+
+    rows = [
+        (i, shard, " ".join(["w"] * n)) for i, (shard, n) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.source, r.pack_id): (r.n_docs, r.pack_tokens)
+        for r in pack_token_budget(df, budget=budget).collect()
+    }
+    # Brute force per shard.
+    expect: dict = {}
+    for shard in ("s1", "s2"):
+        off = 0
+        for i, (s, n) in enumerate(docs):
+            if s != shard:
+                continue
+            pid = off // budget
+            nd, tk = expect.get((shard, pid), (0, 0))
+            expect[(shard, pid)] = (nd + 1, tk + n)
+            off += n
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_segment_dedup_matches_bruteforce(spark, texts):
+    """Segment-duplication stats agree with a brute-force Python
+    recount on arbitrary tiny-alphabet corpora (small alphabet makes
+    cross-doc collisions likely, stressing the frequency join)."""
+    from collections import Counter
+
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import segment_duplication_stats
+
+    seg_len = 3
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_segments, r.n_dup_segments)
+        for r in segment_duplication_stats(df, seg_len=seg_len).collect()
+    }
+    segs_per_doc = {}
+    freq: Counter = Counter()
+    for i, t in enumerate(texts):
+        w = t.lower().split(" ")
+        if len(w) < seg_len:
+            continue
+        segs = [
+            " ".join(w[j * seg_len : (j + 1) * seg_len])
+            for j in range(len(w) // seg_len)
+        ]
+        segs_per_doc[i] = segs
+        freq.update(segs)
+    expect = {
+        i: (len(segs), sum(1 for s in segs if freq[s] >= 2))
+        for i, segs in segs_per_doc.items()
+    }
+    assert got == expect
