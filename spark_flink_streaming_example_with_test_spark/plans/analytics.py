@@ -542,3 +542,79 @@ SELECT COALESCE(c.user_id, p.user_id) AS user_id,
             THEN EPOCH(first_p - first_c) END AS first_delay_sec
 FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """
+
+
+def sessionize_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization expressed as a RECURSIVE CTE (Spark 4 SQL
+    surface): session roots are events with no predecessor within
+    the 30-minute gap; the recursive step walks each root's successor
+    chain (every event's unique LEAD neighbor) while the gap holds.
+    Chains are linear and acyclic — each event joins exactly one
+    predecessor — so UNION ALL recursion terminates in
+    max-session-length iterations.
+
+    Scale shape: each iteration is one equi-join of the frontier
+    against the LEAD-neighbor table keyed by (user_id, event_id);
+    depth is bounded by the longest session (`<= events per user),
+    not corpus size. The level limit is raised explicitly — the
+    default 100 sits exactly at this fixture's max per-user event
+    count."""
+    import uuid
+
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    view = f"__events_rcte_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    ).createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        WITH RECURSIVE nxt AS (
+          SELECT user_id, event_id, ts,
+                 LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nts,
+                 LEAD(event_id) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nid
+          FROM {view}
+        ), chain(user_id, event_id, session_id) AS (
+          SELECT user_id, event_id, event_id FROM (
+            SELECT user_id, event_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS pts
+            FROM {view})
+          WHERE pts IS NULL OR ts - pts > INTERVAL '30' MINUTE
+          UNION ALL
+          SELECT n.user_id, n.nid, c.session_id
+          FROM chain c JOIN nxt n
+            ON c.user_id = n.user_id AND c.event_id = n.event_id
+          WHERE n.nid IS NOT NULL AND n.nts - n.ts <= INTERVAL '30' MINUTE
+        )
+        SELECT session_id, user_id, COUNT(*) AS n_events
+        FROM chain GROUP BY session_id, user_id
+    """)
+    out.schema  # bind to this call's view before the name is reused
+    return out
+
+
+SESSIONIZE_RECURSIVE_ORACLE = """
+WITH RECURSIVE nxt AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nts,
+         LEAD(event_id) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS nid
+  FROM events
+), chain(user_id, event_id, session_id) AS (
+  SELECT user_id, event_id, event_id FROM (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pts
+    FROM events)
+  WHERE pts IS NULL OR ts - pts > INTERVAL '30 minutes'
+  UNION ALL
+  SELECT n.user_id, n.nid, c.session_id
+  FROM chain c JOIN nxt n
+    ON c.user_id = n.user_id AND c.event_id = n.event_id
+  WHERE n.nid IS NOT NULL AND n.nts - n.ts <= INTERVAL '30 minutes'
+)
+SELECT session_id, user_id, COUNT(*) AS n_events
+FROM chain GROUP BY session_id, user_id
+"""
