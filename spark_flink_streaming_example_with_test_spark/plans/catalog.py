@@ -60,6 +60,8 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_MANIFEST_ORACLE),
     QuerySpec("sessionize_recursive_cte", an.sessionize_recursive_cte,
               an.SESSIONIZE_RECURSIVE_ORACLE),
+    QuerySpec("streaming_state_reader_e2e", ref.streaming_state_reader_e2e,
+              ref.STREAMING_STATE_READER_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from

@@ -947,3 +947,74 @@ SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY event_type
 """
+
+
+def streaming_state_reader_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's state-store READER on a real checkpoint: run the
+    flagship watermarked 1-minute windowed count to completion, then
+    open the checkpoint with ``spark.read.format("statestore")`` and
+    return the SURVIVING state rows — exactly the windows the final
+    watermark (max event time - 10 s) has not yet closed, which the
+    oracle recomputes declaratively. Proves the operational surface a
+    100 TB deployment debugs state-size incidents with: state is
+    inspectable as a DataFrame, and its content is precisely the
+    watermark-eviction semantics, not an opaque blob."""
+    import shutil
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="engine_stream_statesrc_")
+    ckpt = tempfile.mkdtemp(prefix="engine_stream_stateckpt_")
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        query = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy("user_id", F.window("ts", "1 minute"))
+            .agg(F.count("*").alias("cnt"))
+            .writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        schema = (
+            "user_id long, window_start timestamp, window_end timestamp, "
+            "cnt long"
+        )
+        try:
+            state = spark.read.format("statestore").load(ckpt)
+            rows = state.select(
+                F.col("key.user_id").alias("user_id"),
+                F.col("key.window.start").alias("window_start"),
+                F.col("key.window.end").alias("window_end"),
+                F.col("value.count").alias("cnt"),
+            ).collect()
+        except Exception:
+            rows = []  # zero input rows -> no state was ever committed
+        return spark.createDataFrame(rows, schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+STREAMING_STATE_READER_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), mx AS (
+  SELECT MAX(ts) - INTERVAL '10 seconds' AS wm FROM ev
+), w AS (
+  SELECT user_id, DATE_TRUNC('minute', ts) AS ws, COUNT(*) AS cnt
+  FROM ev GROUP BY user_id, DATE_TRUNC('minute', ts)
+)
+SELECT user_id, ws AS window_start,
+       ws + INTERVAL '1 minute' AS window_end, cnt
+FROM w, mx WHERE ws + INTERVAL '1 minute' > wm
+"""
