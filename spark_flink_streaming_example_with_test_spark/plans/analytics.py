@@ -618,3 +618,66 @@ WITH RECURSIVE nxt AS (
 SELECT session_id, user_id, COUNT(*) AS n_events
 FROM chain GROUP BY session_id, user_id
 """
+
+
+def pipe_syntax_event_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event KPI written in Spark 4's SQL pipe syntax
+    (`FROM ... |> WHERE |> EXTEND |> AGGREGATE |> WHERE`) — the
+    operator-per-line composition surface. Semantics are plain
+    filter -> derive -> aggregate -> having; the oracle states the
+    same query in classic SQL, so the pipe front-end is value-checked
+    against the standard one."""
+    import uuid
+
+    view = f"__events_pipe_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        FROM {view}
+        |> WHERE event_type IN ('click', 'purchase')
+        |> EXTEND date_trunc('DAY', ts) AS day
+        |> AGGREGATE COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+             GROUP BY event_type, day
+        |> WHERE n > 1
+    """)
+    out.schema
+    return out
+
+
+PIPE_SYNTAX_ORACLE = """
+SELECT event_type,
+       CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type, DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+HAVING COUNT(*) > 1
+"""
+
+
+def sql_script_threshold_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-scripting surface (BEGIN/DECLARE/SET compound statement):
+    a session variable holds a computed threshold (2x the mean event
+    value) and the final statement reports per-user activity above
+    it. The control-flow front-end is the coverage target; the
+    oracle inlines the threshold as a scalar subquery."""
+    import uuid
+
+    view = f"__events_script_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        BEGIN
+          DECLARE thr DOUBLE;
+          SET thr = (SELECT 2 * AVG(value) FROM {view});
+          SELECT user_id, COUNT(*) AS n_high,
+                 ROUND(SUM(value), 4) AS high_value
+          FROM {view} WHERE value > thr GROUP BY user_id;
+        END
+    """)
+    out.schema
+    return out
+
+
+SQL_SCRIPT_ORACLE = """
+SELECT user_id, COUNT(*) AS n_high, ROUND(SUM(value), 4) AS high_value
+FROM events WHERE value > (SELECT 2 * AVG(value) FROM events)
+GROUP BY user_id
+"""

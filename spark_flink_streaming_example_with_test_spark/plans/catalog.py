@@ -62,6 +62,10 @@ _SPECS: list[QuerySpec] = [
               an.SESSIONIZE_RECURSIVE_ORACLE),
     QuerySpec("streaming_state_reader_e2e", ref.streaming_state_reader_e2e,
               ref.STREAMING_STATE_READER_ORACLE),
+    QuerySpec("pipe_syntax_event_kpi", an.pipe_syntax_event_kpi,
+              an.PIPE_SYNTAX_ORACLE),
+    QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,
+              an.SQL_SCRIPT_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from
