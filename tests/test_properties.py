@@ -234,3 +234,43 @@ def test_segment_dedup_matches_bruteforce(spark, texts):
         for i, segs in segs_per_doc.items()
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32),
+            min_size=4, max_size=4,
+        ),
+        min_size=3,
+        max_size=10,
+    ),
+)
+def test_pq_encode_matches_numpy_bruteforce(spark, vecs):
+    """PQ assignment agrees with a numpy argmin (struct-min tiebreak
+    = smallest centroid id among equal distances) on arbitrary
+    float32 vectors."""
+    import numpy as np
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import pq_encode
+
+    m, k, dim = 2, 2, 4
+    df = spark.createDataFrame(
+        list(enumerate(vecs)), "vec_id long, embedding array<float>"
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, m=m, k=k, dim=dim).collect()}
+    a = np.array(vecs, dtype=np.float32).astype(np.float64)
+    sub = dim // m
+    expect = {}
+    for i in range(len(vecs)):
+        codes = []
+        for j in range(m):
+            dists = [
+                float(((a[i, j * sub:(j + 1) * sub] - a[c, j * sub:(j + 1) * sub]) ** 2).sum())
+                for c in range(k)
+            ]
+            codes.append(min(range(k), key=lambda c: (dists[c], c)))
+        expect[i] = codes
+    assert got == expect

@@ -294,3 +294,38 @@ def test_upsert_sink_end_to_end_stream(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_state_metadata_reader_describes_operator(spark, tmp_path):
+    """spark.read.format('state-metadata') must describe the
+    stateful operator of a finished checkpoint — the first stop when
+    debugging state-size incidents."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30")], "user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+    q = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .parquet(src)
+        .withWatermark("ts", "10 seconds")
+        .groupBy("user_id", F.window("ts", "1 minute"))
+        .count()
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0].operatorName == "stateStoreSave"
+    assert meta[0].numPartitions == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    assert meta[0].maxBatchId >= 0
