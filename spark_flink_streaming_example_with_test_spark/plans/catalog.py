@@ -62,6 +62,8 @@ _SPECS: list[QuerySpec] = [
               an.SESSIONIZE_RECURSIVE_ORACLE),
     QuerySpec("streaming_state_reader_e2e", ref.streaming_state_reader_e2e,
               ref.STREAMING_STATE_READER_ORACLE),
+    QuerySpec("mixture_sampling_rates", llm.mixture_sampling_rates,
+              llm.MIXTURE_RATES_ORACLE),
     QuerySpec("pipe_syntax_event_kpi", an.pipe_syntax_event_kpi,
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,

@@ -1398,3 +1398,61 @@ SELECT vec_id,
        ROUND(LIST_SUM(LIST(b.d ORDER BY j)), 6) AS qerr
 FROM best GROUP BY vec_id
 """
+
+
+def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture re-weighting — the pretraining planning step
+    that turns target mixture proportions into per-source sampling
+    rates: the corpus cap is the largest total size T with
+    ``target_share_s * T <= avail_s`` for every source (the binding
+    source samples at rate 1.0), and each source's rate is
+    ``target_share_s * T / avail_s``. Target weights here derive
+    deterministically from the source index so both engines can
+    reproduce them; a config-driven mixture dict would slot in the
+    same plan.
+
+    Scale shape: one map-side-combinable token-count aggregate over
+    the corpus; the mixture solve runs as window functions over the
+    per-source frame, whose cardinality is the number of DOMAINS
+    (inherently small), never the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens")
+    ).withColumn(
+        "w", F.substring("source", 4, 10).cast("int") + F.lit(1)
+    )
+    full = Window.partitionBy()
+    share = F.col("w") / F.sum("w").over(full)
+    per = per.withColumn("target_share", share)
+    cap = F.min(F.col("avail_tokens") / F.col("target_share")).over(full)
+    sampled = F.col("target_share") * cap
+    return per.select(
+        "source",
+        "avail_tokens",
+        F.round("target_share", 6).alias("target_share"),
+        F.round(sampled / F.col("avail_tokens"), 6).alias("sampling_rate"),
+        F.floor(sampled + 0.5).cast("long").alias("sampled_tokens"),
+    )
+
+
+MIXTURE_RATES_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS avail_tokens,
+         CAST(SUBSTR(source, 4) AS INT) + 1 AS w
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT *, w * 1.0 / SUM(w) OVER () AS target_share FROM per
+), t AS (
+  SELECT *, MIN(avail_tokens / target_share) OVER () AS corpus_cap
+  FROM shares
+)
+SELECT source, avail_tokens,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(target_share * corpus_cap / avail_tokens, 6) AS sampling_rate,
+       CAST(FLOOR(target_share * corpus_cap + 0.5) AS BIGINT) AS sampled_tokens
+FROM t
+"""
