@@ -39,6 +39,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
@@ -171,3 +173,85 @@ def read_committed(spark, path: str, schema=None):
 
 def register(spark) -> None:
     spark.dataSource.register(ManifestJsonlDataSource)
+
+
+class _ManifestParquetWriter(DataSourceArrowWriter):
+    """Arrow fast path: each task receives pyarrow RecordBatches
+    (zero per-row Python) and lands them as one parquet part file —
+    the writer shape to use when the sink format speaks Arrow
+    natively. Shares the manifest commit protocol with the JSONL
+    form."""
+
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(self.path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        fname = os.path.join(data_dir, f"part-{uuid.uuid4().hex}.parquet")
+        batches = list(iterator)
+        table = (
+            pa.Table.from_batches(batches)
+            if batches
+            else None
+        )
+        n = 0
+        if table is not None:
+            pq.write_table(table, fname)
+            n = table.num_rows
+        else:
+            # empty partition: no file, no manifest entry
+            return _FileCommit(file="", rows=0)
+        return _FileCommit(file=fname, rows=n)
+
+    def commit(self, messages):
+        live = [m for m in messages if m is not None and m.file]
+        _write_manifest(self.path, f"batch-{uuid.uuid4().hex}.json", live)
+
+    def abort(self, messages):
+        _abort([m for m in (messages or []) if m is not None and m.file])
+
+
+class _ManifestParquetStreamWriter(DataSourceStreamArrowWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    # Reuse the batch task-side logic; only the commit keying differs.
+    write = _ManifestParquetWriter.write
+
+    def commit(self, messages, batchId: int):
+        live = [m for m in messages if m is not None and m.file]
+        _write_manifest(self.path, f"streambatch-{batchId:020d}.json", live)
+
+    def abort(self, messages, batchId: int):
+        _abort([m for m in (messages or []) if m is not None and m.file])
+
+
+class ManifestParquetDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_parquet"
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("manifest_parquet is append-only")
+        return _ManifestParquetWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        if overwrite:
+            raise ValueError("manifest_parquet is append-only")
+        return _ManifestParquetStreamWriter(self.options)
+
+
+def read_committed_parquet(spark, path: str):
+    files = committed_files(path)
+    if not files:
+        raise FileNotFoundError(f"no committed manifests under {path}")
+    return spark.read.parquet(*files)
+
+
+def register_parquet(spark) -> None:
+    spark.dataSource.register(ManifestParquetDataSource)

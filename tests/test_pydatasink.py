@@ -93,3 +93,48 @@ def test_stream_write_manifests_per_batch(spark, tmp_path):
     )
     assert back.count() == 2_000
     assert back.select("ts").distinct().count() == 2_000
+
+
+def test_arrow_parquet_sink_batch_and_stream(spark, tmp_path):
+    """The Arrow-native parquet variant shares the manifest protocol:
+    batch write commits a manifest of parquet parts; a streaming run
+    lands every row exactly once."""
+    from spark_flink_streaming_example_with_test_spark.sources.pydatasink import (
+        read_committed_parquet,
+        register_parquet,
+    )
+    from spark_flink_streaming_example_with_test_spark.sources.pydatasource import register as reg_src
+
+    register_parquet(spark)
+    reg_src(spark)
+
+    out = str(tmp_path / "pq_sink")
+    df = spark.createDataFrame(
+        [(i, float(i) / 3) for i in range(1000)], "id long, x double"
+    ).repartition(4)
+    df.write.format("manifest_parquet").mode("append").option("path", out).save()
+    back = read_committed_parquet(spark, out)
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(1000))
+    # Parquet roundtrip preserves types exactly (no JSON coercion).
+    assert dict(back.dtypes) == {"id": "bigint", "x": "double"}
+
+    sout = str(tmp_path / "pq_stream_sink")
+    q = (
+        spark.readStream.format("synthetic_activity")
+        .option("n", 1_500)
+        .option("rows_per_batch", 500)
+        .option("parts", 2)
+        .load()
+        .writeStream.format("manifest_parquet")
+        .option("path", sout)
+        .option("checkpointLocation", str(tmp_path / "pq_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sback = read_committed_parquet(spark, sout)
+    assert sback.count() == 1_500
+    assert sback.select("ts").distinct().count() == 1_500
