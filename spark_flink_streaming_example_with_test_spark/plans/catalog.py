@@ -46,10 +46,13 @@ class QuerySpec:
 
 
 _SPECS: list[QuerySpec] = [
-    # -- Round-6 gate priority: new operators (corpus segment dedup,
-    # sequence packing, PQ encoding) plus dedup_minhash_lsh, whose
-    # exact-verification join was semi-join-restricted this round —
-    # all four need a FRESH driver row. --------------------------------
+    # -- Round-6 gate priority: new operators and API surfaces
+    # (corpus segment dedup, sequence packing, PQ encoding, the
+    # manifest-sink e2e, recursive-CTE sessionization, state-store
+    # reader e2e, mixture re-weighting, SQL pipe syntax, SQL
+    # scripting) plus dedup_minhash_lsh, whose exact-verification
+    # join was semi-join-restricted this round — each needs a FRESH
+    # driver row. ------------------------------------------------------
     QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,
               llm.CORPUS_SEGMENT_ORACLE),
     QuerySpec("pack_token_budget", llm.pack_token_budget_query,
