@@ -67,6 +67,10 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_STATE_READER_ORACLE),
     QuerySpec("mixture_sampling_rates", llm.mixture_sampling_rates,
               llm.MIXTURE_RATES_ORACLE),
+    QuerySpec("sql_udf_quality_bands", llm.sql_udf_quality_bands,
+              llm.SQL_UDF_BANDS_ORACLE),
+    QuerySpec("collated_dedup_groups", llm.collated_dedup_groups,
+              llm.COLLATED_DEDUP_ORACLE),
     QuerySpec("pipe_syntax_event_kpi", an.pipe_syntax_event_kpi,
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,

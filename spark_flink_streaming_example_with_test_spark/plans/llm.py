@@ -1456,3 +1456,80 @@ SELECT source, avail_tokens,
        CAST(FLOOR(target_share * corpus_cap + 0.5) AS BIGINT) AS sampled_tokens
 FROM t
 """
+
+
+def sql_udf_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF surface (CREATE FUNCTION ... RETURN):
+    a declarative band function applied in a grouped aggregate.
+    SQL UDFs inline into the plan (Catalyst sees the CASE expression,
+    not an opaque call), so unlike Python UDFs they cost nothing at
+    100 TB — the query plans identically to writing the expression
+    inline, which is exactly what the oracle states."""
+    import uuid
+
+    tag = uuid.uuid4().hex
+    fn = f"__band_{tag}"
+    view = f"__docs_udf_{tag}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    spark.sql(f"""
+        CREATE TEMPORARY FUNCTION {fn}(n INT) RETURNS STRING
+        RETURN CASE WHEN n < 50 THEN 'short'
+                    WHEN n < 150 THEN 'medium'
+                    ELSE 'long' END
+    """)
+    out = spark.sql(f"""
+        SELECT {fn}(size(split(text, ' '))) AS band,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM {view} GROUP BY 1
+    """)
+    out.schema
+    return out
+
+
+SQL_UDF_BANDS_ORACLE = """
+SELECT CASE WHEN LEN(STRING_SPLIT(text, ' ')) < 50 THEN 'short'
+            WHEN LEN(STRING_SPLIT(text, ' ')) < 150 THEN 'medium'
+            ELSE 'long' END AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+"""
+
+
+def collated_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation surface (Spark 4 COLLATE): case-insensitive exact
+    dedup via UTF8_LCASE grouping, against a corpus where half the
+    documents are uppercased first (so the collation genuinely does
+    work). The group representative is the binary-MIN text — the
+    uppercased variant sorts first in UTF8 — which both engines agree
+    on deterministically."""
+    import uuid
+
+    view = f"__docs_collate_{uuid.uuid4().hex}"
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    docs.createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+               MIN(text) AS canonical
+        FROM {view}
+        GROUP BY text COLLATE UTF8_LCASE
+    """)
+    out.schema
+    return out
+
+
+COLLATED_DEDUP_ORACLE = """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN UPPER(text) ELSE text END AS text
+  FROM documents
+)
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(text) AS canonical
+FROM docs GROUP BY LOWER(text)
+"""
