@@ -681,3 +681,101 @@ SELECT user_id, COUNT(*) AS n_high, ROUND(SUM(value), 4) AS high_value
 FROM events WHERE value > (SELECT 2 * AVG(value) FROM events)
 GROUP BY user_id
 """
+
+
+def param_sql_event_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized-SQL surface (``spark.sql(query, args=...)``):
+    named parameter markers bind literals server-side — the
+    injection-safe, plan-cache-friendly way to template queries.
+    The oracle inlines the same constants."""
+    import uuid
+
+    view = f"__events_param_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT user_id, COUNT(*) AS n,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM {view}
+        WHERE event_type = :etype AND value >= :minv
+        GROUP BY user_id
+        """,
+        args={"etype": "purchase", "minv": 50.0},
+    )
+    out.schema
+    return out
+
+
+PARAM_SQL_ORACLE = """
+SELECT user_id, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events WHERE event_type = 'purchase' AND value >= 50.0
+GROUP BY user_id
+"""
+
+
+def doc_top_tokens_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF surface: the output schema is computed
+    by the UDTF's ``analyze`` method from the constant k argument
+    (tok1..tokK columns), the API for table functions whose shape
+    depends on their inputs. Per-row Python is the price of the
+    API — the expression form (token stats / posexplode) remains the
+    hot path; this exists to cover the analyze-time polymorphism.
+    Ranking is deterministic: count desc, token asc."""
+    import uuid
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TopTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument):
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"tok{i + 1}", StringType())
+                        for i in range(k.value)
+                    ]
+                )
+            )
+
+        def eval(self, text, k):
+            if text is None:
+                return
+            counts = Counter(text.lower().split(" "))
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+            toks = [t for t, _ in top] + [None] * (k - len(top))
+            yield tuple(toks)
+
+    tag = uuid.uuid4().hex
+    fn = f"__toptoks_{tag}"
+    view = f"__docs_toptoks_{tag}"
+    spark.udtf.register(fn, udtf(TopTokens))
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView(view)
+    out = spark.sql(
+        f"SELECT doc_id, t.* FROM {view}, LATERAL {fn}(text, 3) t"
+    )
+    out.schema
+    return out
+
+
+DOC_TOP_TOKENS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), rk AS (
+  SELECT doc_id, tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) AS r
+  FROM cnt
+)
+SELECT doc_id,
+       MAX(CASE WHEN r = 1 THEN tok END) AS tok1,
+       MAX(CASE WHEN r = 2 THEN tok END) AS tok2,
+       MAX(CASE WHEN r = 3 THEN tok END) AS tok3
+FROM rk WHERE r <= 3 GROUP BY doc_id
+"""

@@ -71,6 +71,10 @@ _SPECS: list[QuerySpec] = [
               llm.SQL_UDF_BANDS_ORACLE),
     QuerySpec("collated_dedup_groups", llm.collated_dedup_groups,
               llm.COLLATED_DEDUP_ORACLE),
+    QuerySpec("param_sql_event_kpi", an.param_sql_event_kpi,
+              an.PARAM_SQL_ORACLE),
+    QuerySpec("doc_top_tokens_udtf", an.doc_top_tokens_udtf,
+              an.DOC_TOP_TOKENS_ORACLE),
     QuerySpec("pipe_syntax_event_kpi", an.pipe_syntax_event_kpi,
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,
