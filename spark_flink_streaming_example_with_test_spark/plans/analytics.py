@@ -779,3 +779,56 @@ SELECT doc_id,
        MAX(CASE WHEN r = 3 THEN tok END) AS tok3
 FROM rk WHERE r <= 3 GROUP BY doc_id
 """
+
+
+def approx_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k sketch surface: heavy hitters over event_type.
+    With cardinality far below the sketch's tracked-item budget the
+    counts are exact, so the exact GROUP BY oracle hash-matches —
+    the same exact-at-small-scale / sketch-at-100TB duality as the
+    HLL and percentile queries. The result array is exploded to rows;
+    the driver compare is order-insensitive, so sketch-internal
+    ordering never leaks into the check."""
+    import uuid
+
+    view = f"__events_topk_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        SELECT t.entry.item AS event_type, t.entry.count AS n
+        FROM (SELECT approx_top_k(event_type, 5) AS tk FROM {view}),
+             LATERAL explode(tk) t(entry)
+    """)
+    out.schema
+    return out
+
+
+APPROX_TOPK_ORACLE = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
+def listagg_user_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / string_agg surface with WITHIN GROUP ordering: each
+    user's distinct event types as one deterministic comma-joined
+    string (ordered aggregation — the part plain collect_list can't
+    guarantee)."""
+    import uuid
+
+    view = f"__events_listagg_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        SELECT user_id,
+               listagg(event_type, ',')
+                 WITHIN GROUP (ORDER BY event_type) AS types
+        FROM (SELECT DISTINCT user_id, event_type FROM {view})
+        GROUP BY user_id
+    """)
+    out.schema
+    return out
+
+
+LISTAGG_ORACLE = """
+SELECT user_id, STRING_AGG(event_type, ',' ORDER BY event_type) AS types
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY user_id
+"""

@@ -75,6 +75,10 @@ _SPECS: list[QuerySpec] = [
               an.PARAM_SQL_ORACLE),
     QuerySpec("doc_top_tokens_udtf", an.doc_top_tokens_udtf,
               an.DOC_TOP_TOKENS_ORACLE),
+    QuerySpec("approx_topk_event_types", an.approx_topk_event_types,
+              an.APPROX_TOPK_ORACLE),
+    QuerySpec("listagg_user_event_types", an.listagg_user_event_types,
+              an.LISTAGG_ORACLE),
     QuerySpec("pipe_syntax_event_kpi", an.pipe_syntax_event_kpi,
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,
