@@ -214,3 +214,32 @@ def sample_video_frames(
             )
 
     return assets.mapInPandas(batches, schema)
+
+
+def payload_sizes_arrow(assets: DataFrame) -> DataFrame:
+    """``mapInArrow`` variant of the byte-stats pass: batches arrive
+    as pyarrow RecordBatches and the size computation runs in Arrow
+    compute kernels — no pandas materialization at all, the lightest
+    Python escape hatch (the choice when the per-batch logic is
+    expressible in Arrow kernels but not Catalyst expressions).
+
+    Output: (asset_id, n_bytes), one row per asset.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it):
+        for batch in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("asset_id")),
+                    pc.binary_length(
+                        batch.column(batch.schema.get_field_index("payload"))
+                    ).cast(pa.int64()),
+                ],
+                names=["asset_id", "n_bytes"],
+            )
+
+    return assets.select("asset_id", "payload").mapInArrow(
+        batches, "asset_id long, n_bytes long"
+    )

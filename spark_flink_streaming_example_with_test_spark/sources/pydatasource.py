@@ -27,6 +27,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 from spark_flink_streaming_example_with_test_spark.sources.generator import (
@@ -136,6 +137,35 @@ class _ActivityStreamReader(DataSourceStreamReader):
         pass
 
 
+class _ActivitySimpleStreamReader(SimpleDataSourceStreamReader):
+    """The SIMPLE stream-reader variant: ``read(start)`` returns
+    (rows, next_offset) in one driver-side call, so restart
+    correctness is free — Spark hands back the checkpointed offset
+    and replay reads from exactly there (``readBetweenOffsets``
+    re-derives any range on demand). The cost is no partitioning:
+    rows materialize through the driver, so this variant is for
+    low-volume feeds; the partitioned reader above is the scale
+    path."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1_000))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        lo = start["index"]
+        hi = min(lo + self.rows_per_batch, self.n)
+        return iter([_row(i) for i in range(lo, hi)]), {"index": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter([_row(i) for i in range(start["index"], end["index"])])
+
+    def commit(self, end):
+        pass
+
+
 class ActivityDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -151,5 +181,21 @@ class ActivityDataSource(DataSource):
         return _ActivityStreamReader(self.options)
 
 
+class ActivitySimpleDataSource(DataSource):
+    """Same rows as ``synthetic_activity`` through the simple
+    (driver-side, offset-in-read) stream-reader API."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_activity_simple"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _ActivitySimpleStreamReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(ActivityDataSource)
+    spark.dataSource.register(ActivitySimpleDataSource)

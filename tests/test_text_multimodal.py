@@ -160,3 +160,24 @@ def test_pack_token_budget_boundaries(spark):
         for r in pack_token_budget(docs, budget=8).collect()
     }
     assert out == {("s", 0): (2, 9), ("s", 1): (1, 4), ("t", 0): (1, 2)}
+
+
+def test_payload_sizes_arrow_matches_expression(spark, sf_dir):
+    """mapInArrow byte stats must equal the pure-expression length —
+    pinning the Arrow-kernel escape hatch against the Catalyst
+    ground truth."""
+    from spark_flink_streaming_example_with_test_spark.operators.multimodal import (
+        documents_as_assets,
+        payload_sizes_arrow,
+    )
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    assets = documents_as_assets(load_table(spark, sf_dir, "documents"))
+    got = {r.asset_id: r.n_bytes for r in payload_sizes_arrow(assets).collect()}
+    exp = {
+        r.asset_id: r.n
+        for r in assets.select(
+            "asset_id", F.length("payload").alias("n")
+        ).collect()
+    }
+    assert got == exp
