@@ -79,6 +79,8 @@ _SPECS: list[QuerySpec] = [
               an.APPROX_TOPK_ORACLE),
     QuerySpec("listagg_user_event_types", an.listagg_user_event_types,
               an.LISTAGG_ORACLE),
+    QuerySpec("unpivot_daily_event_counts", rel.unpivot_daily_event_counts,
+              rel.UNPIVOT_ORACLE),
     QuerySpec("pipe_syntax_event_kpi", an.pipe_syntax_event_kpi,
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,

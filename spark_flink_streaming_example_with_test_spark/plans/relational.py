@@ -1098,3 +1098,34 @@ SELECT p.user_id, p.event_id, p.ts, dim.version_id,
 FROM p JOIN dim ON p.user_id = dim.user_id
  AND p.ts >= dim.valid_from AND p.ts < dim.valid_to
 """
+
+
+def unpivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) surface — the inverse of
+    ``pivot_daily_event_counts``: the wide per-day count columns fold
+    back to long ``(day, event_type, n)`` rows via ``DataFrame.unpivot``,
+    zero-count cells dropped. The round trip reproduces the plain
+    grouped counts, which is exactly what the oracle states — so both
+    the pivot and unpivot directions are value-pinned."""
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+    ).select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+    return wide.unpivot(
+        ids="day",
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).filter(F.col("n") > 0)
+
+
+UNPIVOT_ORACLE = """
+SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n
+FROM events GROUP BY DATE_TRUNC('day', ts), event_type
+"""
