@@ -832,3 +832,48 @@ SELECT user_id, STRING_AGG(event_type, ',' ORDER BY event_type) AS types
 FROM (SELECT DISTINCT user_id, event_type FROM events)
 GROUP BY user_id
 """
+
+
+def regr_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_slope / intercept /
+    r2 / count): per-event-type trend of ``value`` against hours
+    since the corpus start. x is re-based to hours from the global
+    minimum timestamp so slope magnitudes sit well inside the
+    6-decimal rounding both engines agree on (raw epoch-second x
+    would push slopes to 1e-9 where rounding eats the signal).
+
+    Scale shape: the global-min rebase is one map-side-combinable
+    scalar aggregate broadcast into a stateless per-row expression;
+    the regr_* family then runs as single-pass moment sums in the
+    same grouped aggregate — two narrow passes, one shuffle on the
+    (tiny) event_type key.
+    """
+    e = load_table(spark, sf_dir, "events")
+    t0 = e.agg(F.min(F.col("ts").cast("double")).alias("t0"))
+    hours = (F.col("ts").cast("double") - F.col("t0")) / 3600.0
+    return (
+        e.crossJoin(F.broadcast(t0))
+        .select("event_type", "value", hours.alias("x"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(value, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(value, x)"), 6).alias("intercept"),
+            F.round(F.expr("regr_r2(value, x)"), 6).alias("r2"),
+            F.expr("regr_count(value, x)").alias("n"),
+        )
+    )
+
+
+REGR_TREND_ORACLE = """
+WITH t0 AS (SELECT MIN(EPOCH(ts)) AS t0 FROM events),
+x AS (
+  SELECT event_type, value, (EPOCH(ts) - t0.t0) / 3600.0 AS x
+  FROM events CROSS JOIN t0
+)
+SELECT event_type,
+       ROUND(REGR_SLOPE(value, x), 6) AS slope,
+       ROUND(REGR_INTERCEPT(value, x), 6) AS intercept,
+       ROUND(REGR_R2(value, x), 6) AS r2,
+       CAST(REGR_COUNT(value, x) AS BIGINT) AS n
+FROM x GROUP BY event_type
+"""

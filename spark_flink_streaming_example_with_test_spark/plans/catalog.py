@@ -53,6 +53,14 @@ _SPECS: list[QuerySpec] = [
     # scripting) plus dedup_minhash_lsh, whose exact-verification
     # join was semi-join-restricted this round — each needs a FRESH
     # driver row. ------------------------------------------------------
+    QuerySpec("hybrid_search_rrf", llm.hybrid_search_rrf,
+              llm.HYBRID_RRF_ORACLE),
+    QuerySpec("pii_redaction_stats", llm.pii_redaction_stats,
+              llm.PII_REDACTION_ORACLE),
+    QuerySpec("quality_prune_percentile", llm.quality_prune_percentile,
+              llm.QUALITY_PRUNE_ORACLE),
+    QuerySpec("regr_value_trend", an.regr_value_trend,
+              an.REGR_TREND_ORACLE),
     QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,
               llm.CORPUS_SEGMENT_ORACLE),
     QuerySpec("pack_token_budget", llm.pack_token_budget_query,

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.operators import dedup as dd
 from spark_flink_streaming_example_with_test_spark.operators import multimodal as mm
@@ -1532,4 +1533,310 @@ WITH docs AS (
 )
 SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, MIN(text) AS canonical
 FROM docs GROUP BY LOWER(text)
+"""
+
+
+# --- Hybrid retrieval (BM25 lexical + vector, RRF fusion) -------------
+
+_RRF_K = 60
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_HYBRID_QUERY_TERMS: list[tuple[int, str]] = [
+    (0, "spark"), (0, "join"),
+    (1, "filter"), (1, "scan"),
+    (2, "window"), (2, "merge"),
+]
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical scoring fused with exact
+    cosine vector retrieval via reciprocal-rank fusion
+    (``1/(60+rank)``, Cormack et al. SIGIR'09). Three queries, each
+    with a term set (lexical leg) and the embedding of the
+    same-numbered vector (vector leg, ``doc_id = vec_id``); a
+    document missing from one leg's top-50 contributes 0 from that
+    leg.
+
+    Scale shape: the lexical leg is an inverted-index probe — the
+    token stream is semi-joined to the (broadcast) query-term set
+    right after explode, so tf/df aggregates run over matching
+    postings only, never the whole token stream; dl/avgdl come from
+    one map-side-combinable corpus pass. The vector leg broadcasts
+    the 3 query vectors (``cosine_topk``). Both legs end in a
+    per-query top-50 (WindowGroupLimit), so the fusion join is over
+    at most ``n_queries * 50`` rows per leg. Ranks order on ROUNDED
+    scores with doc-id tiebreak so float noise can't flip ranks
+    between engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qterms = spark.createDataFrame(_HYBRID_QUERY_TERMS, "q_id INT, term STRING")
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_term = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    bm25 = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(F.round(F.sum(idf * tf_term), 6).alias("bm25"))
+    )
+    w_lex = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        bm25.withColumn("lex_rk", F.row_number().over(w_lex))
+        .filter(F.col("lex_rk") <= 50)
+        .select("q_id", "doc_id", "lex_rk")
+    )
+
+    vec = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=50).select(
+        "q_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
+    )
+
+    fused = lex.join(vec, ["q_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("lex_rk")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rk")), F.lit(0.0)),
+        6,
+    )
+    w_fused = Window.partitionBy("q_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rrf_score", rrf)
+        .withColumn("rk", F.row_number().over(w_fused))
+        .filter(F.col("rk") <= 10)
+        .select("q_id", "doc_id", "lex_rk", "vec_rk", "rrf_score", "rk")
+    )
+
+
+HYBRID_RRF_ORACLE = """
+WITH q(q_id, term) AS (
+  VALUES (0, 'spark'), (0, 'join'), (1, 'filter'), (1, 'scan'),
+         (2, 'window'), (2, 'merge')
+), toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         AVG(LEN(STRING_SPLIT(text, ' '))) AS avgdl
+  FROM documents
+), dl AS (
+  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents
+), bm25 AS (
+  SELECT q.q_id, tf.doc_id,
+         ROUND(SUM(LN(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))),
+               6) AS bm25
+  FROM tf JOIN q USING (term) JOIN dfreq d USING (term)
+          JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY 1, 2
+), lex AS (
+  SELECT q_id, doc_id, lex_rk FROM (
+    SELECT q_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY bm25 DESC, doc_id) AS lex_rk
+    FROM bm25
+  ) WHERE lex_rk <= 50
+), e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), vec AS (
+  SELECT q_id, doc_id, vec_rk FROM (
+    SELECT p.vec_id AS q_id, e.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.vec_id
+             ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(e.v) + 1),
+                        i -> e.v[i] * p.v[i])) / (e.nrm * p.nrm), 6) DESC,
+                      e.vec_id) AS vec_rk
+    FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 3) p
+    WHERE e.vec_id != p.vec_id
+  ) WHERE vec_rk <= 50
+), fused AS (
+  SELECT COALESCE(l.q_id, v.q_id) AS q_id,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         l.lex_rk, v.vec_rk,
+         ROUND(COALESCE(1.0 / (60 + l.lex_rk), 0)
+               + COALESCE(1.0 / (60 + v.vec_rk), 0), 6) AS rrf_score
+  FROM lex l FULL JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
+)
+SELECT q_id, doc_id, lex_rk, vec_rk, rrf_score, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                               ORDER BY rrf_score DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 10
+"""
+
+
+# --- PII redaction ----------------------------------------------------
+
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: regex redaction of emails / phone numbers /
+    IPv4 addresses with per-source match accounting. The synthetic
+    corpus contains no PII, so each document is first augmented with
+    one deterministic doc_id-derived PII instance (a third each of
+    email / phone / IP) — the redaction pass itself is the operator
+    under test and runs the same three patterns a real scrub would.
+    Both engines augment identically, so counts and redacted lengths
+    hash-check exactly.
+
+    Scale shape: pure per-row expression work (regexp_extract_all +
+    regexp_replace, JVM-side, no UDF) followed by one
+    map-side-combinable groupBy(source) — no extra shuffle beyond
+    the final aggregate at any corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pii = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@mail.example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit(" call 555-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        )
+        .otherwise(
+            F.concat(F.lit(" from 10."),
+                     (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".0."),
+                     (F.col("doc_id") % 100).cast("string")),
+        )
+    )
+    aug = docs.select(
+        "doc_id", "source", F.concat("text", pii).alias("text")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IP, "<IP>")
+    return (
+        aug.select(
+            "source",
+            F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+            .alias("n_em"),
+            F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+            .alias("n_ph"),
+            F.size(F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0)))
+            .alias("n_ip"),
+            F.length(redacted).alias("red_len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_em").cast("long").alias("emails"),
+            F.sum("n_ph").cast("long").alias("phones"),
+            F.sum("n_ip").cast("long").alias("ips"),
+            F.sum("red_len").cast("long").alias("redacted_chars"),
+        )
+    )
+
+
+PII_REDACTION_ORACLE = """
+WITH aug AS (
+  SELECT doc_id, source,
+         text || CASE
+           WHEN doc_id % 3 = 0 THEN
+             ' contact user' || doc_id || '@mail.example.com now'
+           WHEN doc_id % 3 = 1 THEN
+             ' call 555-' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           ELSE
+             ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+         END AS text
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+         '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))) AS BIGINT) AS emails,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b'))) AS BIGINT) AS phones,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))) AS BIGINT) AS ips,
+       CAST(SUM(LEN(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+         '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')))
+         AS BIGINT) AS redacted_chars
+FROM aug GROUP BY source
+"""
+
+
+# --- Percentile-based corpus pruning ----------------------------------
+
+def quality_prune_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile pruning: drop the bottom 20% of each
+    source's documents by quality prior (the logistic length score),
+    the standard stratified quality cut before mixing sources. The
+    window orders on (n_tokens, doc_id) — the score is monotone in
+    n_tokens, so ranking on the integer token count sidesteps float
+    ordering entirely.
+
+    Scale shape: one window over the per-source frame (single
+    hash-partitioned shuffle on source) plus a map-side-combinable
+    final aggregate; no corpus-sized join anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    ).withColumn("q", tx.quality_score(F.col("n_tokens")))
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    pruned = scored.withColumn("pr", F.percent_rank().over(w)).withColumn(
+        "kept", F.col("pr") >= 0.2
+    )
+    return pruned.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("kept_docs"),
+        F.min(F.when(F.col("kept"), F.col("n_tokens"))).alias("min_kept_tokens"),
+        F.round(F.avg(F.when(F.col("kept"), F.col("q"))), 6).alias("avg_kept_q"),
+    )
+
+
+QUALITY_PRUNE_ORACLE = """
+WITH scored AS (
+  SELECT source, doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         ROUND(1.0 / (1.0 + EXP(-(LEN(STRING_SPLIT(text, ' ')) / 100.0 - 1.0))),
+               4) AS q
+  FROM documents
+), pruned AS (
+  SELECT *, PERCENT_RANK() OVER (PARTITION BY source
+                                 ORDER BY n_tokens, doc_id) >= 0.2 AS kept
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+       MIN(CASE WHEN kept THEN n_tokens END) AS min_kept_tokens,
+       ROUND(AVG(CASE WHEN kept THEN q END), 6) AS avg_kept_q
+FROM pruned GROUP BY source
 """

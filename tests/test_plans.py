@@ -126,6 +126,8 @@ _INTENTIONAL_NLJ = {
     "time_spine_gapfill",         # hours x 5 types spine cross
     "unigram_logprob_scores",     # 1-row corpus-total crossJoin
     "embedding_pq_codes",         # 8-row codebook broadcast
+    "hybrid_search_rrf",          # 1-row corpus-stats crossJoin
+    "regr_value_trend",           # 1-row global-min-ts crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
@@ -219,3 +221,33 @@ def test_embedding_pq_codes_broadcast_codebook_no_smj(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_min" in plan  # argmin folds map-side
+
+
+def test_hybrid_rrf_inverted_probe_and_group_limits(spark):
+    """The lexical leg must probe the token stream against the
+    BROADCAST query-term set (inverted-index shape — the corpus-sized
+    exploded token stream never shuffles on term for the semi-probe),
+    and both legs' top-50 plus the fused top-10 must ride
+    WindowGroupLimit so only k rows per query key per mapper move."""
+    plan = _plan(spark, "hybrid_search_rrf")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("WindowGroupLimit") >= 4  # partial+final, >=2 windows
+
+
+def test_pii_redaction_single_shuffle_partial_agg(spark):
+    """The scrub is stateless per-row expression work: exactly one
+    exchange (the final groupBy(source)) with map-side combine, and
+    no UDF anywhere — regexp work stays JVM-side."""
+    plan = _plan(spark, "pii_redaction_stats")
+    assert plan.count("Exchange") == 1
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_prune_single_shuffle(spark):
+    """Percentile pruning: the window's hashpartitioning(source)
+    must also satisfy the downstream per-source aggregate — one
+    shuffle total, nothing collapsing to a single partition."""
+    plan = _plan(spark, "quality_prune_percentile")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
