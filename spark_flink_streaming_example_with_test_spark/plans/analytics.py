@@ -877,3 +877,84 @@ SELECT event_type,
        CAST(REGR_COUNT(value, x) AS BIGINT) AS n
 FROM x GROUP BY event_type
 """
+
+
+def moving_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-frame sliding-window anomaly detection: each event's
+    value is z-scored against the moving mean/stddev of the 10
+    PRECEDING events of its type (current row excluded, so the
+    score is an honest one-step-ahead residual); |z| > 2.5 flags an
+    anomaly. Covers the bounded ROWS BETWEEN frame the rest of the
+    window suite doesn't (running = unbounded-preceding, ranking =
+    whole-partition).
+
+    Scale shape: one shuffle on event_type, one sort per partition,
+    O(1) frame updates per row; the per-type summary reuses the
+    window's partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    z = F.when(sd > 1e-9, (F.col("value") - mu) / sd)
+    return (
+        e.select("event_type", "value", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.abs(F.col("z")) > 2.5).cast("long")).alias("n_anomalies"),
+            F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+        )
+    )
+
+
+MOVING_ZSCORE_ORACLE = """
+WITH z AS (
+  SELECT event_type, value,
+         CASE WHEN STDDEV_SAMP(value) OVER w > 1e-9 THEN
+           (value - AVG(value) OVER w) / (STDDEV_SAMP(value) OVER w)
+         END AS z
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ABS(z) > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       ROUND(MAX(ABS(z)), 6) AS max_abs_z
+FROM z GROUP BY event_type
+"""
+
+
+def group_by_all_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL SQL sugar (Spark 3.4+/4.x): the
+    grouping keys are inferred from the non-aggregate select items,
+    the ordering from the full select list — resolves to the exact
+    same aggregate plan as the explicit form (sugar is resolved at
+    analysis time, so it costs nothing at any scale)."""
+    import uuid
+
+    view = f"__events_gba_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(f"""
+        SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+        FROM {view}
+        GROUP BY ALL
+        ORDER BY ALL
+    """)
+    out.schema
+    return out
+
+
+GROUP_BY_ALL_ORACLE = """
+SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY ALL
+ORDER BY ALL
+"""

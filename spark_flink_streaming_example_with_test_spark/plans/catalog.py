@@ -61,6 +61,10 @@ _SPECS: list[QuerySpec] = [
               llm.QUALITY_PRUNE_ORACLE),
     QuerySpec("regr_value_trend", an.regr_value_trend,
               an.REGR_TREND_ORACLE),
+    QuerySpec("moving_zscore_events", an.moving_zscore_events,
+              an.MOVING_ZSCORE_ORACLE),
+    QuerySpec("group_by_all_kpi", an.group_by_all_kpi,
+              an.GROUP_BY_ALL_ORACLE),
     QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,
               llm.CORPUS_SEGMENT_ORACLE),
     QuerySpec("pack_token_budget", llm.pack_token_budget_query,
