@@ -63,6 +63,10 @@ _SPECS: list[QuerySpec] = [
               an.REGR_TREND_ORACLE),
     QuerySpec("moving_zscore_events", an.moving_zscore_events,
               an.MOVING_ZSCORE_ORACLE),
+    QuerySpec("source_length_gini", llm.source_length_gini,
+              llm.SOURCE_GINI_ORACLE),
+    QuerySpec("hll_sketch_union_tokens", llm.hll_sketch_union_tokens,
+              llm.HLL_UNION_ORACLE),
     QuerySpec("group_by_all_kpi", an.group_by_all_kpi,
               an.GROUP_BY_ALL_ORACLE),
     QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,

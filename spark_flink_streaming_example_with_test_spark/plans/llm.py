@@ -1840,3 +1840,94 @@ SELECT source, COUNT(*) AS n_docs,
        ROUND(AVG(CASE WHEN kept THEN q END), 6) AS avg_kept_q
 FROM pruned GROUP BY source
 """
+
+
+# --- Grouped Arrow + mergeable sketches -------------------------------
+
+def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini coefficient of document lengths via
+    ``groupBy().applyInArrow`` — the grouped member of the Arrow
+    escape-hatch family (map/co-group/stateful are covered
+    elsewhere): each source's rows arrive as ONE pyarrow Table and
+    the Gini folds run in Arrow compute kernels, no pandas
+    materialization. The right tool only when per-group logic needs
+    the whole group AND escapes Catalyst; like applyInPandas it
+    materializes a full group per call, so it presumes bounded
+    groups (sources here; at 100 TB a pre-aggregation or salting
+    step would bound them first).
+
+    Gini = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending x,
+    1-based i.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("n_chars")
+    )
+
+    def gini(table: pa.Table) -> pa.Table:
+        x = pc.array_sort_indices(table.column("n_chars"))
+        xs = pc.take(table.column("n_chars"), x).cast(pa.float64())
+        n = len(xs)
+        total = pc.sum(xs).as_py()
+        idx = pa.array(range(1, n + 1), pa.float64())
+        weighted = pc.sum(pc.multiply(xs, idx)).as_py()
+        g = 2.0 * weighted / (n * total) - (n + 1.0) / n
+        return pa.Table.from_pydict(
+            {
+                "source": [table.column("source")[0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "gini": pa.array([round(g, 6)], pa.float64()),
+            }
+        )
+
+    return docs.groupBy("source").applyInArrow(
+        gini, "source string, n_docs long, gini double"
+    )
+
+
+SOURCE_GINI_ORACLE = """
+WITH ranked AS (
+  SELECT source, LEN(text)::DOUBLE AS x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY LEN(text)) AS i
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(2.0 * SUM(x * i) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM ranked GROUP BY source
+"""
+
+
+def hll_sketch_union_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the shape that matters at
+    100 TB: per-source HLL sketches build map-side
+    (``hll_sketch_agg``), only the fixed-size sketch bytes shuffle,
+    and ``hll_union_agg`` merges them into the corpus-level estimate
+    (exactly how a 1000-executor cluster counts distincts without
+    moving raw values). Emitted as the engine-checkable exact count
+    plus a 5%-tolerance property boolean on the estimate, same
+    contract as ``approx_distinct_users``."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.hll_sketch_agg("token").alias("sk")
+    )
+    est = per_src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = toks.agg(F.count_distinct("token").alias("n_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_exact",
+        (F.abs(F.col("est") - F.col("n_exact")) <= 0.05 * F.col("n_exact"))
+        .alias("est_within_5pct"),
+    )
+
+
+HLL_UNION_ORACLE = """
+SELECT COUNT(DISTINCT token) AS n_exact, TRUE AS est_within_5pct
+FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+"""

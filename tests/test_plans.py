@@ -128,6 +128,7 @@ _INTENTIONAL_NLJ = {
     "embedding_pq_codes",         # 8-row codebook broadcast
     "hybrid_search_rrf",          # 1-row corpus-stats crossJoin
     "regr_value_trend",           # 1-row global-min-ts crossJoin
+    "hll_sketch_union_tokens",    # 1-row sketch-estimate crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
@@ -251,3 +252,13 @@ def test_quality_prune_single_shuffle(spark):
     plan = _plan(spark, "quality_prune_percentile")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SinglePartition" not in plan
+
+
+def test_hll_union_partial_sketches(spark):
+    """Distinct counting must ride mergeable partial sketches: the
+    per-source hll_sketch_agg combines map-side (partial_ before the
+    exchange), so only fixed-size sketch bytes shuffle — never raw
+    token values."""
+    plan = _plan(spark, "hll_sketch_union_tokens")
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_hll_union_agg" in plan
