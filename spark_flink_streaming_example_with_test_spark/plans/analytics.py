@@ -958,3 +958,50 @@ FROM events
 GROUP BY ALL
 ORDER BY ALL
 """
+
+
+def range_frame_hourly_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding aggregate: each event's trailing-hour load
+    is the sum/count of that user's events in the preceding 3600
+    SECONDS (value-based frame over the epoch ordering — a different
+    physical frame evaluation than the row-counted frames:
+    variable-width, peer-inclusive). Summarized per user as the peak
+    trailing-hour burst.
+
+    Scale shape: one shuffle on user_id, one sort per partition,
+    two-pointer frame maintenance per row; the per-user summary
+    reuses the window's partitioning.
+    """
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    hourly = (
+        e.select("user_id", epoch.alias("epoch"), "value")
+        .withColumn("hr_n", F.count("*").over(w))
+        .withColumn("hr_sum", F.round(F.sum("value").over(w), 2))
+    )
+    return hourly.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("hr_n").alias("peak_hourly_events"),
+        F.round(F.max("hr_sum"), 2).alias("peak_hourly_value"),
+    )
+
+
+RANGE_FRAME_ORACLE = """
+WITH hourly AS (
+  SELECT user_id,
+         COUNT(*) OVER w AS hr_n,
+         ROUND(SUM(value) OVER w, 2) AS hr_sum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, COUNT(*) AS n_events,
+       MAX(hr_n) AS peak_hourly_events,
+       ROUND(MAX(hr_sum), 2) AS peak_hourly_value
+FROM hourly GROUP BY user_id
+"""

@@ -67,6 +67,14 @@ _SPECS: list[QuerySpec] = [
               llm.SOURCE_GINI_ORACLE),
     QuerySpec("hll_sketch_union_tokens", llm.hll_sketch_union_tokens,
               llm.HLL_UNION_ORACLE),
+    QuerySpec("range_frame_hourly_load", an.range_frame_hourly_load,
+              an.RANGE_FRAME_ORACLE),
+    QuerySpec("try_functions_safety", rel.try_functions_safety,
+              rel.TRY_FUNCTIONS_ORACLE),
+    QuerySpec("edit_distance_neighbors", rel.edit_distance_neighbors,
+              rel.EDIT_DISTANCE_ORACLE),
+    QuerySpec("bitwise_agg_flags", rel.bitwise_agg_flags,
+              rel.BITWISE_AGG_ORACLE),
     QuerySpec("group_by_all_kpi", an.group_by_all_kpi,
               an.GROUP_BY_ALL_ORACLE),
     QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,

@@ -1873,7 +1873,8 @@ def source_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = pc.sum(xs).as_py()
         idx = pa.array(range(1, n + 1), pa.float64())
         weighted = pc.sum(pc.multiply(xs, idx)).as_py()
-        g = 2.0 * weighted / (n * total) - (n + 1.0) / n
+        # all-empty-text group: zero total length = perfect equality
+        g = 0.0 if total == 0 else 2.0 * weighted / (n * total) - (n + 1.0) / n
         return pa.Table.from_pydict(
             {
                 "source": [table.column("source")[0].as_py()],

@@ -1129,3 +1129,128 @@ SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day, event_type,
        COUNT(*) AS n
 FROM events GROUP BY DATE_TRUNC('day', ts), event_type
 """
+
+
+def try_functions_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* scalar family: try_divide / try_add /
+    try_to_number return NULL where the strict forms would raise
+    (division by zero, overflow, malformed numerics). At 100 TB the
+    try_* forms are the difference between one poisoned row nulling
+    out and one poisoned row killing a 6-hour job — this query pins
+    that the null-on-error semantics match a classic CASE/TRY_CAST
+    oracle exactly."""
+    e = load_table(spark, sf_dir, "events")
+    divisor = (F.col("user_id") % 5).cast("double")
+    numlike = F.when(
+        F.col("event_id") % 7 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("event_id").cast("string"))
+    return e.select(
+        "event_id",
+        F.round(F.try_divide("value", divisor), 6).alias("safe_ratio"),
+        F.try_add(F.col("event_id"), F.lit(1)).alias("next_id"),
+        F.try_to_number(numlike, F.lit("999999999")).cast("long")
+        .alias("parsed_id"),
+        (F.col("user_id") % 5 == 0).alias("was_div_zero"),
+    )
+
+
+TRY_FUNCTIONS_ORACLE = """
+SELECT event_id,
+       ROUND(CASE WHEN user_id % 5 = 0 THEN NULL
+                  ELSE value / (user_id % 5) END, 6) AS safe_ratio,
+       event_id + 1 AS next_id,
+       TRY_CAST(CASE WHEN event_id % 7 = 0 THEN 'not-a-number'
+                     ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+         AS parsed_id,
+       user_id % 5 = 0 AS was_div_zero
+FROM events
+"""
+
+
+def edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance screening — the character-level near-dup check
+    the token-level dedup ladder lacks: levenshtein between each
+    document's 40-char prefix and its id-successor's, normalized to
+    a similarity in [0, 1]. The id-adjacent pairing keeps the check
+    linear (a real fuzzy-dedup would run this as the verify step on
+    LSH candidate pairs, exactly like dedup_minhash_lsh's exact
+    verification).
+
+    Scale shape: a 1-offset self-join on the id key — with the
+    corpus sorted/bucketed by id this is a co-located merge join,
+    and the levenshtein itself is O(40x40) per row, JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.substring("text", 1, 40).alias("pa"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, 40).alias("pb"),
+    )
+    lev = F.levenshtein("pa", "pb")
+    denom = F.greatest(F.length("pa"), F.length("pb"))
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        lev.alias("lev"),
+        F.round(1.0 - lev / denom, 6).alias("prefix_sim"),
+    )
+
+
+EDIT_DISTANCE_ORACLE = """
+WITH a AS (SELECT doc_id, SUBSTRING(text, 1, 40) AS pa FROM documents),
+b AS (SELECT doc_id - 1 AS doc_id, SUBSTRING(text, 1, 40) AS pb
+      FROM documents)
+SELECT doc_id, LEVENSHTEIN(pa, pb) AS lev,
+       ROUND(1.0 - LEVENSHTEIN(pa, pb)
+             / GREATEST(LENGTH(pa), LENGTH(pb)), 6) AS prefix_sim
+FROM a JOIN b USING (doc_id)
+"""
+
+
+def bitwise_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (bit_and / bit_or / bit_xor) plus
+    scalar bit ops: per-user event-type flag words OR-ed across
+    events (the compact-feature-flag pattern: 1 bit per event type,
+    one long per user), with bit_count on the result. All
+    map-side-combinable single-pass aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+        .cast("long")
+    )
+    return (
+        e.select("user_id", flag.alias("flag"), "event_id")
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("flag").alias("type_mask"),
+            F.bit_and("flag").alias("common_mask"),
+            F.bit_xor("event_id").alias("id_parity"),
+        )
+        .select(
+            "user_id",
+            "type_mask",
+            F.bit_count("type_mask").alias("n_distinct_types"),
+            "common_mask",
+            "id_parity",
+        )
+    )
+
+
+BITWISE_AGG_ORACLE = """
+WITH flags AS (
+  SELECT user_id, event_id,
+         (CASE event_type
+            WHEN 'click' THEN 1 WHEN 'view' THEN 2
+            WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+            ELSE 16 END)::BIGINT AS flag
+  FROM events
+)
+SELECT user_id,
+       BIT_OR(flag) AS type_mask,
+       BIT_COUNT(BIT_OR(flag)) AS n_distinct_types,
+       BIT_AND(flag) AS common_mask,
+       BIT_XOR(event_id) AS id_parity
+FROM flags GROUP BY user_id
+"""
