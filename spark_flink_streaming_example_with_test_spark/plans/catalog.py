@@ -75,6 +75,11 @@ _SPECS: list[QuerySpec] = [
               rel.EDIT_DISTANCE_ORACLE),
     QuerySpec("bitwise_agg_flags", rel.bitwise_agg_flags,
               rel.BITWISE_AGG_ORACLE),
+    QuerySpec("multimodal_resize_roundtrip", llm.multimodal_resize_roundtrip,
+              llm.MULTIMODAL_RESIZE_ORACLE),
+    QuerySpec("multimodal_frame_sample_counts",
+              llm.multimodal_frame_sample_counts,
+              llm.MULTIMODAL_FRAMES_ORACLE),
     QuerySpec("group_by_all_kpi", an.group_by_all_kpi,
               an.GROUP_BY_ALL_ORACLE),
     QuerySpec("corpus_segment_dedup", llm.corpus_segment_dedup,

@@ -1932,3 +1932,53 @@ HLL_UNION_ORACLE = """
 SELECT COUNT(DISTINCT token) AS n_exact, TRUE AS est_within_5pct
 FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
 """
+
+
+def multimodal_resize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end on the fake decode path: payload ->
+    payload' with the target dims folded into the deterministic
+    digest, so the oracle can recompute the exact output bytes
+    (sha256(payload || '64x64')) without any media library. Proves
+    the schema-preserving mapInPandas transform carries binary
+    columns through correctly."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = mm.documents_as_assets(docs)
+    resized = mm.resize_images(assets, width=64, height=64, fake=True)
+    return resized.select(
+        "asset_id", F.lower(F.hex("payload")).alias("resized_sha")
+    )
+
+
+MULTIMODAL_RESIZE_ORACLE = """
+SELECT doc_id AS asset_id,
+       SHA256(text || '64x64') AS resized_sha
+FROM documents
+"""
+
+
+def multimodal_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (one asset row -> N frame rows, the
+    flatMap-shaped mapInPandas): per-asset frame count and index
+    range recomputed exactly by the oracle from payload length
+    (n = max(1, bytes // (every_n * 32))), plus a digest-uniqueness
+    property the fake decode guarantees. The expansion shape — not
+    the stub decode — is what must survive a refactor."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm.sample_video_frames(
+        mm.documents_as_assets(docs), every_n=4, fake=True
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_index").cast("int").alias("max_idx"),
+        (F.count_distinct("frame") == F.count("*")).alias("digests_unique"),
+    )
+
+
+MULTIMODAL_FRAMES_ORACLE = """
+SELECT doc_id AS asset_id,
+       GREATEST(1, OCTET_LENGTH(ENCODE(text)) // 128) AS n_frames,
+       CAST(GREATEST(1, OCTET_LENGTH(ENCODE(text)) // 128) - 1 AS INT)
+         AS max_idx,
+       TRUE AS digests_unique
+FROM documents
+"""
