@@ -181,3 +181,48 @@ def test_payload_sizes_arrow_matches_expression(spark, sf_dir):
         ).collect()
     }
     assert got == exp
+
+
+def test_pii_patterns_edge_cases(spark):
+    """The three scrub regexes against crafted adversarial strings:
+    multiple hits per doc, an IP-shaped email domain (alpha-TLD rule
+    keeps it an IP, not an email), digits embedded in words (the \\b
+    anchors must reject them), and redaction ordering (emails redact
+    first so the phone pattern can't eat their digit runs)."""
+    from spark_flink_streaming_example_with_test_spark.plans.llm import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+    )
+
+    rows = [
+        ("two emails a@b.com and c.d@e.org plus 555-123-4567", 2, 1, 0),
+        ("ip-domain user@1.2.3.4 stays an ip", 0, 0, 1),
+        ("embedded x555-123-4567y digits do not match", 0, 0, 0),
+        ("plain 10.0.0.1 and 555-000-1111", 0, 1, 1),
+        ("no pii here at all", 0, 0, 0),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "text string"
+    ).select(
+        "text",
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0))).alias("em"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0))).alias("ph"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IP), F.lit(0))).alias("ip"),
+    )
+    got = {r.text: (r.em, r.ph, r.ip) for r in df.collect()}
+    for text, em, ph, ip in rows:
+        assert got[text] == (em, ph, ip), (text, got[text])
+
+    # ordering: after the email pass, the phone pass sees no digits
+    # left from the address; the full triple redaction is idempotent.
+    redacted = spark.createDataFrame(
+        [("reach a9@b.io or 555-123-4567 at 10.0.0.1",)], "text string"
+    ).select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE, "<PHONE>"),
+            _PII_IP, "<IP>").alias("red")
+    ).first().red
+    assert redacted == "reach <EMAIL> or <PHONE> at <IP>"
