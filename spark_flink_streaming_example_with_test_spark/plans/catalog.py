@@ -75,6 +75,10 @@ _SPECS: list[QuerySpec] = [
               rel.EDIT_DISTANCE_ORACLE),
     QuerySpec("bitwise_agg_flags", rel.bitwise_agg_flags,
               rel.BITWISE_AGG_ORACLE),
+    QuerySpec("url_normalize_dedup", llm.url_normalize_dedup,
+              llm.URL_NORMALIZE_ORACLE),
+    QuerySpec("xml_roundtrip_kpi", llm.xml_roundtrip_kpi,
+              llm.XML_ROUNDTRIP_ORACLE),
     QuerySpec("multimodal_resize_roundtrip", llm.multimodal_resize_roundtrip,
               llm.MULTIMODAL_RESIZE_ORACLE),
     QuerySpec("multimodal_frame_sample_counts",

@@ -1982,3 +1982,77 @@ SELECT doc_id AS asset_id,
        TRUE AS digests_unique
 FROM documents
 """
+
+
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-style URL normalization + per-host dedup — the first
+    step of any web-corpus pipeline: parse host/path/query with
+    ``parse_url``, canonicalize (lowercase host, strip the tracking
+    params and the default port), and count distinct canonical pages
+    per host. URLs are synthesized doc_id-deterministically (mixed
+    case, :443 port, utm_* noise) since the corpus has none; the
+    oracle reconstructs the canonical form arithmetically, so a
+    parse_url regression surfaces as a value mismatch.
+
+    Scale shape: stateless per-row parsing (JVM-side) + one
+    map-side-combinable groupBy(host) with a distinct — the same
+    two-exchange shape as distinct_users_per_type.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW.Site"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".com:443/path/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+    )
+    parsed = docs.select(
+        F.lower(F.parse_url(url, F.lit("HOST"))).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("id")).cast("long")
+        .alias("page_id"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct("path").alias("n_pages"),
+        F.sum("page_id").cast("long").alias("id_sum"),
+    )
+
+
+URL_NORMALIZE_ORACLE = """
+SELECT 'www.site' || (doc_id % 20) || '.com' AS host,
+       COUNT(*) AS n_urls,
+       COUNT(DISTINCT '/path/' || (doc_id % 7)) AS n_pages,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM documents GROUP BY 1
+"""
+
+
+def xml_roundtrip_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scalar surface (Spark 4 ``from_xml`` + ``xpath_int``): a
+    doc_id-synthesized XML fragment is parsed back by both paths and
+    aggregated; the oracle reconstructs the same values without XML,
+    so a parsing regression (schema inference, nested field access,
+    xpath evaluation) fails the hash. Stateless per-row work, one
+    aggregate exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<doc><src>"), F.col("source"),
+        F.lit("</src><n>"), F.col("n_chars").cast("string"),
+        F.lit("</n></doc>"),
+    )
+    parsed = docs.select(
+        F.from_xml(xml, "src STRING, n INT").alias("x"),
+        F.xpath_int(xml, F.lit("/doc/n")).alias("n_xpath"),
+    )
+    return parsed.groupBy(F.col("x.src").alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("x.n").cast("long").alias("chars_from_xml"),
+        F.sum("n_xpath").cast("long").alias("chars_from_xpath"),
+    )
+
+
+XML_ROUNDTRIP_ORACLE = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_from_xml,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_from_xpath
+FROM documents GROUP BY source
+"""
