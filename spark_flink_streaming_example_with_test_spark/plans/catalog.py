@@ -75,6 +75,9 @@ _SPECS: list[QuerySpec] = [
               rel.EDIT_DISTANCE_ORACLE),
     QuerySpec("bitwise_agg_flags", rel.bitwise_agg_flags,
               rel.BITWISE_AGG_ORACLE),
+    QuerySpec("streaming_chained_windows_e2e",
+              ref.streaming_chained_windows_e2e,
+              ref.STREAMING_CHAINED_WINDOWS_ORACLE),
     QuerySpec("url_normalize_dedup", llm.url_normalize_dedup,
               llm.URL_NORMALIZE_ORACLE),
     QuerySpec("xml_roundtrip_kpi", llm.xml_roundtrip_kpi,

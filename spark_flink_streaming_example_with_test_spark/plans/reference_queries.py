@@ -1018,3 +1018,87 @@ SELECT user_id, ws AS window_start,
        ws + INTERVAL '1 minute' AS window_end, cnt
 FROM w, mx WHERE ws + INTERVAL '1 minute' > wm
 """
+
+
+def streaming_chained_windows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful windowed aggregations in ONE streaming
+    query (multi-stateful-operator support, Spark 3.4+/4): per-user
+    5-minute activity windows re-aggregated into 15-minute roll-ups
+    of active user-windows and event totals — the two-level
+    streaming rollup that previously required two queries with an
+    intermediate sink. The downstream aggregation keys on
+    ``window_time`` of the upstream window, which is how Spark
+    propagates event time across the chain; append mode is mandatory
+    for chained aggs, so emission stops at the final watermark
+    (max event time - 10 s): after the last data batch the engine
+    runs one trailing batch in which level 1 flushes every closed
+    5-minute window into level 2 AND level 2 emits every 15-minute
+    window closed under the same watermark — a 15-minute window can
+    only close after all its 5-minute children have. The oracle
+    applies the identical cutoff, so the row set matches exactly.
+    (No flush sentinel: single-file appends to a running file source
+    proved racy in this environment; the cutoff needs no extra
+    batches beyond the trailing one the engine guarantees.)
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = tempfile.mkdtemp(prefix="engine_stream_chain_")
+    sink = f"chain_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp"
+        ).parquet(src)
+        lvl1 = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "5 minutes"), "user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lvl2 = (
+            lvl1.groupBy(
+                F.window(F.window_time("window"), "15 minutes").alias("w15")
+            )
+            .agg(
+                F.count("*").alias("active_user_windows"),
+                F.sum("cnt").cast("long").alias("n_events"),
+            )
+            .select(
+                F.col("w15.start").alias("w_start"),
+                "active_user_windows",
+                "n_events",
+            )
+        )
+        query = (
+            lvl2.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_CHAINED_WINDOWS_ORACLE = """
+WITH lvl1 AS (
+  SELECT user_id,
+         CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 300) * 300) AS TIMESTAMP) AS w5,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(w5) / 900) * 900) AS TIMESTAMP)
+         AS w_start,
+       COUNT(*) AS active_user_windows,
+       CAST(SUM(cnt) AS BIGINT) AS n_events
+FROM lvl1
+GROUP BY 1
+HAVING w_start + INTERVAL 15 MINUTE
+       <= (SELECT MAX(ts) - INTERVAL 10 SECOND FROM events)
+"""
