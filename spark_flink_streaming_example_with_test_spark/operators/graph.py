@@ -89,3 +89,67 @@ def connected_components(
             stacklevel=2,
         )
     return labels.withColumnRenamed("label", "component")
+
+
+def pagerank_unrolled(
+    edges: DataFrame,
+    n_iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank as a FIXED number of unrolled DataFrame iterations —
+    the Pregel-on-DataFrames shape: each iteration is one
+    contribution join (edge ⋈ rank on src) + one aggregate on dst,
+    so the whole computation is ``n_iterations`` shuffles on the
+    node key and Catalyst sees a single declarative plan (no driver
+    loop state, no RDDs). Assumes every node has at least one
+    out-edge (no dangling mass); uniform 1/N init.
+
+    Returns (node, rank) for every node, unrounded.
+
+    At 100 TB: the per-iteration shuffle is the irreducible cost of
+    any distributed PageRank; pre-partitioning edges and ranks on
+    the node key (bucketing) makes the join co-located so only the
+    aggregate exchanges. A convergence-driven variant would wrap
+    this in the connected_components-style loop above; fixed
+    unrolling is what makes the result engine-checkable.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # Truncate the plan per superstep (localCheckpoint, the
+    # connected_components pattern): without it each iteration
+    # re-derives every prior one and the unrolled plan grows
+    # exponentially — the classic iterative-DataFrame trap.
+    e = e.join(out_deg, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.agg(F.count("*").alias("n"))
+    ranks = (
+        nodes.crossJoin(F.broadcast(n))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iterations):
+        contribs = (
+            e.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            ranks.select("node", "n")
+            .join(contribs, ranks.node == contribs.dst, "left")
+            .select(
+                "node",
+                ((1.0 - damping) / F.col("n")
+                 + damping * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")

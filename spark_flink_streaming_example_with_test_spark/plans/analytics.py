@@ -1005,3 +1005,78 @@ SELECT user_id, COUNT(*) AS n_events,
        ROUND(MAX(hr_sum), 2) AS peak_hourly_value
 FROM hourly GROUP BY user_id
 """
+
+
+def pagerank_doc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled iterations, damping 0.85) over a
+    deterministic synthetic link graph on the documents table (each
+    doc links to (7*id+1) mod N and (13*id+3) mod N — the corpus has
+    no real link column, and the arithmetic graph lets the oracle
+    regenerate identical edges). Every node has out-degree 2 and
+    in-edges exist for every node, so no dangling-mass correction is
+    needed; ranks are emitted for ALL nodes (no float-ordered top-k)
+    rounded to 9, well inside double agreement for 3 iterations.
+
+    Scale shape: one shuffle per iteration on the node key — the
+    irreducible distributed-PageRank cost; see
+    operators/graph.py:pagerank_unrolled.
+    """
+    from spark_flink_streaming_example_with_test_spark.operators.graph import pagerank_unrolled
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    with_n = docs.crossJoin(F.broadcast(n))
+    edges = with_n.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 1) % F.col("n")).alias("dst"),
+    ).union(
+        with_n.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 3) % F.col("n")).alias("dst"),
+        )
+    )
+    pr = pagerank_unrolled(edges, n_iterations=3, damping=0.85)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+PAGERANK_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, (doc_id * 7 + 1) % n.n AS dst
+  FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id AS src, (doc_id * 13 + 3) % n.n AS dst
+  FROM documents CROSS JOIN n
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+), e AS (
+  SELECT edges.src, edges.dst, deg.deg FROM edges JOIN deg USING (src)
+), r0 AS (
+  SELECT doc_id AS node, 1.0 / n.n AS rank FROM documents CROSS JOIN n
+), r1 AS (
+  SELECT r0.node,
+         0.15 / n.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM r0 CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.rank / e.deg) AS contrib
+    FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+  ) c ON c.dst = r0.node
+), r2 AS (
+  SELECT r1.node,
+         0.15 / n.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM r1 CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.rank / e.deg) AS contrib
+    FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+  ) c ON c.dst = r1.node
+), r3 AS (
+  SELECT r2.node,
+         0.15 / n.n + 0.85 * COALESCE(c.contrib, 0) AS rank
+  FROM r2 CROSS JOIN n
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.rank / e.deg) AS contrib
+    FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+  ) c ON c.dst = r2.node
+)
+SELECT node, ROUND(rank, 9) AS rank FROM r3
+"""

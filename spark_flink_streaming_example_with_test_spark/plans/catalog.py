@@ -75,6 +75,8 @@ _SPECS: list[QuerySpec] = [
               rel.EDIT_DISTANCE_ORACLE),
     QuerySpec("bitwise_agg_flags", rel.bitwise_agg_flags,
               rel.BITWISE_AGG_ORACLE),
+    QuerySpec("pagerank_doc_links", an.pagerank_doc_links,
+              an.PAGERANK_ORACLE),
     QuerySpec("streaming_chained_windows_e2e",
               ref.streaming_chained_windows_e2e,
               ref.STREAMING_CHAINED_WINDOWS_ORACLE),
