@@ -466,3 +466,61 @@ def pq_encode(
         F.array(*[F.col(f"b{j}.c") for j in range(m)]).alias("codes"),
         F.round(qerr, 6).alias("qerr"),
     )
+
+
+def cluster_semantic_duplicates(
+    df: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup bounded by a CLUSTER key — all-pairs cosine runs only
+    within each cluster, and every vector with a lower-id
+    same-cluster neighbor above threshold is dropped in favor of
+    that neighbor. The paper clusters with k-means; any precomputed
+    cluster id column slots in (the catalog query uses the fixture
+    label). Same keep-first contract as embedding_near_duplicates —
+    the difference is the blocking key: semantic cluster vs LSH
+    bucket.
+
+    Scale shape: one shuffle on the cluster key; O(sum of
+    cluster^2) comparisons with the same stop-cluster cap as the
+    LSH path (SemDeDup's cost model assumes balanced k-means
+    clusters; the cap is the guard when they aren't).
+    """
+    prepped = with_unit_prep(df, vec_col).select(
+        F.col(id_col), F.col(cluster_col).alias("__cluster"), "v", "v_norm"
+    )
+    if max_cluster_size is not None:
+        w = Window.partitionBy("__cluster")
+        prepped = (
+            prepped.withColumn("__n", F.count("*").over(w))
+            .filter(F.col("__n") <= max_cluster_size)
+            .drop("__n")
+        )
+    a = prepped.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"),
+        F.col("v_norm").alias("norm_a"), "__cluster",
+    )
+    b = prepped.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"),
+        F.col("v_norm").alias("norm_b"), "__cluster",
+    )
+    sim = dot("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b"))
+    pairs = (
+        a.join(b, "__cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(sim, 6) >= threshold)
+        .select(
+            "__cluster", "id_a", "id_b", F.round(sim, 6).alias("cos_sim")
+        )
+    )
+    return pairs.groupBy(
+        F.col("__cluster").alias("cluster"), F.col("id_b").alias("drop_id")
+    ).agg(
+        F.min("id_a").alias("keep_id"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )

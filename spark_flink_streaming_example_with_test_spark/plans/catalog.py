@@ -77,6 +77,8 @@ _SPECS: list[QuerySpec] = [
               rel.BITWISE_AGG_ORACLE),
     QuerySpec("pagerank_doc_links", an.pagerank_doc_links,
               an.PAGERANK_ORACLE),
+    QuerySpec("dedup_semdedup_label", llm.dedup_semdedup_label,
+              llm.DEDUP_SEMDEDUP_ORACLE),
     QuerySpec("streaming_chained_windows_e2e",
               ref.streaming_chained_windows_e2e,
               ref.STREAMING_CHAINED_WINDOWS_ORACLE),

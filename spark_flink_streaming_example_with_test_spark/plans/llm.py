@@ -2056,3 +2056,34 @@ SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS chars_from_xpath
 FROM documents GROUP BY source
 """
+
+
+def dedup_semdedup_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings fixture with the label column as
+    the semantic cluster (operators/similarity.py:
+    cluster_semantic_duplicates): one dedup decision per dropped
+    vector, cosine >= 0.3 within cluster, keep-lowest-id. Completes
+    the dedup ladder's blocking-key axis: exact hash -> MinHash band
+    -> LSH bucket -> semantic cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cluster_semantic_duplicates(
+        emb, cluster_col="label", threshold=0.3, max_cluster_size=10_000
+    )
+
+
+DEDUP_SEMDEDUP_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), pairs AS (
+  SELECT a.label AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+               i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT cluster, id_b AS drop_id, MIN(id_a) AS keep_id,
+       ROUND(MAX(cos_sim), 6) AS max_cos
+FROM pairs WHERE cos_sim >= 0.3
+GROUP BY cluster, id_b
+"""
