@@ -274,3 +274,33 @@ def test_pq_encode_matches_numpy_bruteforce(spark, vecs):
             codes.append(min(range(k), key=lambda c: (dists[c], c)))
         expect[i] = codes
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda es: all(s != d for s, d in es))
+)
+@settings(max_examples=20, deadline=None)
+def test_pagerank_mass_conservation(spark, edges):
+    """On any graph where every node has an out-edge, total PageRank
+    mass is conserved: sum of ranks == 1 after every unrolled
+    iteration (the property the damping formula guarantees when no
+    mass dangles). Nodes lacking out-edges are closed by adding a
+    self-loop-free back-edge to the smallest node id."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import pagerank_unrolled
+
+    nodes = sorted({n for e in edges for n in e})
+    srcs = {s for s, _ in edges}
+    anchor = nodes[0]
+    closed = list(edges) + [
+        (n, anchor if n != anchor else nodes[-1])
+        for n in nodes
+        if n not in srcs
+    ]
+    df = spark.createDataFrame(closed, "src long, dst long")
+    ranks = pagerank_unrolled(df, n_iterations=2)
+    total = ranks.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-9, total
