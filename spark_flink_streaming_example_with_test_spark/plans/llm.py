@@ -1572,16 +1572,24 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qterms = spark.createDataFrame(_HYBRID_QUERY_TERMS, "q_id INT, term STRING")
 
+    # Document length rides THROUGH the posting-list aggregate
+    # (constant per doc, so first() is exact) instead of joining a
+    # corpus-sized dl table back onto the term-filtered postings —
+    # at 100 TB that join would shuffle the whole corpus to serve a
+    # result proportional to matching postings.
     toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
     ).join(F.broadcast(qterms.select("term").distinct()), "term")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.size(F.split("text", " "))).alias("avgdl"),
     )
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
 
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_term = (F.col("tf") * (_BM25_K1 + 1.0)) / (
@@ -1591,7 +1599,6 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25 = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("q_id", "doc_id")
         .agg(F.round(F.sum(idf * tf_term), 6).alias("bm25"))
