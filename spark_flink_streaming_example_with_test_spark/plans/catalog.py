@@ -79,6 +79,8 @@ _SPECS: list[QuerySpec] = [
               an.PAGERANK_ORACLE),
     QuerySpec("dedup_semdedup_label", llm.dedup_semdedup_label,
               llm.DEDUP_SEMDEDUP_ORACLE),
+    QuerySpec("hashed_token_features", llm.hashed_token_features,
+              llm.HASHED_FEATURES_ORACLE),
     QuerySpec("streaming_chained_windows_e2e",
               ref.streaming_chained_windows_e2e,
               ref.STREAMING_CHAINED_WINDOWS_ORACLE),

@@ -2094,3 +2094,41 @@ SELECT cluster, id_b AS drop_id, MIN(id_a) AS keep_id,
 FROM pairs WHERE cos_sim >= 0.3
 GROUP BY cluster, id_b
 """
+
+
+def hashed_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (Weinberger et al. 2009; the
+    FastText/Vowpal-Wabbit feature map): tokens hash into a fixed
+    16-bucket feature space with no vocabulary build — the
+    no-shuffle alternative to tf-idf's corpus-wide term aggregate,
+    and the standard way to featurize unbounded vocabularies at
+    100 TB (per-row expression work; the only exchange is the final
+    per-doc aggregate). The bucket hash is md5-derived so both
+    engines compute it bit-identically; output is the sparse
+    (doc, bucket, count) triple form for the first 50 docs."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    tok = F.explode(F.split(F.lower("text"), " ")).alias("term")
+    h = F.md5(F.col("term"))
+    bucket = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        % 16
+    )
+    return (
+        docs.select("doc_id", tok)
+        .select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+HASHED_FEATURES_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       (ASCII(SUBSTR(MD5(term), 1, 1)) * 256
+        + ASCII(SUBSTR(MD5(term), 2, 1))) % 16 AS bucket,
+       COUNT(*) AS cnt
+FROM toks GROUP BY 1, 2
+"""
