@@ -47,7 +47,12 @@ class QuerySpec:
 
 _SPECS: list[QuerySpec] = [
     # -- Round-6 gate priority: new operators and API surfaces
-    # (corpus segment dedup, sequence packing, PQ encoding, the
+    # (hybrid BM25+RRF retrieval, PII scrub, percentile pruning,
+    # regr_*/zscore/Gini/HLL-union/RANGE-frame/try_*/levenshtein/
+    # bitwise aggregates, PageRank, SemDeDup, hashing-trick
+    # features, chained streaming rollup, URL/XML parsing,
+    # multimodal resize/frame plumbing, GROUP BY ALL, corpus
+    # segment dedup, sequence packing, PQ encoding, the
     # manifest-sink e2e, recursive-CTE sessionization, state-store
     # reader e2e, mixture re-weighting, SQL pipe syntax, SQL
     # scripting) plus dedup_minhash_lsh, whose exact-verification
