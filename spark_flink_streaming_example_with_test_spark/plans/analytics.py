@@ -1080,3 +1080,42 @@ edges AS (
 )
 SELECT node, ROUND(rank, 9) AS rank FROM r3
 """
+
+
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window-function surface the ranking query doesn't
+    cover: lag with an explicit default, lead, nth_value over the
+    running frame, and IGNORE NULLS last_value (the
+    last-known-good-reading pattern — here the most recent non-error
+    event type). Frames are pinned explicitly and the order is made
+    total with the event_id tiebreak so every function is
+    engine-deterministic."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    non_error = F.when(F.col("event_type") != "error", F.col("event_type"))
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 2, -1.0).over(w).alias("lag2_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.nth_value("value", 3).over(running).alias("third_value"),
+        F.last(non_error, ignorenulls=True).over(running)
+        .alias("last_good_type"),
+    )
+
+
+WINDOW_VALUE_ORACLE = """
+SELECT user_id, event_id,
+       LAG(value, 2, -1.0) OVER w AS lag2_value,
+       LEAD(value, 1) OVER w AS next_value,
+       NTH_VALUE(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_value,
+       LAST_VALUE(CASE WHEN event_type != 'error' THEN event_type END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_good_type
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""

@@ -86,6 +86,8 @@ _SPECS: list[QuerySpec] = [
               llm.DEDUP_SEMDEDUP_ORACLE),
     QuerySpec("hashed_token_features", llm.hashed_token_features,
               llm.HASHED_FEATURES_ORACLE),
+    QuerySpec("window_value_functions", an.window_value_functions,
+              an.WINDOW_VALUE_ORACLE),
     QuerySpec("streaming_chained_windows_e2e",
               ref.streaming_chained_windows_e2e,
               ref.STREAMING_CHAINED_WINDOWS_ORACLE),
