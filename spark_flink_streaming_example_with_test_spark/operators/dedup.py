@@ -408,3 +408,87 @@ def segment_duplication_stats(
             ).alias("flagged"),
         )
     )
+
+
+def incremental_shard_dedup(
+    base: DataFrame,
+    shard: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup — the ASYMMETRIC variant of the
+    ladder: a new shard is screened against an existing base corpus
+    (never base-vs-base, never shard-vs-shard), the shape of every
+    continuously-ingesting pipeline where the base is orders of
+    magnitude larger than the daily shard. Two tiers per shard doc:
+    exact (content fingerprint seen in base) and near (best n-gram
+    Jaccard >= threshold against any base doc, via the asymmetric
+    inverted-index join). Returns one row per shard document:
+    (id, dup_exact, near_dup_of, near_jaccard nullable).
+
+    Scale shape: the fingerprint tier is a broadcast-or-shuffle
+    left-semi join on a 32-char digest; the near tier's gram join
+    only pairs shard x base (the shard side of the inverted index is
+    small), so cost tracks shard postings, not base^2.
+    """
+    from pyspark import StorageLevel
+
+    b_fp = base.select(fingerprint_col(base, text_col).alias("fp"))
+    s_fp = shard.select(
+        F.col(id_col), fingerprint_col(shard, text_col).alias("fp")
+    )
+    exact = (
+        s_fp.join(b_fp.distinct(), "fp", "left_semi")
+        .select(F.col(id_col), F.lit(True).alias("dup_exact"))
+    )
+
+    sh_b = shingle_sets(base, id_col, text_col, shingle_len)
+    sh_s = shingle_sets(shard, id_col, text_col, shingle_len).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    inv_b = sh_b.select(
+        F.col(id_col).alias("base_id"),
+        F.size("shingles").alias("n_b"),
+        F.explode("shingles").alias("gram"),
+    )
+    inv_s = sh_s.select(
+        F.col(id_col).alias("shard_id"),
+        F.size("shingles").alias("n_s"),
+        F.explode("shingles").alias("gram"),
+    )
+    inter = (
+        inv_s.join(inv_b, "gram")
+        .groupBy("shard_id", "base_id")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("n_s").alias("n_s"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("inter") / (F.col("n_s") + F.col("n_b") - F.col("inter"))
+    near = (
+        inter.filter(F.round(jac, 4) >= threshold)
+        .groupBy("shard_id")
+        .agg(
+            F.min("base_id").alias("near_dup_of"),
+            F.round(F.max(F.round(jac, 4)), 4).alias("near_jaccard"),
+        )
+    )
+    return (
+        shard.select(F.col(id_col))
+        .join(exact, id_col, "left")
+        .join(near, F.col(id_col) == F.col("shard_id"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("dup_exact", F.lit(False)).alias("dup_exact"),
+            "near_dup_of",
+            "near_jaccard",
+        )
+    )
+
+
+def fingerprint_col(df: DataFrame, text_col: str) -> "F.Column":
+    """Stable content fingerprint used by the exact tiers."""
+    return F.md5(F.col(text_col))

@@ -88,6 +88,8 @@ _SPECS: list[QuerySpec] = [
               llm.HASHED_FEATURES_ORACLE),
     QuerySpec("window_value_functions", an.window_value_functions,
               an.WINDOW_VALUE_ORACLE),
+    QuerySpec("dedup_incremental_shard", llm.dedup_incremental_shard,
+              llm.DEDUP_INCREMENTAL_ORACLE),
     QuerySpec("streaming_chained_windows_e2e",
               ref.streaming_chained_windows_e2e,
               ref.STREAMING_CHAINED_WINDOWS_ORACLE),

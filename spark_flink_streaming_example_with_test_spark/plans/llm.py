@@ -2132,3 +2132,63 @@ SELECT doc_id,
        COUNT(*) AS cnt
 FROM toks GROUP BY 1, 2
 """
+
+
+def dedup_incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py:
+    incremental_shard_dedup): docs with ``doc_id % 5 == 0`` play the
+    newly-arrived shard, the rest the existing base corpus; each
+    shard doc is screened for exact (fingerprint-in-base) and near
+    (best 3-gram Jaccard >= 0.5 base neighbor) duplication — the
+    asymmetric shard-vs-base shape every continuously-ingesting
+    training pipeline runs, where base is orders of magnitude larger
+    than the daily shard and base-vs-base work must never happen."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 5 != 0)
+    shard = docs.filter(F.col("doc_id") % 5 == 0)
+    return dd.incremental_shard_dedup(
+        base, shard, shingle_len=3, threshold=0.5
+    )
+
+
+DEDUP_INCREMENTAL_ORACLE = """
+WITH base AS (
+  SELECT * FROM documents WHERE doc_id % 5 != 0
+), shard AS (
+  SELECT * FROM documents WHERE doc_id % 5 = 0
+), exact AS (
+  SELECT DISTINCT s.doc_id FROM shard s
+  JOIN base b ON MD5(s.text) = MD5(b.text)
+), g_base AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM base)
+  WHERE LEN(w) >= 3
+), g_shard AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM shard)
+  WHERE LEN(w) >= 3
+), inter AS (
+  SELECT s.doc_id AS shard_id, b.doc_id AS base_id, COUNT(*) AS inter,
+         MIN(LEN(s.g)) AS n_s, MIN(LEN(b.g)) AS n_b
+  FROM (SELECT doc_id, g, UNNEST(g) AS gram FROM g_shard) s
+  JOIN (SELECT doc_id, g, UNNEST(g) AS gram FROM g_base) b USING (gram)
+  GROUP BY 1, 2
+), near AS (
+  SELECT shard_id, MIN(base_id) AS near_dup_of,
+         ROUND(MAX(ROUND(inter * 1.0 / (n_s + n_b - inter), 4)), 4)
+           AS near_jaccard
+  FROM inter
+  WHERE ROUND(inter * 1.0 / (n_s + n_b - inter), 4) >= 0.5
+  GROUP BY shard_id
+)
+SELECT s.doc_id,
+       e.doc_id IS NOT NULL AS dup_exact,
+       n.near_dup_of, n.near_jaccard
+FROM shard s
+LEFT JOIN exact e ON e.doc_id = s.doc_id
+LEFT JOIN near n ON n.shard_id = s.doc_id
+"""
