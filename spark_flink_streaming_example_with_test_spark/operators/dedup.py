@@ -433,8 +433,6 @@ def incremental_shard_dedup(
     only pairs shard x base (the shard side of the inverted index is
     small), so cost tracks shard postings, not base^2.
     """
-    from pyspark import StorageLevel
-
     b_fp = base.select(fingerprint_col(base, text_col).alias("fp"))
     s_fp = shard.select(
         F.col(id_col), fingerprint_col(shard, text_col).alias("fp")
@@ -445,9 +443,7 @@ def incremental_shard_dedup(
     )
 
     sh_b = shingle_sets(base, id_col, text_col, shingle_len)
-    sh_s = shingle_sets(shard, id_col, text_col, shingle_len).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sh_s = shingle_sets(shard, id_col, text_col, shingle_len)
     inv_b = sh_b.select(
         F.col(id_col).alias("base_id"),
         F.size("shingles").alias("n_b"),
