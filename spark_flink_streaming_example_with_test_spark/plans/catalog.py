@@ -90,6 +90,7 @@ _SPECS: list[QuerySpec] = [
               an.WINDOW_VALUE_ORACLE),
     QuerySpec("dedup_incremental_shard", llm.dedup_incremental_shard,
               llm.DEDUP_INCREMENTAL_ORACLE),
+    QuerySpec("iso_week_rollup", rel.iso_week_rollup, rel.ISO_WEEK_ORACLE),
     QuerySpec("streaming_chained_windows_e2e",
               ref.streaming_chained_windows_e2e,
               ref.STREAMING_CHAINED_WINDOWS_ORACLE),
