@@ -1261,17 +1261,20 @@ def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     divergence trap (week 1 is the week containing the first
     Thursday; early-January days can belong to the PREVIOUS ISO
     year): weekly order revenue keyed by (iso_year, iso_week),
-    where iso_year comes from the Monday of the week so the
-    year-boundary rows bucket identically in both engines. Single
-    map-side-combinable aggregate."""
+    where iso_year is the year of the week's THURSDAY (the ISO-8601
+    definition) so year-boundary rows bucket identically in both
+    engines. Single map-side-combinable aggregate."""
     o = load_table(spark, sf_dir, "orders")
     # dayofweek: Sun=1..Sat=7; days since Monday = (dayofweek+5) % 7
-    monday = F.date_sub(
-        F.col("o_orderdate"), (F.dayofweek("o_orderdate") + 5) % 7
+    thursday = F.date_add(
+        F.date_sub(
+            F.col("o_orderdate"), (F.dayofweek("o_orderdate") + 5) % 7
+        ),
+        3,
     )
     return (
         o.select(
-            F.year(monday).alias("iso_year"),
+            F.year(thursday).alias("iso_year"),
             F.weekofyear("o_orderdate").alias("iso_week"),
             "o_totalprice",
         )
@@ -1284,8 +1287,8 @@ def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ISO_WEEK_ORACLE = """
-SELECT YEAR(o_orderdate - INTERVAL ((ISODOW(o_orderdate) - 1)) DAY)
-         AS iso_year,
+SELECT YEAR(o_orderdate - INTERVAL ((ISODOW(o_orderdate) - 1)) DAY
+             + INTERVAL 3 DAY) AS iso_year,
        WEEK(o_orderdate) AS iso_week,
        COUNT(*) AS n_orders,
        ROUND(SUM(o_totalprice), 2) AS revenue
