@@ -93,6 +93,15 @@ def shingle_sets(
             F.sequence(F.lit(0), F.size("toks") - shingle_len), gram_at
         )
     )
+    # CASE-WHEN guard, not just the _tokenized length filter:
+    # Catalyst's subexpression elimination can collapse this
+    # projection into the filter's stage and evaluate the transform
+    # BEFORE the length predicate rejects a short row — on which
+    # sequence(0, negative) runs DESCENDING and element_at throws.
+    # (Found by the incremental-dedup property test on 1-token docs.)
+    grams = F.when(F.size("toks") >= shingle_len, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     return s1.select(F.col(id_col), grams.alias("shingles"))
 
 
@@ -123,6 +132,10 @@ def hashed_shingle_sets(
 
     grams = F.array_distinct(
         F.transform(F.sequence(F.lit(0), F.col("hi")), gram_at)
+    )
+    # Same evaluation-order guard as shingle_sets above.
+    grams = F.when(F.col("hi") >= 0, grams).otherwise(
+        F.array().cast("array<long>")
     )
     return s2.select(F.col(id_col), grams.alias("shingles"))
 

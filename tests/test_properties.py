@@ -304,3 +304,74 @@ def test_pagerank_mass_conservation(spark, edges):
     ranks = pagerank_unrolled(df, n_iterations=2)
     total = ranks.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-9, total
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("red blue fast slow key row".split()),
+                 min_size=0, max_size=8).map(" ".join),
+        min_size=2,
+        max_size=16,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_incremental_shard_dedup_matches_bruteforce(spark, texts):
+    """Shard-vs-base screening agrees with a brute-force Python
+    twin on arbitrary small corpora: exact tier = text equality with
+    any base doc, near tier = best 3-gram Jaccard >= 0.5 over the
+    python set computation, lowest-id tiebreak for near_dup_of."""
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import incremental_shard_dedup
+
+    docs = list(enumerate(texts))
+    base = [(i, t) for i, t in docs if i % 2 == 1]
+    shard = [(i, t) for i, t in docs if i % 2 == 0]
+    df_b = spark.createDataFrame(base or [(None, None)], "doc_id long, text string").filter("doc_id is not null")
+    df_s = spark.createDataFrame(shard, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_exact, r.near_dup_of, r.near_jaccard)
+        for r in incremental_shard_dedup(df_b, df_s, threshold=0.5).collect()
+    }
+
+    def grams(t):
+        w = t.lower().split(" ")
+        return {
+            " ".join(w[i:i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else None
+
+    base_texts = {t for _, t in base}
+    for i, t in shard:
+        exp_exact = t in base_texts
+        g_s = grams(t)
+        best = None
+        if g_s:
+            for j, bt in base:
+                g_b = grams(bt)
+                if not g_b:
+                    continue
+                inter = len(g_s & g_b)
+                if inter == 0:
+                    continue
+                jac = round(inter / (len(g_s) + len(g_b) - inter), 4)
+                if jac >= 0.5 and (best is None or jac > best[1]
+                                   or (jac == best[1] and j < best[0])):
+                    # operator keeps MIN(base_id) among qualifying,
+                    # and max jaccard over qualifying pairs
+                    pass
+            qual = []
+            for j, bt in base:
+                g_b = grams(bt)
+                if not g_b:
+                    continue
+                inter = len(g_s & g_b)
+                if inter == 0:
+                    continue
+                jac = round(inter / (len(g_s) + len(g_b) - inter), 4)
+                if jac >= 0.5:
+                    qual.append((j, jac))
+            if qual:
+                best = (min(j for j, _ in qual),
+                        round(max(j2 for _, j2 in qual), 4))
+        exp_near = best if best else (None, None)
+        assert got[i] == (exp_exact, exp_near[0], exp_near[1]), (
+            i, t, got[i], (exp_exact, exp_near)
+        )

@@ -329,3 +329,72 @@ def test_state_metadata_reader_describes_operator(spark, tmp_path):
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     assert meta[0].maxBatchId >= 0
+
+
+def test_chained_windows_multibatch_matches_single_batch(spark, tmp_path):
+    """The chained two-level windowed aggregation must produce the
+    SAME emitted set whether the replay arrives as one batch or as
+    many (maxFilesPerTrigger=1 forces per-file micro-batches, so the
+    watermark advances mid-stream and level-1 flushes incrementally
+    feed level 2 across batches — the production arrival pattern,
+    vs the catalog query's single-batch replay)."""
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts")
+        .orderBy("ts")
+    )
+    src = str(tmp_path / "src")
+    # Time-ordered 4-file layout: each file is a contiguous time
+    # slice, so per-file batches advance the watermark monotonically
+    # (random slicing would just drop cross-file stragglers and make
+    # the comparison about late-drop, not the cascade).
+    events.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts"))
+    ).write.mode("overwrite").partitionBy("slice").parquet(src)
+
+    def run(max_files: int | None):
+        sink = f"mb_{uuid.uuid4().hex[:8]}"
+        reader = spark.readStream.schema("user_id long, ts timestamp")
+        if max_files is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files))
+        stream = reader.parquet(src)
+        lvl1 = (
+            stream.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "5 minutes"), "user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lvl2 = (
+            lvl1.groupBy(
+                F.window(F.window_time("window"), "15 minutes").alias("w15")
+            )
+            .agg(
+                F.count("*").alias("auw"),
+                F.sum("cnt").cast("long").alias("n"),
+            )
+            .select(F.col("w15.start").alias("w_start"), "auw", "n")
+        )
+        q = (
+            lvl2.writeStream.format("memory")
+            .queryName(sink).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return {
+            (str(r.w_start), r.auw, r.n) for r in spark.table(sink).collect()
+        }
+
+    single = run(None)
+    multi = run(1)
+    # Multi-batch emission reaches at least as far as single-batch
+    # (same final watermark => same closed-window set), and never
+    # emits a window the single-batch run disagrees with.
+    assert multi == single
