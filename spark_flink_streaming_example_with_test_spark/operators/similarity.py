@@ -51,11 +51,19 @@ def l2_norm(v: Column | str) -> Column:
 def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Cast to double and attach the L2 norm. The norm fold runs
     after a parallelism guard so a single-file corpus doesn't pin
-    the vector math to one core (see ensure_min_partitions)."""
+    the vector math to one core (see ensure_min_partitions).
+
+    Zero-norm vectors are DROPPED here: cosine is undefined for
+    them (the division raises under ANSI semantics — found by the
+    SemDeDup property test on all-zero embeddings), and a zero
+    vector can never be anyone's neighbor, so exclusion is the
+    correct retrieval semantics, applied once for every cosine
+    consumer."""
     return (
         ensure_min_partitions(df)
         .withColumn("v", F.col(vec_col).cast("array<double>"))
         .withColumn("v_norm", l2_norm("v"))
+        .filter(F.col("v_norm") > 0)
     )
 
 

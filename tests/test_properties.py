@@ -375,3 +375,61 @@ def test_incremental_shard_dedup_matches_bruteforce(spark, texts):
         assert got[i] == (exp_exact, exp_near[0], exp_near[1]), (
             i, t, got[i], (exp_exact, exp_near)
         )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # cluster label
+            st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                     min_size=4, max_size=4),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_semdedup_matches_bruteforce(spark, rows):
+    """Cluster-blocked semantic dedup agrees with a NumPy brute
+    force on arbitrary small inputs: for every vector with a
+    same-cluster lower-id neighbor at rounded cosine >= threshold,
+    the operator reports (min qualifying neighbor, max qualifying
+    cosine); vectors with zero norm never pair (NaN cosine fails
+    the threshold in both implementations)."""
+    import math
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import (
+        cluster_semantic_duplicates,
+    )
+
+    data = [(i, lbl, vec) for i, (lbl, vec) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        r.drop_id: (r.cluster, r.keep_id, r.max_cos)
+        for r in cluster_semantic_duplicates(df, threshold=0.3).collect()
+    }
+
+    def cos(a, b):
+        # float32 storage then float64 math, matching the operator
+        import numpy as np
+
+        a = np.array(a, dtype=np.float32).astype(np.float64)
+        b = np.array(b, dtype=np.float32).astype(np.float64)
+        na, nb = math.sqrt((a * a).sum()), math.sqrt((b * b).sum())
+        if na == 0 or nb == 0:
+            return float("nan")
+        return round(float((a * b).sum() / (na * nb)), 6)
+
+    expect = {}
+    for i, li, vi in data:
+        qual = [
+            (j, cos(vj, vi))
+            for j, lj, vj in data
+            if lj == li and j < i and cos(vj, vi) >= 0.3
+        ]
+        if qual:
+            expect[i] = (li, min(j for j, _ in qual),
+                         round(max(c for _, c in qual), 6))
+    assert got == expect, (got, expect)
