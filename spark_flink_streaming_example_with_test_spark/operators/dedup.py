@@ -286,18 +286,15 @@ def minhash_near_duplicates(
     return verify_jaccard(cands, shingled, id_col, threshold)
 
 
-def ngram_jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_len: int = 3,
-    threshold: float = 0.4,
+def _gram_pair_intersections(
+    df: DataFrame, id_col: str, text_col: str, shingle_len: int
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard >= threshold via an
-    inverted-index join: pairs are generated only when they share a
-    shingle (join on the gram), then intersection counts fold into
-    |A∩B| / (|A| + |B| - |A∩B|). The quadratic blowup is bounded by
-    gram-frequency, which the shingle length controls."""
+    """Shared core of the exact-overlap family: distinct-gram
+    intersection counts per candidate pair via an inverted-index join
+    (pairs exist only when they share a shingle — never a cross
+    join), joined with both set sizes. Emits
+    (id_a, id_b, inter, n_a, n_b) for downstream Jaccard /
+    containment / shared-window metrics."""
     from pyspark import StorageLevel
 
     # Two consumers (sizes + inverted index): persist so the gram
@@ -317,12 +314,68 @@ def ngram_jaccard_pairs(
     )
     n_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     n_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return inter.join(n_a, "id_a").join(n_b, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard >= threshold via an
+    inverted-index join: pairs are generated only when they share a
+    shingle (join on the gram), then intersection counts fold into
+    |A∩B| / (|A| + |B| - |A∩B|). The quadratic blowup is bounded by
+    gram-frequency, which the shingle length controls."""
+    pairs = _gram_pair_intersections(df, id_col, text_col, shingle_len)
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (
-        inter.join(n_a, "id_a")
-        .join(n_b, "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    return pairs.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_len: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-dup via gram containment
+    |A∩B| / min(|A|, |B|): catches a short document embedded inside a
+    longer one (quote, boilerplate wrapper, excerpt), which symmetric
+    Jaccard under-scores because the union is dominated by the longer
+    side. Same inverted-index candidate generation as
+    ``ngram_jaccard_pairs`` — no cross join, candidate volume bounded
+    by shared-gram frequency."""
+    pairs = _gram_pair_intersections(df, id_col, text_col, shingle_len)
+    cont = F.col("inter") / F.least("n_a", "n_b")
+    return pairs.filter(cont >= threshold).select(
+        "id_a",
+        "id_b",
+        F.col("inter").alias("n_shared"),
+        F.round(cont, 4).alias("containment"),
+    )
+
+
+def shared_gram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_len: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document pairs
+    sharing >= ``min_shared`` distinct exact runs of ``window_len``
+    consecutive tokens. Long windows make spurious collisions
+    vanishingly rare, so ANY shared window is strong evidence of
+    copied text even when whole-document similarity is low."""
+    pairs = _gram_pair_intersections(df, id_col, text_col, window_len)
+    return pairs.filter(F.col("inter") >= min_shared).select(
+        "id_a", "id_b", F.col("inter").alias("n_shared_windows")
     )
 
 
@@ -419,6 +472,64 @@ def segment_duplication_stats(
             (
                 F.col("n_dup_segments") / F.col("n_segments") >= flag_ratio
             ).alias("flagged"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Content-defined chunking (the rsync/FastCDC idea applied to
+    token streams): a token is a chunk BOUNDARY when its md5 hex
+    digest starts with '0' or '1' (probability 2/16, so chunks
+    average ~8 tokens), and a boundary token closes its chunk. Unlike
+    fixed ``seg_len`` segments (``segment_duplication_stats``),
+    boundaries depend only on LOCAL content — inserting one word near
+    the top of a document shifts every fixed segment after it but
+    leaves all content-defined chunks beyond the edit identical,
+    which is what makes CDC dedup robust for near-identical crawls.
+
+    Output: one row per (id, chunk_id) with the chunk text and its
+    token count, plus any ``extra_cols`` carried through.
+
+    Scale shape: one shuffle keyed by the document id for the
+    running boundary count; the chunk re-assembly groupBy keys on
+    (id, chunk_id), which the doc-keyed partitioning already
+    co-locates, so Catalyst inserts no second exchange. md5 (not
+    xxhash64) keys the boundary decision so a SQL oracle can
+    regenerate identical chunk boundaries.
+    """
+    tok = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias(
+            "pos", "token"
+        ),
+    )
+    boundary = F.when(
+        F.substring(F.md5("token"), 1, 1).isin("0", "1"), 1
+    ).otherwise(0)
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = tok.withColumn(
+        "chunk_id", F.coalesce(F.sum(boundary).over(w), F.lit(0)).cast("long")
+    )
+    ordered_tokens = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "token"))),
+        lambda s: s["token"],
+    )
+    return (
+        chunked.groupBy(F.col(id_col), F.col("chunk_id"))
+        .agg(
+            *[F.first(c).alias(c) for c in extra_cols],
+            F.array_join(ordered_tokens, " ").alias("chunk"),
+            F.count("*").alias("n_tokens"),
         )
     )
 

@@ -1119,3 +1119,307 @@ SELECT user_id, event_id,
 FROM events WHERE user_id < 20
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
+
+
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view -> click -> purchase) with
+    strictly increasing timestamps per user — the product-analytics
+    staple: a step counts only if it happens AFTER the user's
+    earliest completion of the previous step. One row per step with
+    the user count and the conversion rate from step 1.
+
+    Scale shape: each step is a pre-aggregated per-user min-timestamp
+    (map-side combinable) joined to the previous step's per-user
+    frontier on user_id — never a row-level event-to-event join, so
+    the intermediate is |users|, not |events|, and the final 3-row
+    report crossJoins a broadcast 1-row denominator.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def step(df: DataFrame, n: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(n).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+
+    steps = (
+        step(v, 1, "view")
+        .unionAll(step(c, 2, "click_after_view"))
+        .unionAll(step(p, 3, "purchase_after_click"))
+    )
+    base = v.agg(F.count("*").alias("n_step1"))
+    return steps.crossJoin(F.broadcast(base)).select(
+        "step",
+        "step_name",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n_step1"), 4).alias("conv_from_step1"),
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+), steps AS (
+  SELECT 1 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM v
+  UNION ALL
+  SELECT 2, 'click_after_view', COUNT(*) FROM c
+  UNION ALL
+  SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+)
+SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
+       ROUND(n_users * 1.0 / (SELECT COUNT(*) FROM v), 4) AS conv_from_step1
+FROM steps
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle: users are cohorted by the
+    ISO week of their first event, and each (cohort_week,
+    weeks_since) cell counts the cohort's users active in that later
+    week. The classic growth-analytics rollup.
+
+    Scale shape: the cohort assignment is a per-user min-timestamp
+    aggregate; activity is pre-deduplicated to (user, week) BEFORE
+    the cohort join, so the join input is |users x active-weeks|,
+    not |events|; both the join and the final count shuffle on keys
+    with no skew amplification.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # cohort_week stays TIMESTAMP (Spark/DuckDB date_trunc both
+    # return one) — a DATE column normalizes differently per engine.
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "weeks_since"
+            ),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(DATEDIFF('day', cohort_week, week) // 7 AS INT) AS weeks_since,
+       COUNT(*) AS n_active_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY cohort_week, weeks_since
+"""
+
+
+def snapshot_cdc_userstate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change-data-capture over per-user aggregate
+    state: the keyed state as of an early cutoff vs the full window,
+    full-outer-joined on the key and classified
+    inserted / updated / unchanged — the batch pattern behind
+    incremental materialized-view maintenance and warehouse
+    MERGE-style sync jobs.
+
+    Scale shape: both snapshots reduce to |users| rows BEFORE the
+    full outer join (aggregate-then-join, never row-level diff); the
+    join keys on user_id so the diff is one co-partitioned shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+
+    def state(df: DataFrame, prefix: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias(f"{prefix}_events"),
+            F.round(F.sum("value"), 4).alias(f"{prefix}_value"),
+        )
+
+    base = state(ev.filter(F.col("ts") < cutoff), "base")
+    curr = state(ev, "curr")
+    status = (
+        F.when(F.col("base_events").isNull(), "inserted")
+        .when(
+            (F.col("base_events") == F.col("curr_events"))
+            & (F.col("base_value") == F.col("curr_value")),
+            "unchanged",
+        )
+        .otherwise("updated")
+    )
+    return base.join(curr, "user_id", "full_outer").select(
+        "user_id",
+        status.alias("status"),
+        F.coalesce("base_events", F.lit(0)).alias("base_events"),
+        F.col("curr_events"),
+        F.round(
+            F.col("curr_value") - F.coalesce("base_value", F.lit(0.0)), 4
+        ).alias("value_delta"),
+    )
+
+
+SNAPSHOT_CDC_ORACLE = """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS base_events, ROUND(SUM(value), 4) AS base_value
+  FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY user_id
+), curr AS (
+  SELECT user_id, COUNT(*) AS curr_events, ROUND(SUM(value), 4) AS curr_value
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(base.user_id, curr.user_id) AS user_id,
+       CASE WHEN base.user_id IS NULL THEN 'inserted'
+            WHEN base_events = curr_events AND base_value = curr_value
+                 THEN 'unchanged'
+            ELSE 'updated' END AS status,
+       COALESCE(base_events, 0) AS base_events,
+       curr_events,
+       ROUND(curr_value - COALESCE(base_value, 0.0), 4) AS value_delta
+FROM base FULL OUTER JOIN curr ON base.user_id = curr.user_id
+"""
+
+
+def welch_ttest_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch two-sample t statistics (with
+    Welch–Satterthwaite degrees of freedom) comparing the value
+    distributions of every event-type pair — the A/B-testing
+    primitive, computed entirely from per-group moment aggregates.
+
+    Scale shape: one map-side-combinable aggregate reduces the fact
+    table to 5 moment rows; the pairwise comparison is a broadcast
+    self-join of that tiny frame, so the statistical sweep costs one
+    scan regardless of pair count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("m_a"),
+        F.col("var").alias("v_a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("m_b"),
+        F.col("var").alias("v_b"),
+    )
+    sa = F.col("v_a") / F.col("n_a")
+    sb = F.col("v_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(t, 4).alias("t_stat"),
+            F.round(dof, 2).alias("welch_dof"),
+        )
+    )
+
+
+WELCH_TTEST_ORACLE = """
+WITH m AS (
+  SELECT event_type, COUNT(*) AS n, AVG(value) AS mean,
+         VAR_SAMP(value) AS var
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       ROUND((a.mean - b.mean)
+             / SQRT(a.var / a.n + b.var / b.n), 4) AS t_stat,
+       ROUND(POW(a.var / a.n + b.var / b.n, 2)
+             / (POW(a.var / a.n, 2) / (a.n - 1)
+                + POW(b.var / b.n, 2) / (b.n - 1)), 2) AS welch_dof
+FROM m a JOIN m b ON a.event_type < b.event_type
+"""
+
+
+def triangle_count_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over a deterministic synthetic link
+    graph on the documents table (each doc links to id+1, id+2, and
+    3*id+7, all mod N — a ring with chords, chosen because the
+    PageRank graph's two-family arithmetic happens to be
+    triangle-free while this one puts every node in 1-5 triangles,
+    so the count is a non-trivial engine check). See
+    operators/graph.py:triangle_counts for the join plan.
+    """
+    from spark_flink_streaming_example_with_test_spark.operators.graph import triangle_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    with_n = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((1, 1), (1, 2), (3, 7)):
+        fam = with_n.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = fam if edges is None else edges.unionAll(fam)
+    return triangle_counts(edges)
+
+
+TRIANGLE_COUNT_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+fam AS (
+  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % n.n FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % n.n FROM documents CROSS JOIN n
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM fam WHERE LEAST(src, dst) < GREATEST(src, dst)
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), corners AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+"""

@@ -137,6 +137,35 @@ _SPECS: list[QuerySpec] = [
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,
               an.SQL_SCRIPT_ORACLE),
+    # -- Round-7 additions (new this round, queued AFTER the prior
+    # round's block — that block has never had a driver row and
+    # fills most of the ~50-entry gate window; these take the
+    # remaining slots and roll into the next window if the gate is
+    # shorter): funnel / cohort-retention / snapshot-CDC / Welch
+    # t-test / triangle counting on the analytics side; containment
+    # + exact-substring + content-defined-chunk dedup, domain
+    # capping, token entropy, and source-KL mixture drift on the
+    # LLM-pipeline side. --------------------------------------------
+    QuerySpec("funnel_conversion_steps", an.funnel_conversion_steps,
+              an.FUNNEL_ORACLE),
+    QuerySpec("cohort_retention", an.cohort_retention,
+              an.COHORT_RETENTION_ORACLE),
+    QuerySpec("snapshot_cdc_userstate", an.snapshot_cdc_userstate,
+              an.SNAPSHOT_CDC_ORACLE),
+    QuerySpec("dedup_containment_ngrams", llm.dedup_containment_ngrams,
+              llm.DEDUP_CONTAINMENT_ORACLE),
+    QuerySpec("dedup_exact_substring", llm.dedup_exact_substring,
+              llm.DEDUP_EXACT_SUBSTRING_ORACLE),
+    QuerySpec("cdc_chunk_dedup", llm.cdc_chunk_dedup, llm.CDC_CHUNK_ORACLE),
+    QuerySpec("domain_cap_sample", llm.domain_cap_sample,
+              llm.DOMAIN_CAP_ORACLE),
+    QuerySpec("token_entropy_scores", llm.token_entropy_scores,
+              llm.TOKEN_ENTROPY_ORACLE),
+    QuerySpec("source_token_kl", llm.source_token_kl, llm.SOURCE_KL_ORACLE),
+    QuerySpec("triangle_count_links", an.triangle_count_links,
+              an.TRIANGLE_COUNT_ORACLE),
+    QuerySpec("welch_ttest_event_types", an.welch_ttest_event_types,
+              an.WELCH_TTEST_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from

@@ -2192,3 +2192,274 @@ FROM shard s
 LEFT JOIN exact e ON e.doc_id = s.doc_id
 LEFT JOIN near n ON n.shard_id = s.doc_id
 """
+
+
+def dedup_containment_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by 5-gram containment
+    |A∩B| / min(|A|,|B|) >= 0.5 — catches excerpt/boilerplate
+    inclusion that symmetric Jaccard under-scores. See
+    operators/dedup.py:containment_pairs for the inverted-index
+    plan (no cross join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, shingle_len=5, threshold=0.5)
+
+
+DEDUP_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 3),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                  w[i+3] || ' ' || w[i+4])) AS g
+  FROM toks WHERE LEN(w) >= 5
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter AS n_shared,
+       ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter * 1.0 / LEAST(sa.n, sb.n) >= 0.5
+"""
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022): pairs sharing
+    any exact run of 8 consecutive tokens. Long windows make chance
+    collisions vanishingly rare, so one shared window is strong
+    copied-text evidence even at low whole-document similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.shared_gram_pairs(docs, window_len=8, min_shared=1)
+
+
+DEDUP_EXACT_SUBSTRING_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 6),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                  w[i+3] || ' ' || w[i+4] || ' ' || w[i+5] || ' ' ||
+                  w[i+6] || ' ' || w[i+7])) AS g
+  FROM toks WHERE LEN(w) >= 8
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared_windows
+FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (at most 10 docs per source, best
+    first by length then id) — the mixture-shaping guard against a
+    single domain dominating a training corpus. One ranking window
+    per source partition; WindowGroupLimit keeps only k rows per
+    source per mapper before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars",
+            F.row_number().over(w).alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= 10)
+    )
+
+
+DOMAIN_CAP_ORACLE = """
+SELECT source, doc_id, n_chars,
+       ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS rank_in_source
+FROM documents
+QUALIFY rank_in_source <= 10
+"""
+
+
+def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus
+    type-token ratio — the lexical-diversity quality signals (low
+    entropy flags repetitive/templated text). Entropy folds as
+    log2(n) - sum(c*log2 c)/n, so it needs only the per-(doc,token)
+    counts: two map-side-combinable aggregates, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.col("c") * F.log2("c")).alias("__clog"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.log2("n_tokens") - F.col("__clog") / F.col("n_tokens"), 4
+            ).alias("entropy"),
+            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias(
+                "type_token_ratio"
+            ),
+        )
+    )
+
+
+TOKEN_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4) AS entropy,
+       ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS type_token_ratio
+FROM tf GROUP BY doc_id
+"""
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence KL(source || corpus) over unigram
+    distributions — the mixture-drift detector: a source whose token
+    distribution diverges from the corpus average gets surfaced for
+    re-weighting. Every source token exists in the corpus
+    distribution by construction, so no smoothing is needed.
+
+    Scale shape: (source, token) counts reduce the token stream
+    once; the corpus distribution re-aggregates THOSE counts (not
+    the raw stream); the per-source totals (|sources| rows) join
+    broadcast, and only the token-keyed corpus join shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("n_c"))
+    p_s = F.col("c") / F.col("n_s")
+    p_c = F.col("cc") / F.col("n_c")
+    return (
+        st.join(corpus, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.round(F.sum(p_s * F.log2(p_s / p_c)), 4).alias("kl_bits"),
+            F.count("*").alias("n_types"),
+        )
+    )
+
+
+SOURCE_KL_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+), src_tot AS (
+  SELECT source, SUM(c) AS n_s FROM st GROUP BY source
+), corpus AS (
+  SELECT token, SUM(c) AS cc FROM st GROUP BY token
+), corpus_tot AS (
+  SELECT SUM(cc) AS n_c FROM corpus
+)
+SELECT source,
+       ROUND(SUM((c * 1.0 / n_s)
+                 * LOG2((c * 1.0 / n_s) / (cc * 1.0 / n_c))), 4) AS kl_bits,
+       COUNT(*) AS n_types
+FROM st
+JOIN corpus USING (token)
+JOIN src_tot USING (source)
+CROSS JOIN corpus_tot
+GROUP BY source
+"""
+
+
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-chunk stats under CONTENT-DEFINED
+    chunking (see operators/dedup.py:cdc_chunks): chunk boundaries
+    depend only on local token content, so a one-word insertion
+    shifts no downstream chunks — the shift-robust complement to the
+    fixed-segment corpus_segment_dedup. A chunk is duplicated when
+    its text occurs >= 2 times corpus-wide (keyed by md5 so the
+    frequency shuffle carries 32-byte keys, not chunk text)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Two consumers (instances + corpus frequency): persist so the
+    # tokenize -> boundary-window -> chunk-assembly pipeline — the
+    # heavy part — runs once.
+    chunks = (
+        dd.cdc_chunks(docs, extra_cols=("source",))
+        .select("source", F.md5("chunk").alias("key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    freq = chunks.groupBy("key").agg(F.count("*").alias("f"))
+    return (
+        chunks.join(freq, "key")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(F.col("f") >= 2).alias("n_dup_chunks"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+CDC_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, source, UNNEST(RANGE(1, LEN(w) + 1)) AS i, w FROM toks
+), tok AS (
+  SELECT doc_id, source, i AS p, w[i] AS token FROM pos
+), flg AS (
+  SELECT doc_id, source, p, token,
+         CASE WHEN SUBSTR(MD5(token), 1, 1) IN ('0', '1')
+              THEN 1 ELSE 0 END AS b
+  FROM tok
+), ch AS (
+  SELECT doc_id, source, p, token,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+  FROM flg
+), chunks AS (
+  SELECT doc_id, source,
+         MD5(STRING_AGG(token, ' ' ORDER BY p)) AS key
+  FROM ch GROUP BY doc_id, source, chunk_id
+), freq AS (
+  SELECT key, COUNT(*) AS f FROM chunks GROUP BY key
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (WHERE f >= 2) AS n_dup_chunks,
+       ROUND(COUNT(*) FILTER (WHERE f >= 2) * 1.0 / COUNT(*), 4) AS dup_ratio
+FROM chunks JOIN freq USING (key)
+GROUP BY source
+"""

@@ -1,0 +1,142 @@
+"""Unit and property tests for the exact-overlap dedup family
+(containment / shared-window / content-defined chunks) and the
+triangle-counting graph operator added in round 7."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.operators.dedup import (
+    cdc_chunks,
+    containment_pairs,
+    ngram_jaccard_pairs,
+    shared_gram_pairs,
+)
+from spark_flink_streaming_example_with_test_spark.operators.graph import triangle_counts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- containment_pairs ------------------------------------------------
+
+
+def test_containment_detects_embedded_excerpt(spark):
+    """A doc that is a verbatim slice of another has containment 1.0
+    even though Jaccard is low — the asymmetric case the operator
+    exists for."""
+    long_words = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(10, 18))  # 8-word slice
+    df = _docs(spark, [(1, long_words), (2, excerpt), (3, "x y z q r s t u")])
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, shingle_len=5, threshold=0.5).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    jac = ngram_jaccard_pairs(df, shingle_len=5, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the same pair
+
+
+def test_containment_never_below_jaccard(spark, sf_dir):
+    """containment >= jaccard for every pair (min(a,b) <= union)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+    )
+    c = containment_pairs(docs, shingle_len=3, threshold=0.0)
+    j = ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.0)
+    joined = c.join(j, ["id_a", "id_b"]).collect()
+    assert joined, "expected overlapping pairs in fixture"
+    assert all(r.containment >= r.jaccard for r in joined)
+
+
+# --- shared_gram_pairs ------------------------------------------------
+
+
+def test_shared_gram_pairs_counts_distinct_windows(spark):
+    a = "a b c d e f g h i j"  # windows: a..h, b..i, c..j
+    b = "a b c d e f g h X Y"  # shares exactly window a..h
+    df = _docs(spark, [(1, a), (2, b)])
+    rows = shared_gram_pairs(df, window_len=8).collect()
+    assert [(r.id_a, r.id_b, r.n_shared_windows) for r in rows] == [(1, 2, 1)]
+
+
+def test_shared_gram_pairs_short_docs_excluded(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "")])
+    assert shared_gram_pairs(df, window_len=8).collect() == []
+
+
+# --- cdc_chunks -------------------------------------------------------
+
+
+def test_cdc_chunks_reassemble_to_document(spark):
+    """Chunks concatenated in chunk_id order reproduce the lowered
+    token stream exactly — no token lost or duplicated."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog again and again"),
+        (2, "one"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = _docs(spark, rows)
+    got = (
+        cdc_chunks(df)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("rebuilt"),
+            F.sum("n_tokens").alias("n"),
+        )
+        .collect()
+    )
+    expect = {i: t.lower() for i, t in rows}
+    for r in got:
+        assert r.rebuilt == expect[r.doc_id]
+        assert r.n == len(expect[r.doc_id].split(" "))
+    assert len(got) == len(rows)
+
+
+def test_cdc_chunks_shift_robust_vs_fixed_segments(spark):
+    """Inserting one token at the front changes only the chunk
+    containing the edit: every chunk after the first boundary is
+    byte-identical between the two versions — the content-defined
+    property that fixed-length segmentation lacks."""
+    base = " ".join(f"tok{i}" for i in range(200))
+    edited = "INSERTED " + base
+    df = _docs(spark, [(1, base), (2, edited)])
+    chunks = {
+        (r.doc_id, r.chunk_id): r.chunk for r in cdc_chunks(df).collect()
+    }
+    base_chunks = [v for (d, _), v in sorted(chunks.items()) if d == 1]
+    edit_chunks = [v for (d, _), v in sorted(chunks.items()) if d == 2]
+    # same number of boundaries after the edit point -> suffix chunks align
+    shared = set(base_chunks) & set(edit_chunks)
+    # all but the first chunk of each version must be shared verbatim
+    assert set(base_chunks[1:]) <= shared
+    assert set(edit_chunks[1:]) <= shared
+
+
+# --- triangle_counts --------------------------------------------------
+
+
+def test_triangle_counts_k4(spark):
+    """K4 has 4 triangles; every node participates in 3. Reversed
+    duplicates and self-loops must not inflate the count."""
+    edges = [
+        (a, b) for a in range(4) for b in range(4) if a != b
+    ] + [(0, 0), (2, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )  # 4-cycle: no triangles
+    assert triangle_counts(df).collect() == []

@@ -129,6 +129,10 @@ _INTENTIONAL_NLJ = {
     "hybrid_search_rrf",          # 1-row corpus-stats crossJoin
     "regr_value_trend",           # 1-row global-min-ts crossJoin
     "hll_sketch_union_tokens",    # 1-row sketch-estimate crossJoin
+    "funnel_conversion_steps",    # 1-row step-1 denominator crossJoin
+    "welch_ttest_event_types",    # 5-row moment-table theta self-join
+    "triangle_count_links",       # 1-row node-count crossJoin (graph gen)
+    "source_token_kl",            # 1-row corpus-total crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
