@@ -137,8 +137,8 @@ _SPECS: list[QuerySpec] = [
               an.PIPE_SYNTAX_ORACLE),
     QuerySpec("sql_script_threshold_report", an.sql_script_threshold_report,
               an.SQL_SCRIPT_ORACLE),
-    # -- Round-7 additions (new this round, queued AFTER the prior
-    # round's block — that block has never had a driver row and
+    # -- Round-6 second batch (newest additions, queued AFTER the
+    # first r06 block — that block has never had a driver row and
     # fills most of the ~50-entry gate window; these take the
     # remaining slots and roll into the next window if the gate is
     # shorter): funnel / cohort-retention / snapshot-CDC / Welch
