@@ -1423,3 +1423,163 @@ fam AS (
 )
 SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
 """
+
+
+def rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users (rolling WAU) per observed day —
+    computed WITHOUT a range join: COUNT(DISTINCT ...) cannot ride a
+    RANGE window frame, and the textbook day-spine theta join builds
+    |days| x |activity| comparisons. Instead each (user, active day)
+    CONTRIBUTES itself to the 7 report days it can be visible from
+    (explode of a 7-element sequence), turning the rolling distinct
+    into a plain equi-keyed distinct-count — shuffle keys only,
+    linear in activity, the shape that survives 100 TB. The
+    observed-day spine (tiny) is semi-joined back so no report day
+    beyond the data's horizon appears."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    contrib = days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("off"),
+        "day",
+    ).select(
+        "user_id", F.timestamp_add("DAY", F.col("off"), F.col("day")).alias(
+            "report_day"
+        )
+    )
+    spine = days.select(F.col("day").alias("report_day")).distinct()
+    return (
+        contrib.join(spine, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+
+
+ROLLING_WAU_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+), contrib AS (
+  SELECT user_id, day + TO_DAYS(CAST(off AS INT)) AS report_day
+  FROM days, UNNEST(RANGE(0, 7)) AS t(off)
+), spine AS (
+  SELECT DISTINCT day AS report_day FROM days
+)
+SELECT report_day, COUNT(DISTINCT user_id) AS wau
+FROM contrib
+WHERE report_day IN (SELECT report_day FROM spine)
+GROUP BY report_day
+"""
+
+
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over the order fact tables —
+    one row per rule with checked/violation counts: referential
+    integrity (orders -> customer via anti join), domain ranges
+    (quantity, discount, total price), null checks, and a
+    cross-table ordering rule (line shipped before its order was
+    placed — the one rule this synthetic fixture actually violates,
+    so the audit is a non-trivial engine check).
+
+    Scale shape: every rule is a filter-count over one scan (or one
+    broadcast/shuffle key join for the cross-table rules); rules
+    over the same table share the scan via a single conditional
+    aggregate rather than N passes."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+
+    # single-scan conditional aggregates per table
+    o = orders.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_totalprice") <= 0).alias("bad_price"),
+        F.count_if(F.col("o_orderdate").isNull()).alias("null_date"),
+    )
+    l = li.agg(
+        F.count("*").alias("n"),
+        F.count_if(
+            (F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)
+        ).alias("bad_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)
+        ).alias("bad_disc"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("v"))
+    )
+    early_ship = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .agg(F.count_if(F.col("l_shipdate") < F.col("o_orderdate")).alias("v"))
+    )
+    n_orders = o.select(F.col("n"))
+    n_lines = l.select(F.col("n"))
+
+    def rule(name, viol_df, viol_col, n_df):
+        return (
+            viol_df.select(F.col(viol_col).alias("n_violations"))
+            .crossJoin(F.broadcast(n_df.select(F.col("n").alias("n_checked"))))
+            .select(
+                F.lit(name).alias("rule"),
+                "n_checked",
+                "n_violations",
+                F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
+                    "violation_rate"
+                ),
+            )
+        )
+
+    return (
+        rule("orders_customer_fk", orphans, "v", o)
+        .unionAll(rule("order_totalprice_positive", o, "bad_price", o))
+        .unionAll(rule("order_date_not_null", o, "null_date", o))
+        .unionAll(rule("lineitem_quantity_range", l, "bad_qty", l))
+        .unionAll(rule("lineitem_discount_range", l, "bad_disc", l))
+        .unionAll(rule("ship_not_before_order", early_ship, "v", l))
+    )
+
+
+DQ_AUDIT_ORACLE = """
+WITH o AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE o_totalprice <= 0) AS bad_price,
+         COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS null_date
+  FROM orders
+), l AS (
+  SELECT COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50) AS bad_qty,
+         COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS bad_disc
+  FROM lineitem
+), orphans AS (
+  SELECT COUNT(*) AS v FROM orders
+  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+), early AS (
+  SELECT COUNT(*) FILTER (WHERE l.l_shipdate < ord.o_orderdate) AS v
+  FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+)
+SELECT 'orders_customer_fk' AS rule, o.n AS n_checked,
+       orphans.v AS n_violations,
+       ROUND(orphans.v * 1.0 / o.n, 6) AS violation_rate
+FROM o, orphans
+UNION ALL
+SELECT 'order_totalprice_positive', n, bad_price,
+       ROUND(bad_price * 1.0 / n, 6) FROM o
+UNION ALL
+SELECT 'order_date_not_null', n, null_date,
+       ROUND(null_date * 1.0 / n, 6) FROM o
+UNION ALL
+SELECT 'lineitem_quantity_range', n, bad_qty,
+       ROUND(bad_qty * 1.0 / n, 6) FROM l
+UNION ALL
+SELECT 'lineitem_discount_range', n, bad_disc,
+       ROUND(bad_disc * 1.0 / n, 6) FROM l
+UNION ALL
+SELECT 'ship_not_before_order', l.n, early.v,
+       ROUND(early.v * 1.0 / l.n, 6) FROM l, early
+"""

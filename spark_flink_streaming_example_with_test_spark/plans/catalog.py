@@ -166,6 +166,14 @@ _SPECS: list[QuerySpec] = [
               an.TRIANGLE_COUNT_ORACLE),
     QuerySpec("welch_ttest_event_types", an.welch_ttest_event_types,
               an.WELCH_TTEST_ORACLE),
+    QuerySpec("countmin_token_estimates", llm.countmin_token_estimates,
+              llm.COUNTMIN_ORACLE),
+    QuerySpec("rolling_wau", an.rolling_wau, an.ROLLING_WAU_ORACLE),
+    QuerySpec("dq_audit_orders", an.dq_audit_orders, an.DQ_AUDIT_ORACLE),
+    QuerySpec("token_cooccurrence_pairs", llm.token_cooccurrence_pairs,
+              llm.TOKEN_COOCCURRENCE_ORACLE),
+    QuerySpec("mixture_apply_sample", llm.mixture_apply_sample,
+              llm.MIXTURE_APPLY_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from

@@ -2463,3 +2463,255 @@ SELECT source,
 FROM chunks JOIN freq USING (key)
 GROUP BY source
 """
+
+
+def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Count-Min sketch (Cormode & Muthukrishnan 2005)
+    over the corpus token stream: depth 4 x width 256, md5-derived
+    row hashes identical in both engines, built as ONE pass that
+    explodes each token into its 4 (row, bucket) cells and
+    aggregates — the sketch itself is a 1024-row frame, i.e. the
+    mergeable fixed-size summary that replaces a full vocabulary
+    aggregate at 100 TB. The 20 highest-frequency tokens are then
+    queried back: the emitted estimate is min over rows, and the
+    ``admissible`` boolean pins the CMS one-sided error guarantee
+    (estimate >= exact, always)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+
+    def bucket(token_col, j):
+        h = F.md5(F.concat(token_col, F.lit(f"#{j}")))
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+        ) % 256
+
+    cells = tok.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.col("token"), j).alias("bucket"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    cms = cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "token").limit(20)
+    probes = top.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(F.col("token"), j).alias("bucket"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("cell"),
+    ).select("token", "exact_count", "cell.j", "cell.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "token",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("admissible"),
+        )
+    )
+
+
+COUNTMIN_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents
+), cms AS (
+  SELECT j,
+         (ASCII(SUBSTR(MD5(token || '#' || j), 1, 1)) * 256
+          + ASCII(SUBSTR(MD5(token || '#' || j), 2, 1))) % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM toks CROSS JOIN UNNEST(RANGE(0, 4)) AS t(j)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY token
+), top AS (
+  SELECT * FROM exact ORDER BY exact_count DESC, token LIMIT 20
+), probes AS (
+  SELECT top.token, top.exact_count, t.j,
+         (ASCII(SUBSTR(MD5(top.token || '#' || t.j), 1, 1)) * 256
+          + ASCII(SUBSTR(MD5(top.token || '#' || t.j), 2, 1))) % 256 AS bucket
+  FROM top CROSS JOIN UNNEST(RANGE(0, 4)) AS t(j)
+)
+SELECT probes.token, probes.exact_count,
+       MIN(cms.cnt) AS cms_estimate,
+       MIN(cms.cnt) >= probes.exact_count AS admissible
+FROM probes JOIN cms ON cms.j = probes.j AND cms.bucket = probes.bucket
+GROUP BY probes.token, probes.exact_count
+"""
+
+
+def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining over (document, distinct
+    token) baskets: the top-25 token pairs by document support, with
+    lift n*support/(df_a*df_b) to separate genuinely associated
+    pairs from merely frequent ones. Tokens present in more than 95%
+    of documents are pruned first — on a real corpus that
+    stopword-style prune is what keeps the per-document pair
+    explosion bounded (pairs grow quadratically in basket size, and
+    the highest-df tokens contribute to every basket); on this
+    31-token synthetic vocabulary it keeps everything, which is the
+    honest small-fixture behavior."""
+    docs = load_table(spark, sf_dir, "documents")
+    inv = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("t"),
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    dfreq = inv.groupBy("t").agg(F.count("*").alias("df"))
+    kept = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(F.col("df") <= 0.95 * F.col("n"))
+        .select("t", "df")
+    )
+    inv2 = inv.join(F.broadcast(kept), "t")
+    a = inv2.select("doc_id", F.col("t").alias("t_a"), F.col("df").alias("df_a"))
+    b = inv2.select("doc_id", F.col("t").alias("t_b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b", "df_a", "df_b")
+        .agg(F.count("*").alias("support"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "t_a",
+            "t_b",
+            "support",
+            F.round(
+                F.col("n") * F.col("support") / (F.col("df_a") * F.col("df_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "t_a", "t_b")
+        .limit(25)
+    )
+
+
+TOKEN_COOCCURRENCE_ORACLE = """
+WITH inv AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents
+), n AS (SELECT COUNT(*) AS n FROM documents),
+dfreq AS (
+  SELECT t, COUNT(*) AS df FROM inv GROUP BY t
+), kept AS (
+  SELECT t, df FROM dfreq CROSS JOIN n WHERE df <= 0.95 * n.n
+), inv2 AS (
+  SELECT inv.doc_id, inv.t, kept.df FROM inv JOIN kept USING (t)
+), pairs AS (
+  SELECT a.t AS t_a, b.t AS t_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS support
+  FROM inv2 a JOIN inv2 b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2, 3, 4
+)
+SELECT t_a, t_b, support,
+       ROUND(n.n * support * 1.0 / (df_a * df_b), 4) AS lift
+FROM pairs CROSS JOIN n
+ORDER BY support DESC, t_a, t_b LIMIT 25
+"""
+
+
+def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLICATION half of mixture planning
+    (mixture_sampling_rates computes per-source rates; this query
+    executes them): each document draws a deterministic md5-derived
+    uniform and survives iff u < rate — stateless per-row Bernoulli
+    thinning, identical across engines, runs, and cluster sizes, so
+    a re-run reproduces the same sampled corpus exactly (the
+    property RNG-based sampling loses on retry). Emits per-source
+    planned vs realized rates."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("avail_tokens")
+        )
+        .withColumn("w", F.substring("source", 4, 10).cast("int") + F.lit(1))
+    )
+    full = Window.partitionBy()
+    share = F.col("w") / F.sum("w").over(full)
+    per = per.withColumn("target_share", share)
+    cap = F.min(F.col("avail_tokens") / F.col("target_share")).over(full)
+    rates = per.select(
+        "source",
+        (F.col("target_share") * cap / F.col("avail_tokens")).alias("rate"),
+    )
+    h = F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
+    u = (
+        (
+            (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+            * 256
+            + F.ascii(F.substring(h, 3, 1))
+        )
+        % 10000
+    ) / 10000.0
+    return (
+        docs.select("source", u.alias("u"))
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("u") < F.col("rate")).alias("n_sampled"),
+            F.round(F.first("rate"), 6).alias("planned_rate"),
+            F.round(
+                F.count_if(F.col("u") < F.col("rate")) / F.count("*"), 4
+            ).alias("realized_rate"),
+        )
+    )
+
+
+MIXTURE_APPLY_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS avail_tokens,
+         CAST(SUBSTR(source, 4) AS INT) + 1 AS w
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT *, w * 1.0 / SUM(w) OVER () AS target_share FROM per
+), rates AS (
+  SELECT source,
+         target_share * MIN(avail_tokens / target_share) OVER ()
+           / avail_tokens AS rate
+  FROM shares
+), drawn AS (
+  SELECT d.source, rates.rate,
+         ((ASCII(SUBSTR(h, 1, 1)) * 256 + ASCII(SUBSTR(h, 2, 1))) * 256
+          + ASCII(SUBSTR(h, 3, 1))) % 10000 / 10000.0 AS u
+  FROM (SELECT source, MD5('mix#' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents) d
+  JOIN rates USING (source)
+)
+SELECT source, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE u < rate) AS n_sampled,
+       ROUND(MIN(rate), 6) AS planned_rate,
+       ROUND(COUNT(*) FILTER (WHERE u < rate) * 1.0 / COUNT(*), 4)
+         AS realized_rate
+FROM drawn GROUP BY source
+"""

@@ -133,6 +133,8 @@ _INTENTIONAL_NLJ = {
     "welch_ttest_event_types",    # 5-row moment-table theta self-join
     "triangle_count_links",       # 1-row node-count crossJoin (graph gen)
     "source_token_kl",            # 1-row corpus-total crossJoin
+    "dq_audit_orders",            # 1-row rule-denominator crossJoins
+    "token_cooccurrence_pairs",   # 1-row corpus-count crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
