@@ -1583,3 +1583,65 @@ UNION ALL
 SELECT 'ship_not_before_order', l.n, early.v,
        ROUND(early.v * 1.0 / l.n, 6) FROM l, early
 """
+
+
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite event-sequence pattern counting: each
+    user's event history collapses to an ordered initial string
+    (v/c/p/s/e for view/click/purchase/signup/error) and fixed
+    patterns are counted by non-overlapping substring occurrence —
+    'vcp' (view-click-purchase run) and 'sp' (signup immediately
+    followed by purchase). Fixed-string REPLACE counting (not regex)
+    keeps the non-overlapping leftmost semantics bit-identical
+    across engines.
+
+    Scale shape: one shuffle on user_id for the ordered collect;
+    per-user sequences are bounded by per-user activity, and the
+    counting is pure string expressions on the collapsed row —
+    |users| rows, not |events|."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id",
+                     F.substring("event_type", 1, 1).alias("i")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")),
+                            lambda x: x["i"]),
+                "",
+            ).alias("seq")
+        )
+    )
+
+    def n_occurrences(pat: str):
+        return (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit(pat))))
+            / len(pat)
+        ).cast("long")
+
+    return seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        n_occurrences("vcp").alias("n_view_click_purchase"),
+        n_occurrences("sp").alias("n_signup_then_purchase"),
+    )
+
+
+SEQUENCE_PATTERN_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       LEN(seq) AS seq_len,
+       CAST((LEN(seq) - LEN(REPLACE(seq, 'vcp', ''))) / 3 AS BIGINT)
+         AS n_view_click_purchase,
+       CAST((LEN(seq) - LEN(REPLACE(seq, 'sp', ''))) / 2 AS BIGINT)
+         AS n_signup_then_purchase
+FROM seq
+"""

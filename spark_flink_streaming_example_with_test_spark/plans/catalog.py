@@ -174,6 +174,10 @@ _SPECS: list[QuerySpec] = [
               llm.TOKEN_COOCCURRENCE_ORACLE),
     QuerySpec("mixture_apply_sample", llm.mixture_apply_sample,
               llm.MIXTURE_APPLY_ORACLE),
+    QuerySpec("sequence_pattern_match", an.sequence_pattern_match,
+              an.SEQUENCE_PATTERN_ORACLE),
+    QuerySpec("streaming_semi_join_e2e", ref.streaming_semi_join_e2e,
+              ref.STREAMING_SEMI_JOIN_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from

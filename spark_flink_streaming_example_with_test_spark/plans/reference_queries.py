@@ -1102,3 +1102,78 @@ GROUP BY 1
 HAVING w_start + INTERVAL 15 MINUTE
        <= (SELECT MAX(ts) - INTERVAL 10 SECOND FROM events)
 """
+
+
+def streaming_semi_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join on the real engine:
+    purchases that had at least one click by the same user within
+    the following hour, emitted exactly once each (the streaming
+    existence filter — no purchase duplication per click, and
+    unmatched purchases never emit). Oracle: batch EXISTS."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_sj_")
+    sink = f"sj_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+
+        def read():
+            return spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp"
+            ).parquet(src)
+
+        purchases = (
+            read()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = (
+            read()
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = interval_join_streams(
+            purchases, clicks, key="user_id",
+            left_ts="p_ts", right_ts="c_ts",
+            within="1 hour", watermark="2 hours", how="left_semi",
+        ).select("user_id", "purchase_id")
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_SEMI_JOIN_ORACLE = """
+SELECT p.user_id, p.event_id AS purchase_id
+FROM events p
+WHERE p.event_type = 'purchase'
+  AND EXISTS (
+    SELECT 1 FROM events c
+    WHERE c.event_type = 'click' AND c.user_id = p.user_id
+      AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+  )
+"""

@@ -57,12 +57,19 @@ def interval_join_streams(
     streaming_outer_interval_join_e2e) for the outer results to
     surface.
 
+    ``how="left_semi"`` emits each MATCHED left row exactly once
+    (first match wins, no right columns) — the streaming
+    existence-filter: "purchases that had a click within the hour"
+    without duplicating the purchase per click. Matched rows emit as
+    matches arrive; unmatched rows are silently evicted at the
+    watermark, so no sentinel is needed for a bounded replay.
+
     Column names: the key keeps its name; both timestamp columns
     survive (they must differ).
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
-    if how not in ("inner", "left_outer"):
+    if how not in ("inner", "left_outer", "left_semi"):
         raise ValueError(f"unsupported stream-stream join type: {how!r}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -71,7 +78,10 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
+    joined = l.join(r, cond, how)
+    if how == "left_semi":
+        return joined  # only left columns exist
+    return joined.drop(F.col(f"r.{key}"))
 
 
 RUNNING_TOTALS_OUTPUT = "user_id long, n_events long, total_value double"

@@ -269,3 +269,38 @@ def test_hll_union_partial_sketches(spark):
     plan = _plan(spark, "hll_sketch_union_tokens")
     assert "partial_hll_sketch_agg" in plan
     assert "partial_hll_union_agg" in plan
+
+
+def test_cdc_chunks_single_doc_keyed_exchange(spark):
+    """Content-defined chunking must shuffle ONCE on the doc key:
+    the boundary-count window partitions by doc_id, and the
+    (doc_id, chunk_id) re-assembly groupBy is satisfied by that same
+    partitioning (subset clustering) — a second exchange means the
+    chunk aggregation stopped riding the window's shuffle."""
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import cdc_chunks
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        cdc_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_countmin_probe_join_broadcasts_sketch(spark):
+    """The CMS probe must broadcast the 1024-row sketch to the
+    top-k probes — shuffling either side for a fixed-size summary
+    join defeats the point of sketching."""
+    plan = _plan(spark, "countmin_token_estimates")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_wau_no_theta_join(spark):
+    """Rolling WAU must stay on the contribution-explode equi plan:
+    no BroadcastNestedLoopJoin (the day-spine BETWEEN join it
+    replaces), and the spine restriction rides a left-semi join."""
+    plan = _plan(spark, "rolling_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan

@@ -225,3 +225,30 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
         r.z for r in vals.select(zorder_value("a", "b", 4).alias("z")).collect()
     ]
     assert got == [0b01, 0b10, 0b1111]
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Runtime partition pruning (DPP): when the fact table is
+    hive-partitioned on the join key and the dim side carries a
+    NON-partition-column predicate, the partition filter cannot be
+    derived statically — Spark must inject a dynamicpruning
+    subquery fed by the broadcast dim so only the matching fact
+    directories are scanned. The star-schema pattern that makes
+    date-dim joins read one day out of years at 100 TB."""
+    from spark_flink_streaming_example_with_test_spark.functions.layout import (
+        read_partitioned,
+        write_partitioned,
+    )
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(load_table(spark, SF_DIR, "events"), path, "event_type")
+    fact = read_partitioned(spark, path)
+    dim = spark.createDataFrame(
+        [("click", "funnel"), ("purchase", "funnel"), ("view", "browse"),
+         ("signup", "account"), ("error", "ops")],
+        "event_type string, family string",
+    ).filter("family = 'funnel'")
+    joined = fact.join(dim, "event_type").groupBy("event_type").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
