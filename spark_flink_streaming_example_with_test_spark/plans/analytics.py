@@ -1645,3 +1645,58 @@ SELECT user_id,
          AS n_signup_then_purchase
 FROM seq
 """
+
+
+def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth curve: active users (DAU), newly-acquired users
+    (first-ever event that day), and the cumulative user count — the
+    third leg of the growth-analytics set next to cohort_retention
+    and rolling_wau.
+
+    Scale shape: DAU pre-deduplicates to (user, day) before
+    counting; first-seen days are a per-user min aggregate; the
+    cumulative sum windows over the |days| frame (tiny), never the
+    event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("day", F.min("ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(firsts, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users", F.sum("new_users").over(w).cast("long")
+        )
+    )
+
+
+USER_ACQUISITION_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM active GROUP BY day
+), firsts AS (
+  SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS day
+  FROM events GROUP BY user_id
+), new_u AS (
+  SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+)
+SELECT dau.day, dau.dau,
+       COALESCE(new_u.new_users, 0) AS new_users,
+       CAST(SUM(COALESCE(new_u.new_users, 0)) OVER (ORDER BY dau.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_users
+FROM dau LEFT JOIN new_u USING (day)
+"""

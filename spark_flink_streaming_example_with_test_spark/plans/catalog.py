@@ -178,6 +178,10 @@ _SPECS: list[QuerySpec] = [
               an.SEQUENCE_PATTERN_ORACLE),
     QuerySpec("streaming_semi_join_e2e", ref.streaming_semi_join_e2e,
               ref.STREAMING_SEMI_JOIN_ORACLE),
+    QuerySpec("weighted_priority_sample", llm.weighted_priority_sample,
+              llm.WEIGHTED_SAMPLE_ORACLE),
+    QuerySpec("user_acquisition_curve", an.user_acquisition_curve,
+              an.USER_ACQUISITION_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from

@@ -2715,3 +2715,48 @@ SELECT source, COUNT(*) AS n_docs,
          AS realized_rate
 FROM drawn GROUP BY source
 """
+
+
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via the
+    Efraimidis-Spirakis A-Res priority u^(1/w) (here w = document
+    length, so longer documents are proportionally likelier): the
+    global top-20 priorities ARE a weighted sample, and because u is
+    an md5-derived deterministic uniform the sample is identical
+    across engines, runs, and cluster sizes. The distributed shape
+    is a per-partition top-k (TakeOrderedAndProject) — no full sort,
+    no RNG state, the standard way to draw a weighted sample from
+    100 TB in one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("wrs#"), F.col("doc_id").cast("string")))
+    v = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        * 256
+        + F.ascii(F.substring(h, 3, 1))
+    ) * 256 + F.ascii(F.substring(h, 4, 1))
+    u = (v % 65536 + 1) / 65537.0
+    prio = F.pow(u, 1.0 / F.col("n_chars"))
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.round(prio, 9).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(20)
+    )
+
+
+WEIGHTED_SAMPLE_ORACLE = """
+WITH drawn AS (
+  SELECT doc_id, source, n_chars,
+         POW((((ASCII(SUBSTR(h, 1, 1)) * 256 + ASCII(SUBSTR(h, 2, 1))) * 256
+               + ASCII(SUBSTR(h, 3, 1))) * 256
+              + ASCII(SUBSTR(h, 4, 1))) % 65536 / 65537.0
+             + 1.0 / 65537.0,
+             1.0 / n_chars) AS prio
+  FROM (SELECT *, MD5('wrs#' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents)
+)
+SELECT doc_id, source, n_chars, ROUND(prio, 9) AS priority
+FROM drawn ORDER BY ROUND(prio, 9) DESC, doc_id LIMIT 20
+"""
