@@ -140,12 +140,15 @@ _SPECS: list[QuerySpec] = [
     # -- Round-6 second batch (newest additions, queued AFTER the
     # first r06 block — that block has never had a driver row and
     # fills most of the ~50-entry gate window; these take the
-    # remaining slots and roll into the next window if the gate is
-    # shorter): funnel / cohort-retention / snapshot-CDC / Welch
-    # t-test / triangle counting on the analytics side; containment
-    # + exact-substring + content-defined-chunk dedup, domain
-    # capping, token entropy, and source-KL mixture drift on the
-    # LLM-pipeline side. --------------------------------------------
+    # remaining slots, and entries past position 50 lead the NEXT
+    # round's window): funnel / cohort-retention / snapshot-CDC /
+    # Welch t-test / triangle counting / Count-Min sketch / rolling
+    # WAU / DQ audit / co-occurrence mining / sequence patterns /
+    # acquisition curve on the analytics side; containment +
+    # exact-substring + content-defined-chunk dedup, domain capping,
+    # token entropy, source-KL mixture drift, mixture-plan
+    # application, and weighted priority sampling on the
+    # LLM-pipeline side; the streaming left-semi interval join e2e. --
     QuerySpec("funnel_conversion_steps", an.funnel_conversion_steps,
               an.FUNNEL_ORACLE),
     QuerySpec("cohort_retention", an.cohort_retention,
