@@ -189,3 +189,40 @@ def triangle_counts(
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_hops_unrolled(
+    edges: DataFrame,
+    root: int,
+    n_hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-depth BFS as unrolled DataFrame supersteps (the
+    k-hop-neighborhood primitive): per hop, the current distance
+    frontier joins edges on the node key and new nodes fold in via
+    a min-distance aggregate; localCheckpoint truncates each
+    superstep's lineage exactly like pagerank_unrolled. Returns
+    (node, dist) for every node within ``n_hops`` of ``root``.
+
+    At 100 TB: one edge-keyed shuffle per hop — the irreducible
+    distributed-BFS cost; depth is bounded by construction, so the
+    plan never grows with graph diameter.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(root, 0)], "node long, dist int"
+    ).localCheckpoint(eager=True)
+    for _ in range(n_hops):
+        frontier = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(frontier)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1700,3 +1700,42 @@ SELECT dau.day, dau.dau,
          AS cumulative_users
 FROM dau LEFT JOIN new_u USING (day)
 """
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-hop BFS distances from node 0 over the same deterministic
+    ring+chord link graph as triangle_count_links — the k-hop
+    neighborhood query (see operators/graph.py:bfs_hops_unrolled).
+    The oracle is a depth-bounded recursive CTE folded by MIN(dist)."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import bfs_hops_unrolled
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    with_n = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((1, 1), (1, 2), (3, 7)):
+        fam = with_n.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = fam if edges is None else edges.unionAll(fam)
+    return bfs_hops_unrolled(edges, root=0, n_hops=3)
+
+
+GRAPH_BFS_ORACLE = """
+WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % n.n FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % n.n FROM documents CROSS JOIN n
+), walk AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS dist
+  UNION ALL
+  SELECT e.dst, walk.dist + 1
+  FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.dist < 3
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""

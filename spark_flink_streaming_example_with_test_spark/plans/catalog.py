@@ -185,6 +185,9 @@ _SPECS: list[QuerySpec] = [
               llm.WEIGHTED_SAMPLE_ORACLE),
     QuerySpec("user_acquisition_curve", an.user_acquisition_curve,
               an.USER_ACQUISITION_ORACLE),
+    QuerySpec("graph_bfs_hops", an.graph_bfs_hops, an.GRAPH_BFS_ORACLE),
+    QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,
+              llm.DEDUP_ENSEMBLE_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
     # changed in round 5, so they need a FRESH driver row.
     # dedup_minhash_lsh + similarity_ivf_kmeans graduated from

@@ -2760,3 +2760,58 @@ WITH drawn AS (
 SELECT doc_id, source, n_chars, ROUND(prio, 9) AS priority
 FROM drawn ORDER BY ROUND(prio, 9) DESC, doc_id LIMIT 20
 """
+
+
+def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup-detector agreement: the exact 3-gram Jaccard
+    pair set (lexical) full-outer-joined with the LSH-bucketed
+    embedding-cosine pair set (semantic, vec_id = doc_id) and
+    tallied by which detector fired — the modality-voting view a
+    curation pipeline uses to set per-detector thresholds ('both'
+    pairs are near-certain duplicates; single-detector pairs get a
+    human-audit sample). Composes two already-oracled detectors, so
+    the oracle is their SQL composed verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    tp = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4).select(
+        "id_a", "id_b", F.lit(True).alias("in_text")
+    )
+    ep = sim.embedding_near_duplicates(
+        emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
+    ).select(
+        F.col("keep_id").alias("id_a"),
+        F.col("drop_id").alias("id_b"),
+        F.lit(True).alias("in_emb"),
+    )
+    u = tp.join(ep, ["id_a", "id_b"], "full_outer")
+    detector = (
+        F.when(
+            F.coalesce("in_text", F.lit(False))
+            & F.coalesce("in_emb", F.lit(False)),
+            "both",
+        )
+        .when(F.coalesce("in_emb", F.lit(False)), "embedding_only")
+        .otherwise("text_only")
+    )
+    return u.groupBy(detector.alias("detector")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+DEDUP_ENSEMBLE_ORACLE = f"""
+WITH txt AS ({DEDUP_NGRAM_ORACLE}),
+emb AS ({DEDUP_EMBEDDING_ORACLE}),
+u AS (
+  SELECT COALESCE(txt.id_a, emb.keep_id) AS id_a,
+         COALESCE(txt.id_b, emb.drop_id) AS id_b,
+         txt.id_a IS NOT NULL AS in_text,
+         emb.drop_id IS NOT NULL AS in_emb
+  FROM txt FULL OUTER JOIN emb
+    ON txt.id_a = emb.keep_id AND txt.id_b = emb.drop_id
+)
+SELECT CASE WHEN in_text AND in_emb THEN 'both'
+            WHEN in_emb THEN 'embedding_only'
+            ELSE 'text_only' END AS detector,
+       COUNT(*) AS n_pairs
+FROM u GROUP BY 1
+"""

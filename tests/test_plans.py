@@ -147,6 +147,7 @@ _EXECUTING = {
     if name.startswith("streaming_") or name in {
         "dedup_cluster_components",  # iterative label propagation
         "pagerank_doc_links",        # per-superstep eager checkpoints
+        "graph_bfs_hops",            # per-hop eager checkpoints
         "similarity_ivf_kmeans",     # Lloyd's iterations
         "synthetic_activity_stats",  # generator materializes via range
     }
