@@ -1376,6 +1376,25 @@ FROM m a JOIN m b ON a.event_type < b.event_type
 """
 
 
+def _ring_chord_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic link graph shared by the graph-family
+    queries (triangle counting, BFS): each doc links to id+1, id+2,
+    and 3*id+7, all mod N — a ring with chords whose arithmetic both
+    engines regenerate identically, chosen because (unlike the
+    PageRank graph's two families) it actually contains triangles."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.agg(F.count("*").alias("n"))
+    with_n = docs.crossJoin(F.broadcast(n))
+    edges = None
+    for mult, add in ((1, 1), (1, 2), (3, 7)):
+        fam = with_n.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
+        )
+        edges = fam if edges is None else edges.unionAll(fam)
+    return edges
+
+
 def triangle_count_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over a deterministic synthetic link
     graph on the documents table (each doc links to id+1, id+2, and
@@ -1387,16 +1406,7 @@ def triangle_count_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from spark_flink_streaming_example_with_test_spark.operators.graph import triangle_counts
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.agg(F.count("*").alias("n"))
-    with_n = docs.crossJoin(F.broadcast(n))
-    edges = None
-    for mult, add in ((1, 1), (1, 2), (3, 7)):
-        fam = with_n.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
-        )
-        edges = fam if edges is None else edges.unionAll(fam)
+    edges = _ring_chord_edges(spark, sf_dir)
     return triangle_counts(edges)
 
 
@@ -1518,9 +1528,6 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_if(F.col("l_shipdate") < F.col("o_orderdate")).alias("v"))
     )
-    n_orders = o.select(F.col("n"))
-    n_lines = l.select(F.col("n"))
-
     def rule(name, viol_df, viol_col, n_df):
         return (
             viol_df.select(F.col(viol_col).alias("n_violations"))
@@ -1709,16 +1716,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is a depth-bounded recursive CTE folded by MIN(dist)."""
     from spark_flink_streaming_example_with_test_spark.operators.graph import bfs_hops_unrolled
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    n = docs.agg(F.count("*").alias("n"))
-    with_n = docs.crossJoin(F.broadcast(n))
-    edges = None
-    for mult, add in ((1, 1), (1, 2), (3, 7)):
-        fam = with_n.select(
-            F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + add) % F.col("n")).alias("dst"),
-        )
-        edges = fam if edges is None else edges.unionAll(fam)
+    edges = _ring_chord_edges(spark, sf_dir)
     return bfs_hops_unrolled(edges, root=0, n_hops=3)
 
 

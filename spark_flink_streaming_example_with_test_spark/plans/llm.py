@@ -1401,6 +1401,34 @@ FROM best GROUP BY vec_id
 """
 
 
+def _mixture_rate_frame(docs: DataFrame) -> DataFrame:
+    """Shared mixture solve used by BOTH the planning query
+    (mixture_sampling_rates) and the application query
+    (mixture_apply_sample), so the weight derivation and corpus-cap
+    rule cannot drift between plan and execution: one per-source
+    frame (source, avail_tokens, target_share, rate), unrounded."""
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("avail_tokens")
+        )
+        .withColumn("w", F.substring("source", 4, 10).cast("int") + F.lit(1))
+    )
+    full = Window.partitionBy()
+    share = F.col("w") / F.sum("w").over(full)
+    per = per.withColumn("target_share", share)
+    cap = F.min(F.col("avail_tokens") / F.col("target_share")).over(full)
+    return per.select(
+        "source",
+        "avail_tokens",
+        "target_share",
+        (F.col("target_share") * cap / F.col("avail_tokens")).alias("rate"),
+        (F.col("target_share") * cap).alias("sampled_tokens_raw"),
+    )
+
+
 def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture re-weighting — the pretraining planning step
     that turns target mixture proportions into per-source sampling
@@ -1417,25 +1445,16 @@ def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source frame, whose cardinality is the number of DOMAINS
     (inherently small), never the corpus.
     """
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    per = docs.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens")
-    ).withColumn(
-        "w", F.substring("source", 4, 10).cast("int") + F.lit(1)
-    )
-    full = Window.partitionBy()
-    share = F.col("w") / F.sum("w").over(full)
-    per = per.withColumn("target_share", share)
-    cap = F.min(F.col("avail_tokens") / F.col("target_share")).over(full)
-    sampled = F.col("target_share") * cap
+    per = _mixture_rate_frame(docs)
     return per.select(
         "source",
         "avail_tokens",
         F.round("target_share", 6).alias("target_share"),
-        F.round(sampled / F.col("avail_tokens"), 6).alias("sampling_rate"),
-        F.floor(sampled + 0.5).cast("long").alias("sampled_tokens"),
+        F.round("rate", 6).alias("sampling_rate"),
+        F.floor(F.col("sampled_tokens_raw") + 0.5).cast("long").alias(
+            "sampled_tokens"
+        ),
     )
 
 
@@ -2482,10 +2501,17 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucket(token_col, j):
+        # Decode the first two md5 hex chars as a genuine 0-255
+        # value (digit -> ascii-48, a-f -> ascii-87): an ascii-pair
+        # arithmetic like (a1*256+a2) % 256 would annihilate the
+        # first char and collapse the sketch to 16 effective buckets.
         h = F.md5(F.concat(token_col, F.lit(f"#{j}")))
-        return (
-            F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
-        ) % 256
+
+        def nib(i):
+            a = F.ascii(F.substring(h, i, 1))
+            return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+        return nib(1) * 16 + nib(2)
 
     cells = tok.select(
         F.explode(
@@ -2537,8 +2563,12 @@ WITH toks AS (
   SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents
 ), cms AS (
   SELECT j,
-         (ASCII(SUBSTR(MD5(token || '#' || j), 1, 1)) * 256
-          + ASCII(SUBSTR(MD5(token || '#' || j), 2, 1))) % 256 AS bucket,
+         (ASCII(SUBSTR(MD5(token || '#' || j), 1, 1))
+          - CASE WHEN ASCII(SUBSTR(MD5(token || '#' || j), 1, 1)) >= 97
+                 THEN 87 ELSE 48 END) * 16
+         + (ASCII(SUBSTR(MD5(token || '#' || j), 2, 1))
+            - CASE WHEN ASCII(SUBSTR(MD5(token || '#' || j), 2, 1)) >= 97
+                   THEN 87 ELSE 48 END) AS bucket,
          COUNT(*) AS cnt
   FROM toks CROSS JOIN UNNEST(RANGE(0, 4)) AS t(j)
   GROUP BY 1, 2
@@ -2548,8 +2578,12 @@ WITH toks AS (
   SELECT * FROM exact ORDER BY exact_count DESC, token LIMIT 20
 ), probes AS (
   SELECT top.token, top.exact_count, t.j,
-         (ASCII(SUBSTR(MD5(top.token || '#' || t.j), 1, 1)) * 256
-          + ASCII(SUBSTR(MD5(top.token || '#' || t.j), 2, 1))) % 256 AS bucket
+         (ASCII(SUBSTR(MD5(top.token || '#' || t.j), 1, 1))
+          - CASE WHEN ASCII(SUBSTR(MD5(top.token || '#' || t.j), 1, 1)) >= 97
+                 THEN 87 ELSE 48 END) * 16
+         + (ASCII(SUBSTR(MD5(top.token || '#' || t.j), 2, 1))
+            - CASE WHEN ASCII(SUBSTR(MD5(top.token || '#' || t.j), 2, 1)) >= 97
+                   THEN 87 ELSE 48 END) AS bucket
   FROM top CROSS JOIN UNNEST(RANGE(0, 4)) AS t(j)
 )
 SELECT probes.token, probes.exact_count,
@@ -2643,26 +2677,8 @@ def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     a re-run reproduces the same sampled corpus exactly (the
     property RNG-based sampling loses on retry). Emits per-source
     planned vs realized rates."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    per = (
-        docs.groupBy("source")
-        .agg(
-            F.sum(F.size(F.split("text", " ")))
-            .cast("long")
-            .alias("avail_tokens")
-        )
-        .withColumn("w", F.substring("source", 4, 10).cast("int") + F.lit(1))
-    )
-    full = Window.partitionBy()
-    share = F.col("w") / F.sum("w").over(full)
-    per = per.withColumn("target_share", share)
-    cap = F.min(F.col("avail_tokens") / F.col("target_share")).over(full)
-    rates = per.select(
-        "source",
-        (F.col("target_share") * cap / F.col("avail_tokens")).alias("rate"),
-    )
+    rates = _mixture_rate_frame(docs).select("source", "rate")
     h = F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
     u = (
         (
@@ -2728,13 +2744,18 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG state, the standard way to draw a weighted sample from
     100 TB in one pass."""
     docs = load_table(spark, sf_dir, "documents")
+    # Decode the first 4 md5 hex chars as a genuine uniform 0-65535
+    # (nibble = ascii-48 for digits, ascii-87 for a-f): raw-ascii
+    # arithmetic mod 65536 would keep only the last two chars and
+    # confine u to a 256-value clump in [0.188, 0.400].
     h = F.md5(F.concat(F.lit("wrs#"), F.col("doc_id").cast("string")))
-    v = (
-        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
-        * 256
-        + F.ascii(F.substring(h, 3, 1))
-    ) * 256 + F.ascii(F.substring(h, 4, 1))
-    u = (v % 65536 + 1) / 65537.0
+
+    def nib(i):
+        a = F.ascii(F.substring(h, i, 1))
+        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+    v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    u = (v + 1) / 65537.0
     prio = F.pow(u, 1.0 / F.col("n_chars"))
     return (
         docs.select(
@@ -2747,15 +2768,24 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WEIGHTED_SAMPLE_ORACLE = """
-WITH drawn AS (
+WITH hx AS (
+  SELECT *, MD5('wrs#' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+), nibs AS (
   SELECT doc_id, source, n_chars,
-         POW((((ASCII(SUBSTR(h, 1, 1)) * 256 + ASCII(SUBSTR(h, 2, 1))) * 256
-               + ASCII(SUBSTR(h, 3, 1))) * 256
-              + ASCII(SUBSTR(h, 4, 1))) % 65536 / 65537.0
-             + 1.0 / 65537.0,
+         ASCII(SUBSTR(h, 1, 1))
+           - CASE WHEN ASCII(SUBSTR(h, 1, 1)) >= 97 THEN 87 ELSE 48 END AS n1,
+         ASCII(SUBSTR(h, 2, 1))
+           - CASE WHEN ASCII(SUBSTR(h, 2, 1)) >= 97 THEN 87 ELSE 48 END AS n2,
+         ASCII(SUBSTR(h, 3, 1))
+           - CASE WHEN ASCII(SUBSTR(h, 3, 1)) >= 97 THEN 87 ELSE 48 END AS n3,
+         ASCII(SUBSTR(h, 4, 1))
+           - CASE WHEN ASCII(SUBSTR(h, 4, 1)) >= 97 THEN 87 ELSE 48 END AS n4
+  FROM hx
+), drawn AS (
+  SELECT doc_id, source, n_chars,
+         POW(((((n1 * 16 + n2) * 16 + n3) * 16 + n4) + 1) / 65537.0,
              1.0 / n_chars) AS prio
-  FROM (SELECT *, MD5('wrs#' || CAST(doc_id AS VARCHAR)) AS h
-        FROM documents)
+  FROM nibs
 )
 SELECT doc_id, source, n_chars, ROUND(prio, 9) AS priority
 FROM drawn ORDER BY ROUND(prio, 9) DESC, doc_id LIMIT 20
@@ -2764,7 +2794,7 @@ FROM drawn ORDER BY ROUND(prio, 9) DESC, doc_id LIMIT 20
 
 def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble dedup-detector agreement: the exact 3-gram Jaccard
-    pair set (lexical) full-outer-joined with the LSH-bucketed
+    pair set (lexical) full-outer-joined with the raw LSH-bucketed
     embedding-cosine pair set (semantic, vec_id = doc_id) and
     tallied by which detector fired — the modality-voting view a
     curation pipeline uses to set per-detector thresholds ('both'
@@ -2776,13 +2806,14 @@ def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4).select(
         "id_a", "id_b", F.lit(True).alias("in_text")
     )
-    ep = sim.embedding_near_duplicates(
+    # The raw bucketed PAIR set (id_a < id_b), not
+    # embedding_near_duplicates' per-drop decision rows — the
+    # decision keeps only each drop's MINIMUM neighbor, which would
+    # tally a pair both detectors fired on as text_only +
+    # embedding_only whenever the drop has a lower-id neighbor too.
+    ep = sim.bucketed_similar_pairs(
         emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
-    ).select(
-        F.col("keep_id").alias("id_a"),
-        F.col("drop_id").alias("id_b"),
-        F.lit(True).alias("in_emb"),
-    )
+    ).select("id_a", "id_b", F.lit(True).alias("in_emb"))
     u = tp.join(ep, ["id_a", "id_b"], "full_outer")
     detector = (
         F.when(
@@ -2800,14 +2831,14 @@ def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_ENSEMBLE_ORACLE = f"""
 WITH txt AS ({DEDUP_NGRAM_ORACLE}),
-emb AS ({DEDUP_EMBEDDING_ORACLE}),
+emb AS ({_bucketed_pairs_sql(0.3, 10_000)}),
 u AS (
-  SELECT COALESCE(txt.id_a, emb.keep_id) AS id_a,
-         COALESCE(txt.id_b, emb.drop_id) AS id_b,
+  SELECT COALESCE(txt.id_a, emb.id_a) AS id_a,
+         COALESCE(txt.id_b, emb.id_b) AS id_b,
          txt.id_a IS NOT NULL AS in_text,
-         emb.drop_id IS NOT NULL AS in_emb
+         emb.id_a IS NOT NULL AS in_emb
   FROM txt FULL OUTER JOIN emb
-    ON txt.id_a = emb.keep_id AND txt.id_b = emb.drop_id
+    ON txt.id_a = emb.id_a AND txt.id_b = emb.id_b
 )
 SELECT CASE WHEN in_text AND in_emb THEN 'both'
             WHEN in_emb THEN 'embedding_only'
