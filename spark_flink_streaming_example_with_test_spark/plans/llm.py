@@ -16,6 +16,22 @@ from spark_flink_streaming_example_with_test_spark.operators import text as tx
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
 
+def _md5_nibble(h, i: int):
+    """Spark column: i-th hex char of md5 string ``h`` decoded to its
+    0-15 value (digit -> ascii-48, a-f -> ascii-87). Raw-ascii
+    arithmetic like (a1*256+a2) % 2^k annihilates the leading chars
+    (256 % 2^k == 0 for k <= 8) — always decode nibbles before
+    combining them into bucket or uniform values."""
+    a = F.ascii(F.substring(h, i, 1))
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+def _md5_nibble_sql(h_expr: str, i: int) -> str:
+    """DuckDB twin of _md5_nibble (identical arithmetic)."""
+    c = f"ASCII(SUBSTR({h_expr}, {i}, 1))"
+    return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+
+
 # --- Deduplication ----------------------------------------------------
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2127,11 +2143,9 @@ def hashed_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket, count) triple form for the first 50 docs."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     tok = F.explode(F.split(F.lower("text"), " ")).alias("term")
-    h = F.md5(F.col("term"))
-    bucket = (
-        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
-        % 16
-    )
+    # One decoded hex nibble IS a uniform 0-15 bucket; the previous
+    # (a1*256+a2) % 16 reduced to a2 % 16 — 10 skewed buckets.
+    bucket = _md5_nibble(F.md5(F.col("term")), 1)
     return (
         docs.select("doc_id", tok)
         .select("doc_id", bucket.alias("bucket"))
@@ -2140,14 +2154,13 @@ def hashed_token_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HASHED_FEATURES_ORACLE = """
+HASHED_FEATURES_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
   FROM documents WHERE doc_id < 50
 )
 SELECT doc_id,
-       (ASCII(SUBSTR(MD5(term), 1, 1)) * 256
-        + ASCII(SUBSTR(MD5(term), 2, 1))) % 16 AS bucket,
+       {_md5_nibble_sql('MD5(term)', 1)} AS bucket,
        COUNT(*) AS cnt
 FROM toks GROUP BY 1, 2
 """
@@ -2506,12 +2519,7 @@ def countmin_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # arithmetic like (a1*256+a2) % 256 would annihilate the
         # first char and collapse the sketch to 16 effective buckets.
         h = F.md5(F.concat(token_col, F.lit(f"#{j}")))
-
-        def nib(i):
-            a = F.ascii(F.substring(h, i, 1))
-            return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
-
-        return nib(1) * 16 + nib(2)
+        return _md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)
 
     cells = tok.select(
         F.explode(
@@ -2680,14 +2688,10 @@ def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     rates = _mixture_rate_frame(docs).select("source", "rate")
     h = F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
-    u = (
-        (
-            (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
-            * 256
-            + F.ascii(F.substring(h, 3, 1))
-        )
-        % 10000
-    ) / 10000.0
+    v = (
+        (_md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)) * 16 + _md5_nibble(h, 3)
+    ) * 16 + _md5_nibble(h, 4)
+    u = (v + 1) / 65537.0
     return (
         docs.select("source", u.alias("u"))
         .join(F.broadcast(rates), "source")
@@ -2703,7 +2707,7 @@ def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MIXTURE_APPLY_ORACLE = """
+MIXTURE_APPLY_ORACLE = f"""
 WITH per AS (
   SELECT source,
          CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS avail_tokens,
@@ -2718,10 +2722,11 @@ WITH per AS (
   FROM shares
 ), drawn AS (
   SELECT d.source, rates.rate,
-         ((ASCII(SUBSTR(h, 1, 1)) * 256 + ASCII(SUBSTR(h, 2, 1))) * 256
-          + ASCII(SUBSTR(h, 3, 1))) % 10000 / 10000.0 AS u
-  FROM (SELECT source, MD5('mix#' || CAST(doc_id AS VARCHAR)) AS h
-        FROM documents) d
+         ((((N1 * 16 + N2) * 16 + N3) * 16 + N4) + 1) / 65537.0 AS u
+  FROM (SELECT source,
+               {_md5_nibble_sql('h', 1)} AS N1, {_md5_nibble_sql('h', 2)} AS N2, {_md5_nibble_sql('h', 3)} AS N3, {_md5_nibble_sql('h', 4)} AS N4
+        FROM (SELECT source, MD5('mix#' || CAST(doc_id AS VARCHAR)) AS h
+              FROM documents)) d
   JOIN rates USING (source)
 )
 SELECT source, COUNT(*) AS n_docs,
@@ -2749,12 +2754,9 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic mod 65536 would keep only the last two chars and
     # confine u to a 256-value clump in [0.188, 0.400].
     h = F.md5(F.concat(F.lit("wrs#"), F.col("doc_id").cast("string")))
-
-    def nib(i):
-        a = F.ascii(F.substring(h, i, 1))
-        return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
-
-    v = ((nib(1) * 16 + nib(2)) * 16 + nib(3)) * 16 + nib(4)
+    v = (
+        (_md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)) * 16 + _md5_nibble(h, 3)
+    ) * 16 + _md5_nibble(h, 4)
     u = (v + 1) / 65537.0
     prio = F.pow(u, 1.0 / F.col("n_chars"))
     return (
