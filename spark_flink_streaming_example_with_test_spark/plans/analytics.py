@@ -1737,3 +1737,61 @@ e AS (
 )
 SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
 """
+
+
+def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based scale twin of rolling_wau: one HLL sketch
+    per day (fixed-size, mergeable), trailing-7-day WAU obtained by
+    UNIONING the seven daily sketches instead of re-scanning seven
+    days of raw activity — at 100 TB the daily sketches are a few KB
+    each, so the rolling merge costs |days| x 7 sketch unions
+    regardless of event volume, and the same pre-aggregated sketches
+    serve ANY window length. Sketch estimates can't hash-match
+    across engines, so (like approx_distinct_users) each engine
+    checks its OWN estimate against its OWN exact rolling distinct
+    and the driver compares the (exact, within_tolerance) pair."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    daily = days.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "sk"
+    ).select(
+        F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("report_day"),
+        "sk",
+    )
+    spine = days.select(F.date_trunc("day", F.col("day")).alias("report_day")).distinct()
+    merged = (
+        contrib.join(spine, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = rolling_wau(spark, sf_dir).withColumnRenamed("wau", "wau_exact")
+    return exact.join(merged, "report_day").select(
+        "report_day",
+        "wau_exact",
+        (
+            F.abs(F.col("est") - F.col("wau_exact")) / F.col("wau_exact")
+            <= 0.05
+        ).alias("within_tolerance"),
+    )
+
+
+ROLLING_WAU_HLL_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS day FROM events
+), contrib AS (
+  SELECT user_id, day + TO_DAYS(CAST(off AS INT)) AS report_day
+  FROM days, UNNEST(RANGE(0, 7)) AS t(off)
+), spine AS (
+  SELECT DISTINCT day AS report_day FROM days
+)
+SELECT report_day,
+       COUNT(DISTINCT user_id) AS wau_exact,
+       ABS(APPROX_COUNT_DISTINCT(user_id) - COUNT(DISTINCT user_id)) * 1.0
+         / COUNT(DISTINCT user_id) <= 0.05 AS within_tolerance
+FROM contrib
+WHERE report_day IN (SELECT report_day FROM spine)
+GROUP BY report_day
+"""

@@ -186,6 +186,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("user_acquisition_curve", an.user_acquisition_curve,
               an.USER_ACQUISITION_ORACLE),
     QuerySpec("graph_bfs_hops", an.graph_bfs_hops, an.GRAPH_BFS_ORACLE),
+    QuerySpec("rolling_wau_hll", an.rolling_wau_hll,
+              an.ROLLING_WAU_HLL_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,
               llm.DEDUP_ENSEMBLE_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle
