@@ -1795,3 +1795,111 @@ FROM contrib
 WHERE report_day IN (SELECT report_day FROM spine)
 GROUP BY report_day
 """
+
+
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next = to | current = from) estimated from every
+    adjacent pair in each user's time-ordered history — the
+    behavioral-model complement to sequence_pattern_match's fixed
+    patterns. One user-keyed window for the lead, then a 25-row
+    aggregate; transition probabilities are exact row ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    )
+
+
+MARKOV_TRANSITIONS_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), counted AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM pairs WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+FROM counted
+"""
+
+
+def equi_depth_histogram_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of event values — the
+    SCALABLE construction: exact interpolated percentile edges come
+    from ONE aggregate pass (9 edges in a single broadcastable row),
+    then bucketing is a stateless per-row comparison sum, so no
+    global sort / single-partition ntile window ever happens (the
+    naive ntile-over-everything plan collapses 100 TB onto one
+    reducer). Both engines interpolate percentiles identically
+    (pinned by percentile_event_values), so bucket boundaries agree
+    bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = ev.agg(
+        *[
+            F.percentile("value", F.lit(q)).alias(f"e{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    bucket = sum(
+        [
+            F.when(F.col("value") > F.col(f"e{i}"), 1).otherwise(0)
+            for i in range(1, 10)
+        ],
+        F.lit(0),
+    )
+    return (
+        ev.crossJoin(F.broadcast(edges))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+EQUI_DEPTH_ORACLE = """
+WITH edges AS (
+  SELECT QUANTILE_CONT(value, 0.1) AS e1, QUANTILE_CONT(value, 0.2) AS e2,
+         QUANTILE_CONT(value, 0.3) AS e3, QUANTILE_CONT(value, 0.4) AS e4,
+         QUANTILE_CONT(value, 0.5) AS e5, QUANTILE_CONT(value, 0.6) AS e6,
+         QUANTILE_CONT(value, 0.7) AS e7, QUANTILE_CONT(value, 0.8) AS e8,
+         QUANTILE_CONT(value, 0.9) AS e9
+  FROM events
+)
+SELECT (CASE WHEN value > e1 THEN 1 ELSE 0 END
+        + CASE WHEN value > e2 THEN 1 ELSE 0 END
+        + CASE WHEN value > e3 THEN 1 ELSE 0 END
+        + CASE WHEN value > e4 THEN 1 ELSE 0 END
+        + CASE WHEN value > e5 THEN 1 ELSE 0 END
+        + CASE WHEN value > e6 THEN 1 ELSE 0 END
+        + CASE WHEN value > e7 THEN 1 ELSE 0 END
+        + CASE WHEN value > e8 THEN 1 ELSE 0 END
+        + CASE WHEN value > e9 THEN 1 ELSE 0 END) AS bucket,
+       COUNT(*) AS n,
+       ROUND(MIN(value), 2) AS lo,
+       ROUND(MAX(value), 2) AS hi
+FROM events CROSS JOIN edges
+GROUP BY 1
+"""

@@ -188,6 +188,10 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("graph_bfs_hops", an.graph_bfs_hops, an.GRAPH_BFS_ORACLE),
     QuerySpec("rolling_wau_hll", an.rolling_wau_hll,
               an.ROLLING_WAU_HLL_ORACLE),
+    QuerySpec("markov_event_transitions", an.markov_event_transitions,
+              an.MARKOV_TRANSITIONS_ORACLE),
+    QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
+              an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,
               llm.DEDUP_ENSEMBLE_ORACLE),
     # -- Round-5 gate priority: queries whose semantics or oracle

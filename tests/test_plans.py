@@ -135,6 +135,7 @@ _INTENTIONAL_NLJ = {
     "source_token_kl",            # 1-row corpus-total crossJoin
     "dq_audit_orders",            # 1-row rule-denominator crossJoins
     "token_cooccurrence_pairs",   # 1-row corpus-count crossJoin
+    "equi_depth_histogram_values",  # 1-row percentile-edges crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
