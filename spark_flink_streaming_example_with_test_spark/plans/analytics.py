@@ -1669,9 +1669,12 @@ def user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
     ).distinct()
     dau = active.groupBy("day").agg(F.count("*").alias("dau"))
+    # First-seen day from the deduped (user, day) frame, not a second
+    # full event scan: date_trunc is monotone, so min(day) == the
+    # truncated min(ts).
     firsts = (
-        ev.groupBy("user_id")
-        .agg(F.date_trunc("day", F.min("ts")).alias("day"))
+        active.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
         .groupBy("day")
         .agg(F.count("*").alias("new_users"))
     )
@@ -1695,12 +1698,11 @@ WITH active AS (
 ), dau AS (
   SELECT day, COUNT(*) AS dau FROM active GROUP BY day
 ), firsts AS (
-  SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS day
-  FROM events GROUP BY user_id
+  SELECT user_id, MIN(day) AS day FROM active GROUP BY user_id
 ), new_u AS (
   SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
 )
-SELECT dau.day, dau.dau,
+SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau,
        COALESCE(new_u.new_users, 0) AS new_users,
        CAST(SUM(COALESCE(new_u.new_users, 0)) OVER (ORDER BY dau.day
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
@@ -1751,23 +1753,39 @@ def rolling_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks its OWN estimate against its OWN exact rolling distinct
     and the driver compares the (exact, within_tolerance) pair."""
     ev = load_table(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).distinct()
+    # One distinct (user, day) frame feeds BOTH the sketch side and
+    # the exact side (calling rolling_wau() here would re-scan the
+    # event stream and rebuild this exact frame); persist for the
+    # two consumers.
+    from pyspark import StorageLevel
+
+    days = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    off = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    spine = days.select(F.col("day").alias("report_day")).distinct()
+
     daily = days.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
-    contrib = daily.select(
-        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "sk"
-    ).select(
+    contrib = daily.select(off, "day", "sk").select(
         F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("report_day"),
         "sk",
     )
-    spine = days.select(F.date_trunc("day", F.col("day")).alias("report_day")).distinct()
     merged = (
         contrib.join(spine, "report_day", "left_semi")
         .groupBy("report_day")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     )
-    exact = rolling_wau(spark, sf_dir).withColumnRenamed("wau", "wau_exact")
+    exact_contrib = days.select("user_id", off, "day").select(
+        "user_id",
+        F.timestamp_add("DAY", F.col("off"), F.col("day")).alias("report_day"),
+    )
+    exact = (
+        exact_contrib.join(spine, "report_day", "left_semi")
+        .groupBy("report_day")
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
     return exact.join(merged, "report_day").select(
         "report_day",
         "wau_exact",

@@ -2794,6 +2794,29 @@ FROM drawn ORDER BY ROUND(prio, 9) DESC, doc_id LIMIT 20
 """
 
 
+def detector_vote_counts(tp: DataFrame, ep: DataFrame) -> DataFrame:
+    """Voting core of dedup_ensemble_agreement: full outer join of
+    two (id_a, id_b) pair sets (with in_text / in_emb marker
+    columns) tallied into both / text_only / embedding_only. Kept
+    separate because the fixture's random embeddings are
+    uncorrelated with the text, so the catalog query can never
+    produce a 'both' row — the branch is pinned instead by the
+    synthetic-pair unit test (tests/test_overlap_graph_ops.py)."""
+    u = tp.join(ep, ["id_a", "id_b"], "full_outer")
+    detector = (
+        F.when(
+            F.coalesce("in_text", F.lit(False))
+            & F.coalesce("in_emb", F.lit(False)),
+            "both",
+        )
+        .when(F.coalesce("in_emb", F.lit(False)), "embedding_only")
+        .otherwise("text_only")
+    )
+    return u.groupBy(detector.alias("detector")).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
 def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ensemble dedup-detector agreement: the exact 3-gram Jaccard
     pair set (lexical) full-outer-joined with the raw LSH-bucketed
@@ -2816,19 +2839,7 @@ def dedup_ensemble_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ep = sim.bucketed_similar_pairs(
         emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
     ).select("id_a", "id_b", F.lit(True).alias("in_emb"))
-    u = tp.join(ep, ["id_a", "id_b"], "full_outer")
-    detector = (
-        F.when(
-            F.coalesce("in_text", F.lit(False))
-            & F.coalesce("in_emb", F.lit(False)),
-            "both",
-        )
-        .when(F.coalesce("in_emb", F.lit(False)), "embedding_only")
-        .otherwise("text_only")
-    )
-    return u.groupBy(detector.alias("detector")).agg(
-        F.count("*").alias("n_pairs")
-    )
+    return detector_vote_counts(tp, ep)
 
 
 DEDUP_ENSEMBLE_ORACLE = f"""

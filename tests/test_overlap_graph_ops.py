@@ -140,3 +140,29 @@ def test_triangle_counts_triangle_free_graph(spark):
         [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
     )  # 4-cycle: no triangles
     assert triangle_counts(df).collect() == []
+
+
+# --- ensemble detector voting --------------------------------------
+
+
+def test_detector_vote_counts_all_categories(spark):
+    """The fixture's random embeddings never agree with the text
+    detector, so the catalog query structurally cannot emit a
+    'both' row — pin the voting branch on synthetic pair sets that
+    cover every category (incl. the both branch the query exists
+    for)."""
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.plans.llm import detector_vote_counts
+
+    tp = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    ).withColumn("in_text", F.lit(True))
+    ep = spark.createDataFrame(
+        [(1, 2), (6, 7)], "id_a long, id_b long"
+    ).withColumn("in_emb", F.lit(True))
+    got = {
+        r.detector: r.n_pairs
+        for r in detector_vote_counts(tp, ep).collect()
+    }
+    assert got == {"both": 1, "text_only": 2, "embedding_only": 1}
