@@ -433,3 +433,37 @@ def test_semdedup_matches_bruteforce(spark, rows):
             expect[i] = (li, min(j for j, _ in qual),
                          round(max(c for _, c in qual), 6))
     assert got == expect, (got, expect)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abcxyz", min_size=1, max_size=4),
+            min_size=1, max_size=30,
+        ).map(" ".join),
+        min_size=1, max_size=5,
+    )
+)
+def test_cdc_chunks_partition_token_stream(spark, docs):
+    """Content-defined chunking is a PARTITION of the token stream on
+    arbitrary input: chunks reassemble to the lowered original with
+    no token lost, duplicated, or reordered, and chunk ids per doc
+    are dense from 0."""
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    rows = cdc_chunks(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk, r.n_tokens))
+    assert set(by_doc) == set(range(len(docs)))
+    for i, text in enumerate(docs):
+        chunks = sorted(by_doc[i])
+        assert [c[0] for c in chunks] == list(range(len(chunks)))  # dense ids
+        rebuilt = " ".join(c[1] for c in chunks)
+        assert rebuilt == text.lower()
+        assert sum(c[2] for c in chunks) == len(text.split(" "))
