@@ -190,6 +190,12 @@ _SPECS: list[QuerySpec] = [
               an.ROLLING_WAU_HLL_ORACLE),
     QuerySpec("markov_event_transitions", an.markov_event_transitions,
               an.MARKOV_TRANSITIONS_ORACLE),
+    QuerySpec("streaming_complete_topk_e2e", ref.streaming_complete_topk_e2e,
+              ref.STREAMING_COMPLETE_TOPK_ORACLE),
+    QuerySpec("lateral_topk_orders", rel.lateral_topk_orders,
+              rel.LATERAL_TOPK_ORACLE),
+    QuerySpec("tokenizer_vocab_coverage", llm.tokenizer_vocab_coverage,
+              llm.TOKENIZER_COVERAGE_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -2859,3 +2859,59 @@ SELECT CASE WHEN in_text AND in_emb THEN 'both'
        COUNT(*) AS n_pairs
 FROM u GROUP BY 1
 """
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: with the vocabulary fixed to the
+    10 highest-frequency corpus tokens (deterministic tiebreak),
+    score every document's out-of-vocabulary rate — the
+    pre-tokenization sanity check that catches a domain whose text a
+    planned vocab would shatter into unknowns. The vocab frame is
+    tiny by construction and broadcasts; coverage is one aggregate
+    over the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(10)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+        )
+    )
+
+
+TOKENIZER_COVERAGE_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+    ORDER BY n DESC, token LIMIT 10
+  )
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+         AS n_oov,
+       ROUND(COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
+             * 1.0 / COUNT(*), 4) AS oov_rate
+FROM tok GROUP BY doc_id
+"""

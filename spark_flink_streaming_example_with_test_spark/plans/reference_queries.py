@@ -1177,3 +1177,48 @@ WHERE p.event_type = 'purchase'
       AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
   )
 """
+
+
+def streaming_complete_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete-output-mode streaming aggregation with sort + limit
+    (legal ONLY in complete mode — append/update reject a global
+    ORDER BY): the live top-5 leaderboard pattern. The memory sink
+    holds the final complete emission after the bounded replay, which
+    must equal the batch top-5 with the same deterministic
+    tiebreak."""
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    src = tempfile.mkdtemp(prefix="engine_stream_topk_")
+    sink = f"topk_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("user_id long, event_id long").parquet(src)
+        top = (
+            stream.groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+            .orderBy(F.desc("n_events"), "user_id")
+            .limit(5)
+        )
+        query = (
+            top.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_COMPLETE_TOPK_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 5
+"""

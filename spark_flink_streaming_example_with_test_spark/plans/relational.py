@@ -1294,3 +1294,43 @@ SELECT YEAR(o_orderdate - INTERVAL ((ISODOW(o_orderdate) - 1)) DAY
        ROUND(SUM(o_totalprice), 2) AS revenue
 FROM orders GROUP BY 1, 2
 """
+
+
+def lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    the SQL-surface twin of the window-function top-k
+    (topk_orders_per_customer): each low-key customer joined
+    laterally to their 2 most expensive orders. Catalyst rewrites
+    the correlated limit via DomainJoin into a ranked join, so the
+    physical plan converges with the window form — the point is
+    that the LATERAL front-end surface works and agrees."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "__lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("__lat_orders")
+    return spark.sql("""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM __lat_customer c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM __lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        WHERE c.c_custkey < 50
+    """)
+
+
+LATERAL_TOPK_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o ON TRUE
+WHERE c.c_custkey < 50
+"""
