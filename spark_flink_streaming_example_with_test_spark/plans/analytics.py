@@ -1921,3 +1921,69 @@ SELECT (CASE WHEN value > e1 THEN 1 ELSE 0 END
 FROM events CROSS JOIN edges
 GROUP BY 1
 """
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance in batch form: a
+    per-user (count, sum) view built from the pre-cutoff base is
+    UPDATED by merging the delta partition's partial aggregates —
+    never by re-scanning the base — exploiting that count/sum are
+    algebraic (partials merge by addition). The emitted
+    ``matches_full`` boolean proves the merged view equals a direct
+    full recompute in each engine (rounded to absorb float
+    summation-order differences), so the driver hash-checks the
+    maintenance algebra itself.
+
+    At 100 TB the point is cost shape: the refresh touches
+    O(|delta|) raw rows plus two |keys|-sized partial frames,
+    instead of the O(|base|) rescan a naive refresh pays."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"), F.sum("value").alias("s")
+        )
+
+    base = partials(ev.filter(F.col("ts") < cutoff))
+    delta = partials(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("n_events"), F.sum("s").alias("total"))
+    )
+    full = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_full"), F.sum("value").alias("s_full")
+    )
+    return merged.join(full, "user_id").select(
+        "user_id",
+        "n_events",
+        F.round("total", 4).alias("total_value"),
+        (
+            (F.col("n_events") == F.col("n_full"))
+            & (F.round("total", 4) == F.round("s_full", 4))
+        ).alias("matches_full"),
+    )
+
+
+INCREMENTAL_AGG_ORACLE = """
+WITH base AS (
+  SELECT user_id, COUNT(*) AS n, SUM(value) AS s
+  FROM events WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+), delta AS (
+  SELECT user_id, COUNT(*) AS n, SUM(value) AS s
+  FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id
+), merged AS (
+  SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events, SUM(s) AS total
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY user_id
+), agg_full AS (
+  SELECT user_id, COUNT(*) AS n_full, SUM(value) AS s_full
+  FROM events GROUP BY user_id
+)
+SELECT merged.user_id, n_events,
+       ROUND(total, 4) AS total_value,
+       n_events = n_full AND ROUND(total, 4) = ROUND(s_full, 4)
+         AS matches_full
+FROM merged JOIN agg_full ON merged.user_id = agg_full.user_id
+"""

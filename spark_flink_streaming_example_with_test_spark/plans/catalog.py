@@ -196,6 +196,8 @@ _SPECS: list[QuerySpec] = [
               rel.LATERAL_TOPK_ORACLE),
     QuerySpec("tokenizer_vocab_coverage", llm.tokenizer_vocab_coverage,
               llm.TOKENIZER_COVERAGE_ORACLE),
+    QuerySpec("incremental_agg_maintenance", an.incremental_agg_maintenance,
+              an.INCREMENTAL_AGG_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,
