@@ -1987,3 +1987,61 @@ SELECT merged.user_id, n_events,
          AS matches_full
 FROM merged JOIN agg_full ON merged.user_id = agg_full.user_id
 """
+
+
+def mad_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median and median
+    absolute deviation (MAD), with the count of values beyond the
+    conventional 3-sigma-equivalent fence (3 x 1.4826 x MAD) — the
+    robust alternative to mean/stddev z-scores, immune to the very
+    outliers it hunts. Two exact-percentile aggregates with a
+    broadcast join of the 5-row median frame between them; both
+    engines interpolate medians identically."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),
+        F.percentile("adev", F.lit(0.5)).alias("mad"),
+    )
+    fence = F.col("med") + 3 * 1.4826 * F.col("mad")
+    low_fence = F.col("med") - 3 * 1.4826 * F.col("mad")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 4).alias("median"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.count_if(
+                (F.col("value") > fence) | (F.col("value") < low_fence)
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+MAD_OUTLIER_ORACLE = """
+WITH med AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, MIN(med) AS med,
+         QUANTILE_CONT(ABS(e.value - med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_type,
+       ROUND(MIN(mad.med), 4) AS median,
+       ROUND(MIN(mad.mad), 4) AS mad,
+       COUNT(*) FILTER (WHERE e.value > mad.med + 3 * 1.4826 * mad.mad
+                           OR e.value < mad.med - 3 * 1.4826 * mad.mad)
+         AS n_outliers,
+       COUNT(*) AS n
+FROM events e JOIN mad USING (event_type)
+GROUP BY e.event_type
+"""

@@ -198,6 +198,10 @@ _SPECS: list[QuerySpec] = [
               llm.TOKENIZER_COVERAGE_ORACLE),
     QuerySpec("incremental_agg_maintenance", an.incremental_agg_maintenance,
               an.INCREMENTAL_AGG_ORACLE),
+    QuerySpec("mad_outlier_scores", an.mad_outlier_scores,
+              an.MAD_OUTLIER_ORACLE),
+    QuerySpec("scalar_string_functions_2", rel.scalar_string_functions_2,
+              rel.SCALAR_STRING2_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -1334,3 +1334,39 @@ JOIN LATERAL (
 ) o ON TRUE
 WHERE c.c_custkey < 50
 """
+
+
+def scalar_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-scalar sweep, covering the surface the first
+    (scalar_string_math) doesn't: split_part, left/right slices,
+    lpad zero-fill, reverse, position (instr/strpos), translate,
+    repeat, and printf-style formatting — all whole-stage-codegen
+    expressions with exact DuckDB twins."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_word1"),
+        F.expr("left(p_name, 5)").alias("name_left5"),
+        F.expr("right(p_brand, 2)").alias("brand_num"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr("p_name", "o").alias("first_o_pos"),
+        F.translate("p_type", "aeiou", "_____").alias("type_devoweled"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.format_string("%s#%04d", "p_brand", "p_partkey").alias("tag"),
+    )
+
+
+SCALAR_STRING2_ORACLE = """
+SELECT p_partkey,
+       SPLIT_PART(p_type, ' ', 1)                  AS type_word1,
+       LEFT(p_name, 5)                             AS name_left5,
+       RIGHT(p_brand, 2)                           AS brand_num,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0')    AS key_padded,
+       REVERSE(p_brand)                            AS brand_rev,
+       STRPOS(p_name, 'o')                         AS first_o_pos,
+       TRANSLATE(p_type, 'aeiou', '_____')         AS type_devoweled,
+       REPEAT('*', p_size % 5)                     AS stars,
+       PRINTF('%s#%04d', p_brand, p_partkey)       AS tag
+FROM part
+"""
