@@ -202,6 +202,8 @@ _SPECS: list[QuerySpec] = [
               an.MAD_OUTLIER_ORACLE),
     QuerySpec("scalar_string_functions_2", rel.scalar_string_functions_2,
               rel.SCALAR_STRING2_ORACLE),
+    QuerySpec("session_windows_dynamic_gap", ref.session_windows_dynamic_gap,
+              ref.SESSION_DYNAMIC_GAP_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

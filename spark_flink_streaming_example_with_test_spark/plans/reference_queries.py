@@ -1222,3 +1222,56 @@ SELECT user_id, COUNT(*) AS n_events
 FROM events GROUP BY user_id
 ORDER BY n_events DESC, user_id LIMIT 5
 """
+
+
+def session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows: the gap is a per-EVENT expression
+    (5 minutes after an error, 30 minutes otherwise), so sessions
+    merge while each next event starts before the running maximum of
+    event-ends — Spark's session_window(ts, gap_expr) surface, which
+    the static-gap query (session_windows_per_user) doesn't reach.
+    The oracle is the gaps-and-islands form generalized to a running
+    MAX(ts + gap) end frontier instead of a constant-gap lag check."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_DYNAMIC_GAP_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+              ELSE INTERVAL 30 MINUTE END AS gap
+  FROM events
+), frontier AS (
+  SELECT user_id, ts, ts + gap AS e,
+         MAX(ts + gap) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM ev
+), marked AS (
+  SELECT user_id, ts, e,
+         CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+  FROM frontier
+), sessions AS (
+  SELECT user_id, ts, e,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(e) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
