@@ -204,6 +204,9 @@ _SPECS: list[QuerySpec] = [
               rel.SCALAR_STRING2_ORACLE),
     QuerySpec("session_windows_dynamic_gap", ref.session_windows_dynamic_gap,
               ref.SESSION_DYNAMIC_GAP_ORACLE),
+    QuerySpec("streaming_full_outer_interval_join_e2e",
+              ref.streaming_full_outer_interval_join_e2e,
+              ref.STREAMING_FULL_OUTER_INTERVAL_JOIN_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -1275,3 +1275,95 @@ SELECT user_id,
        COUNT(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 """
+
+
+def streaming_full_outer_interval_join_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join on the real engine —
+    the last cell of the stream-join family (inner / left-outer /
+    left-semi are the other e2e replays): unmatched purchases AND
+    unmatched clicks both surface with nulls once the watermark
+    passes their horizon, so the replay appends one sentinel per side
+    exactly like streaming_outer_interval_join_e2e and filters them
+    back out."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_foij_")
+    sink = f"foij_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        sentinel_ts = events.agg(
+            (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts")
+        )
+        sentinels = sentinel_ts.crossJoin(
+            spark.createDataFrame(
+                [(-999, -1, "purchase"), (-999, -2, "click")],
+                "user_id long, event_id long, event_type string",
+            )
+        ).select("user_id", "event_id", "event_type", "ts")
+        sentinels.write.mode("append").parquet(src)
+
+        def read():
+            return spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp"
+            ).parquet(src)
+
+        purchases = (
+            read()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                "user_id",
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        clicks = (
+            read()
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        joined = interval_join_streams(
+            purchases, clicks, key="user_id",
+            left_ts="p_ts", right_ts="c_ts",
+            within="1 hour", watermark="2 hours", how="full_outer",
+        ).select("user_id", "purchase_id", "click_id")
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink).filter(F.col("user_id") != -999)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_FULL_OUTER_INTERVAL_JOIN_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, event_id AS click_id, ts AS c_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT COALESCE(p.user_id, c.user_id) AS user_id, purchase_id, click_id
+FROM p FULL OUTER JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+"""

@@ -57,6 +57,11 @@ def interval_join_streams(
     streaming_outer_interval_join_e2e) for the outer results to
     surface.
 
+    ``how="full_outer"`` additionally emits unmatched RIGHT rows
+    (left columns null) under the same watermark-eviction timing; the
+    key column is coalesced across sides so unmatched right rows keep
+    their key.
+
     ``how="left_semi"`` emits each MATCHED left row exactly once
     (first match wins, no right columns) — the streaming
     existence-filter: "purchases that had a click within the hour"
@@ -69,7 +74,7 @@ def interval_join_streams(
     """
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
-    if how not in ("inner", "left_outer", "left_semi"):
+    if how not in ("inner", "left_outer", "left_semi", "full_outer"):
         raise ValueError(f"unsupported stream-stream join type: {how!r}")
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -81,6 +86,14 @@ def interval_join_streams(
     joined = l.join(r, cond, how)
     if how == "left_semi":
         return joined  # only left columns exist
+    if how == "full_outer":
+        non_key = [c for c in left.columns if c != key] + [
+            c for c in right.columns if c != key
+        ]
+        return joined.select(
+            F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key),
+            *[F.col(c) for c in non_key],
+        )
     return joined.drop(F.col(f"r.{key}"))
 
 
