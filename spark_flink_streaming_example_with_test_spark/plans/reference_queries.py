@@ -304,12 +304,20 @@ SELECT DISTINCT user_id, event_type FROM events
 """
 
 
-def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream-stream interval join on the real engine: each purchase
-    joined to the same user's clicks within the following hour. Both
-    sides are watermarked and the join condition bounds event-time
-    distance, so join state is evictable (streaming/ops.py). The
-    oracle is the equivalent batch theta join."""
+def _interval_join_replay(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str,
+    with_sentinels: bool,
+    select_cols: tuple[str, ...],
+    prefix: str,
+) -> DataFrame:
+    """Shared bounded-replay scaffold for the stream-stream interval
+    join family (inner / left_outer / left_semi / full_outer):
+    purchases joined to same-user clicks within the following hour,
+    watermark 2 hours. Outer variants set ``with_sentinels`` — one
+    far-future row per side advances the watermark so evicted
+    unmatched state flushes; sentinels are filtered back out."""
     import shutil
     import tempfile
     import uuid
@@ -319,10 +327,21 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type", "ts"
     )
-    src = tempfile.mkdtemp(prefix="engine_stream_ij_")
-    sink = f"ij_{uuid.uuid4().hex[:8]}"
+    src = tempfile.mkdtemp(prefix=f"engine_stream_{prefix}_")
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     try:
         events.write.mode("overwrite").parquet(src)
+        if with_sentinels:
+            sentinel_ts = events.agg(
+                (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts")
+            )
+            sentinels = sentinel_ts.crossJoin(
+                spark.createDataFrame(
+                    [(-999, -1, "purchase"), (-999, -2, "click")],
+                    "user_id long, event_id long, event_type string",
+                )
+            ).select("user_id", "event_id", "event_type", "ts")
+            sentinels.write.mode("append").parquet(src)
 
         def read():
             return spark.readStream.schema(
@@ -350,8 +369,8 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = interval_join_streams(
             purchases, clicks, key="user_id",
             left_ts="p_ts", right_ts="c_ts",
-            within="1 hour", watermark="2 hours",
-        ).select("user_id", "purchase_id", "click_id")
+            within="1 hour", watermark="2 hours", how=how,
+        ).select(*select_cols)
         query = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -362,9 +381,24 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             query.processAllAvailable()
         finally:
             query.stop()
-        return spark.table(sink)
+        out = spark.table(sink)
+        if with_sentinels:
+            out = out.filter(F.col("user_id") != -999)
+        return out
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join on the real engine: each purchase
+    joined to the same user's clicks within the following hour. Both
+    sides are watermarked and the join condition bounds event-time
+    distance, so join state is evictable (streaming/ops.py). The
+    oracle is the equivalent batch theta join."""
+    return _interval_join_replay(
+        spark, sf_dir, how="inner", with_sentinels=False,
+        select_cols=("user_id", "purchase_id", "click_id"), prefix="ij",
+    )
 
 
 STREAMING_INTERVAL_JOIN_ORACLE = """
@@ -689,71 +723,10 @@ def streaming_outer_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataF
     result); the post-sentinel no-data batch then flushes every real
     outer row. The oracle is the equivalent batch left theta join.
     """
-    import shutil
-    import tempfile
-    import uuid
-
-    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
-
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts"
+    return _interval_join_replay(
+        spark, sf_dir, how="left_outer", with_sentinels=True,
+        select_cols=("user_id", "purchase_id", "click_id"), prefix="oij",
     )
-    src = tempfile.mkdtemp(prefix="engine_stream_oij_")
-    sink = f"oij_{uuid.uuid4().hex[:8]}"
-    try:
-        events.write.mode("overwrite").parquet(src)
-        sentinel_ts = events.agg(
-            (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts")
-        )
-        sentinels = sentinel_ts.crossJoin(
-            spark.createDataFrame(
-                [(-999, -1, "purchase"), (-999, -2, "click")],
-                "user_id long, event_id long, event_type string",
-            )
-        ).select("user_id", "event_id", "event_type", "ts")
-        sentinels.write.mode("append").parquet(src)
-
-        def read():
-            return spark.readStream.schema(
-                "user_id long, event_id long, event_type string, ts timestamp"
-            ).parquet(src)
-
-        purchases = (
-            read()
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                "user_id",
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"),
-            )
-        )
-        clicks = (
-            read()
-            .filter(F.col("event_type") == "click")
-            .select(
-                "user_id",
-                F.col("event_id").alias("click_id"),
-                F.col("ts").alias("c_ts"),
-            )
-        )
-        joined = interval_join_streams(
-            purchases, clicks, key="user_id",
-            left_ts="p_ts", right_ts="c_ts",
-            within="1 hour", watermark="2 hours", how="left_outer",
-        ).select("user_id", "purchase_id", "click_id")
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-        return spark.table(sink).filter(F.col("user_id") != -999)
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
 
 
 STREAMING_OUTER_INTERVAL_JOIN_ORACLE = """
@@ -1110,61 +1083,10 @@ def streaming_semi_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the following hour, emitted exactly once each (the streaming
     existence filter — no purchase duplication per click, and
     unmatched purchases never emit). Oracle: batch EXISTS."""
-    import shutil
-    import tempfile
-    import uuid
-
-    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
-
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts"
+    return _interval_join_replay(
+        spark, sf_dir, how="left_semi", with_sentinels=False,
+        select_cols=("user_id", "purchase_id"), prefix="sj",
     )
-    src = tempfile.mkdtemp(prefix="engine_stream_sj_")
-    sink = f"sj_{uuid.uuid4().hex[:8]}"
-    try:
-        events.write.mode("overwrite").parquet(src)
-
-        def read():
-            return spark.readStream.schema(
-                "user_id long, event_id long, event_type string, ts timestamp"
-            ).parquet(src)
-
-        purchases = (
-            read()
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                "user_id",
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"),
-            )
-        )
-        clicks = (
-            read()
-            .filter(F.col("event_type") == "click")
-            .select(
-                "user_id",
-                F.col("event_id").alias("click_id"),
-                F.col("ts").alias("c_ts"),
-            )
-        )
-        joined = interval_join_streams(
-            purchases, clicks, key="user_id",
-            left_ts="p_ts", right_ts="c_ts",
-            within="1 hour", watermark="2 hours", how="left_semi",
-        ).select("user_id", "purchase_id")
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-        return spark.table(sink)
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
 
 
 STREAMING_SEMI_JOIN_ORACLE = """
@@ -1287,71 +1209,10 @@ def streaming_full_outer_interval_join_e2e(
     passes their horizon, so the replay appends one sentinel per side
     exactly like streaming_outer_interval_join_e2e and filters them
     back out."""
-    import shutil
-    import tempfile
-    import uuid
-
-    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
-
-    events = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "event_type", "ts"
+    return _interval_join_replay(
+        spark, sf_dir, how="full_outer", with_sentinels=True,
+        select_cols=("user_id", "purchase_id", "click_id"), prefix="foij",
     )
-    src = tempfile.mkdtemp(prefix="engine_stream_foij_")
-    sink = f"foij_{uuid.uuid4().hex[:8]}"
-    try:
-        events.write.mode("overwrite").parquet(src)
-        sentinel_ts = events.agg(
-            (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts")
-        )
-        sentinels = sentinel_ts.crossJoin(
-            spark.createDataFrame(
-                [(-999, -1, "purchase"), (-999, -2, "click")],
-                "user_id long, event_id long, event_type string",
-            )
-        ).select("user_id", "event_id", "event_type", "ts")
-        sentinels.write.mode("append").parquet(src)
-
-        def read():
-            return spark.readStream.schema(
-                "user_id long, event_id long, event_type string, ts timestamp"
-            ).parquet(src)
-
-        purchases = (
-            read()
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                "user_id",
-                F.col("event_id").alias("purchase_id"),
-                F.col("ts").alias("p_ts"),
-            )
-        )
-        clicks = (
-            read()
-            .filter(F.col("event_type") == "click")
-            .select(
-                "user_id",
-                F.col("event_id").alias("click_id"),
-                F.col("ts").alias("c_ts"),
-            )
-        )
-        joined = interval_join_streams(
-            purchases, clicks, key="user_id",
-            left_ts="p_ts", right_ts="c_ts",
-            within="1 hour", watermark="2 hours", how="full_outer",
-        ).select("user_id", "purchase_id", "click_id")
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
-        return spark.table(sink).filter(F.col("user_id") != -999)
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
 
 
 STREAMING_FULL_OUTER_INTERVAL_JOIN_ORACLE = """

@@ -87,12 +87,18 @@ def interval_join_streams(
     if how == "left_semi":
         return joined  # only left columns exist
     if how == "full_outer":
-        non_key = [c for c in left.columns if c != key] + [
-            c for c in right.columns if c != key
-        ]
+        l_cols = [c for c in left.columns if c != key]
+        r_cols = [c for c in right.columns if c != key]
+        overlap = set(l_cols) & set(r_cols)
+        if overlap:
+            raise ValueError(
+                f"full_outer requires disjoint non-key column names; "
+                f"both sides carry {sorted(overlap)}"
+            )
         return joined.select(
             F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key),
-            *[F.col(c) for c in non_key],
+            *[F.col(f"l.{c}") for c in l_cols],
+            *[F.col(f"r.{c}") for c in r_cols],
         )
     return joined.drop(F.col(f"r.{key}"))
 
