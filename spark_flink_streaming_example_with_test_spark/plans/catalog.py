@@ -207,6 +207,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("streaming_full_outer_interval_join_e2e",
               ref.streaming_full_outer_interval_join_e2e,
               ref.STREAMING_FULL_OUTER_INTERVAL_JOIN_ORACLE),
+    QuerySpec("grouping_id_rollup", rel.grouping_id_rollup,
+              rel.GROUPING_ID_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -1370,3 +1370,32 @@ SELECT p_partkey,
        PRINTF('%s#%04d', p_brand, p_partkey)       AS tag
 FROM part
 """
+
+
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with explicit GROUPING() markers — the disambiguator
+    the plain grouping-sets query lacks: a NULL in a group column can
+    mean 'this row is a subtotal' or 'the data value was NULL', and
+    only the grouping flags tell them apart. Emits both per-column
+    flags and the composite grouping_id."""
+    o = load_table(spark, sf_dir, "orders")
+    # grouping()/grouping_id() must be computed IN the aggregate —
+    # Catalyst rejects them in a post-agg projection.
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+GROUPING_ID_ORACLE = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) * 2
+            + GROUPING(o_orderpriority) AS INT) AS gid,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""

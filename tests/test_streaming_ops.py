@@ -246,3 +246,21 @@ def test_tws_running_stats_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_interval_join_full_outer_rejects_overlapping_columns(spark):
+    """full_outer coalesces the key and emits qualified non-key
+    columns; a shared non-key name must fail eagerly with a clear
+    ValueError, not later with an ambiguous-reference analysis
+    error."""
+    import pytest
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import interval_join_streams
+
+    left = spark.createDataFrame([], "k long, a_ts timestamp, amount double")
+    right = spark.createDataFrame([], "k long, b_ts timestamp, amount double")
+    with pytest.raises(ValueError, match="amount"):
+        interval_join_streams(
+            left, right, key="k", left_ts="a_ts", right_ts="b_ts",
+            how="full_outer",
+        )
