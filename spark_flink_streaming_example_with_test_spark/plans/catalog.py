@@ -141,14 +141,19 @@ _SPECS: list[QuerySpec] = [
     # first r06 block — that block has never had a driver row and
     # fills most of the ~50-entry gate window; these take the
     # remaining slots, and entries past position 50 lead the NEXT
-    # round's window): funnel / cohort-retention / snapshot-CDC /
-    # Welch t-test / triangle counting / Count-Min sketch / rolling
-    # WAU / DQ audit / co-occurrence mining / sequence patterns /
-    # acquisition curve on the analytics side; containment +
-    # exact-substring + content-defined-chunk dedup, domain capping,
-    # token entropy, source-KL mixture drift, mixture-plan
-    # application, and weighted priority sampling on the
-    # LLM-pipeline side; the streaming left-semi interval join e2e. --
+    # round's window). Analytics: funnel, cohort retention,
+    # snapshot-CDC, Welch t-test, triangle counting, Count-Min
+    # sketch, rolling WAU (exact + HLL-merged), DQ audit,
+    # co-occurrence mining, sequence patterns, Markov transitions,
+    # acquisition curve, equi-depth histogram, MAD outliers,
+    # incremental agg maintenance, bounded-depth BFS. LLM pipeline:
+    # containment / exact-substring / content-defined-chunk /
+    # ensemble-vote dedup, domain capping, token entropy, source-KL
+    # drift, mixture-plan application, weighted priority sampling,
+    # tokenizer vocab coverage. SQL/streaming surface: LATERAL
+    # top-k, GROUPING markers, second string-scalar sweep,
+    # dynamic-gap session windows, complete-mode streaming top-k,
+    # left-semi + full-outer stream-stream interval join e2e. --------
     QuerySpec("funnel_conversion_steps", an.funnel_conversion_steps,
               an.FUNNEL_ORACLE),
     QuerySpec("cohort_retention", an.cohort_retention,
