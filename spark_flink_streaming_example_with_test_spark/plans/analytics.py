@@ -2045,3 +2045,124 @@ SELECT e.event_type,
 FROM events e JOIN mad USING (event_type)
 GROUP BY e.event_type
 """
+
+
+def time_to_convert_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per weekly cohort: for users who
+    purchased after their first view, the seconds from first view to
+    first subsequent purchase, summarized as count / median / p90 —
+    the funnel's latency companion (funnel_conversion_steps counts
+    WHO converts; this measures HOW FAST). Frontier aggregates keep
+    every intermediate at |users| rows; the percentile summary
+    aggregates the tiny converter frame per cohort week."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"), F.first("t_view").alias("t_view"))
+    )
+    conv = p.select(
+        "user_id",
+        F.date_trunc("week", F.col("t_view")).alias("cohort_week"),
+        (F.col("t_buy").cast("double") - F.col("t_view").cast("double")).alias(
+            "sec"
+        ),
+    )
+    return conv.groupBy("cohort_week").agg(
+        F.count("*").alias("n_converters"),
+        F.round(F.percentile("sec", F.lit(0.5)), 1).alias("median_sec"),
+        F.round(F.percentile("sec", F.lit(0.9)), 1).alias("p90_sec"),
+    )
+
+
+TIME_TO_CONVERT_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy, MIN(v.t_view) AS t_view
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+  GROUP BY e.user_id
+)
+SELECT DATE_TRUNC('week', t_view) AS cohort_week,
+       COUNT(*) AS n_converters,
+       ROUND(QUANTILE_CONT(EPOCH(t_buy) - EPOCH(t_view), 0.5), 1)
+         AS median_sec,
+       ROUND(QUANTILE_CONT(EPOCH(t_buy) - EPOCH(t_view), 0.9), 1)
+         AS p90_sec
+FROM p GROUP BY 1
+"""
+
+
+def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: every order's header total
+    vs the recomputed sum of its line amounts
+    (extendedprice x (1-discount) x (1+tax)), classified by
+    relative deviation (within 25% / beyond / no line items) — the
+    warehouse invariant check run after every load. This synthetic
+    fixture generates header totals INDEPENDENTLY of the lines, so
+    an exact-match bucket would be empty; the relative bands keep
+    every category non-empty and the classification a live engine
+    check rather than a vacuous one.
+
+    Scale shape: one map-side-combinable per-order aggregate over
+    lineitem, then a key-partitioned left join against the header —
+    never a row-level fact-to-fact comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    calc = li.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ),
+            2,
+        ).alias("calc_total")
+    )
+    rel_dev = F.abs(F.col("o_totalprice") - F.col("calc_total")) / F.col(
+        "o_totalprice"
+    )
+    status = (
+        F.when(F.col("calc_total").isNull(), "no_lineitems")
+        .when(rel_dev <= 0.25, "within_25pct")
+        .otherwise("beyond_25pct")
+    )
+    return (
+        orders.join(calc, orders.o_orderkey == calc.l_orderkey, "left")
+        .groupBy(status.alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.abs(F.col("o_totalprice") - F.coalesce("calc_total", F.lit(0.0)))),
+                2,
+            ).alias("total_abs_delta"),
+        )
+    )
+
+
+DQ_RECONCILE_ORACLE = """
+WITH calc AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           AS calc_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CASE WHEN calc_total IS NULL THEN 'no_lineitems'
+            WHEN ABS(o_totalprice - calc_total) / o_totalprice <= 0.25
+                 THEN 'within_25pct'
+            ELSE 'beyond_25pct' END AS status,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(ABS(o_totalprice - COALESCE(calc_total, 0.0))), 2)
+         AS total_abs_delta
+FROM orders LEFT JOIN calc ON orders.o_orderkey = calc.l_orderkey
+GROUP BY 1
+"""

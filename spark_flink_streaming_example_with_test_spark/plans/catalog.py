@@ -214,6 +214,10 @@ _SPECS: list[QuerySpec] = [
               ref.STREAMING_FULL_OUTER_INTERVAL_JOIN_ORACLE),
     QuerySpec("grouping_id_rollup", rel.grouping_id_rollup,
               rel.GROUPING_ID_ORACLE),
+    QuerySpec("time_to_convert_distribution", an.time_to_convert_distribution,
+              an.TIME_TO_CONVERT_ORACLE),
+    QuerySpec("dq_reconcile_order_totals", an.dq_reconcile_order_totals,
+              an.DQ_RECONCILE_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,
