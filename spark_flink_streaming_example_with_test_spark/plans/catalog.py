@@ -218,6 +218,8 @@ _SPECS: list[QuerySpec] = [
               an.TIME_TO_CONVERT_ORACLE),
     QuerySpec("dq_reconcile_order_totals", an.dq_reconcile_order_totals,
               an.DQ_RECONCILE_ORACLE),
+    QuerySpec("observed_clean_metrics", llm.observed_clean_metrics,
+              llm.OBSERVED_CLEAN_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -2915,3 +2915,51 @@ SELECT doc_id,
              * 1.0 / COUNT(*), 4) AS oov_rate
 FROM tok GROUP BY doc_id
 """
+
+
+def observed_clean_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline observability as a first-class result:
+    the corpus-hygiene metrics (rows seen / dropped / total chars)
+    are collected by ``df.observe`` DURING the cleaning action — no
+    second scan — then joined with the surviving-row aggregate the
+    same action produced. At 100 TB a separate metrics pass would
+    re-read the corpus; the observation rides the scan that already
+    ran (functions/observability.py). The oracle recomputes the same
+    metrics relationally, so the driver hash-checks that the
+    observation saw every row the scan did."""
+    from spark_flink_streaming_example_with_test_spark.functions.observability import observed_corpus_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned, obs = observed_corpus_clean(docs, min_chars=150)
+    survivors = cleaned.agg(
+        F.count("*").alias("rows_kept"),
+        F.sum(F.length("text")).alias("kept_chars"),
+    )
+    kept = survivors.collect()[0]  # the action that fills the observation
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_seen"]),
+                int(m["rows_dropped"]),
+                int(m["total_chars"]),
+                int(kept["rows_kept"]),
+                int(kept["kept_chars"]),
+            )
+        ],
+        "rows_seen long, rows_dropped long, total_chars long, "
+        "rows_kept long, kept_chars long",
+    )
+
+
+OBSERVED_CLEAN_ORACLE = """
+SELECT COUNT(*) AS rows_seen,
+       COUNT(*) FILTER (WHERE text IS NULL OR LENGTH(text) < 150)
+         AS rows_dropped,
+       CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) AS total_chars,
+       COUNT(*) FILTER (WHERE text IS NOT NULL AND LENGTH(text) >= 150)
+         AS rows_kept,
+       CAST(SUM(CASE WHEN text IS NOT NULL AND LENGTH(text) >= 150
+                     THEN LENGTH(text) ELSE 0 END) AS BIGINT) AS kept_chars
+FROM documents
+"""

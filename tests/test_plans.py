@@ -149,6 +149,7 @@ _EXECUTING = {
         "dedup_cluster_components",  # iterative label propagation
         "pagerank_doc_links",        # per-superstep eager checkpoints
         "graph_bfs_hops",            # per-hop eager checkpoints
+        "observed_clean_metrics",    # observation filled by an action
         "similarity_ivf_kmeans",     # Lloyd's iterations
         "synthetic_activity_stats",  # generator materializes via range
     }
