@@ -2937,14 +2937,16 @@ def observed_clean_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = survivors.collect()[0]  # the action that fills the observation
     m = obs.get
+    # SUM over zero rows is NULL in both the observation and the
+    # survivor aggregate — normalize so an empty corpus reports 0s.
     return spark.createDataFrame(
         [
             (
-                int(m["rows_seen"]),
-                int(m["rows_dropped"]),
-                int(m["total_chars"]),
-                int(kept["rows_kept"]),
-                int(kept["kept_chars"]),
+                int(m["rows_seen"] or 0),
+                int(m["rows_dropped"] or 0),
+                int(m["total_chars"] or 0),
+                int(kept["rows_kept"] or 0),
+                int(kept["kept_chars"] or 0),
             )
         ],
         "rows_seen long, rows_dropped long, total_chars long, "
