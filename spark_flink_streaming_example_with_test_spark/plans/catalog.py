@@ -220,6 +220,9 @@ _SPECS: list[QuerySpec] = [
               an.DQ_RECONCILE_ORACLE),
     QuerySpec("observed_clean_metrics", llm.observed_clean_metrics,
               llm.OBSERVED_CLEAN_ORACLE),
+    QuerySpec("zipf_token_fit", llm.zipf_token_fit, llm.ZIPF_FIT_ORACLE),
+    QuerySpec("dedup_method_comparison", llm.dedup_method_comparison,
+              llm.DEDUP_METHOD_COMPARISON_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

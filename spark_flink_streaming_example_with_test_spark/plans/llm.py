@@ -2965,3 +2965,120 @@ SELECT COUNT(*) AS rows_seen,
                      THEN LENGTH(text) ELSE 0 END) AS BIGINT) AS kept_chars
 FROM documents
 """
+
+
+def zipf_token_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: token
+    frequencies ranked descending, then the log-log slope and R²
+    from the regr_* aggregates — natural-language corpora fit a
+    slope near -1, so a strongly divergent slope flags synthetic or
+    degenerate text (this fixture's near-uniform 31-token vocabulary
+    reads close to 0, which is exactly the signal working). The
+    vocabulary-sized rank window is the only non-scan cost; the
+    token count reduces map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), "token")
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("lr"),
+        F.log(F.col("f").cast("double")).alias("lf"),
+    )
+    return ranked.agg(
+        F.count("*").alias("vocab_size"),
+        F.round(F.regr_slope("lf", "lr"), 4).alias("zipf_slope"),
+        F.round(F.regr_r2("lf", "lr"), 4).alias("fit_r2"),
+    )
+
+
+ZIPF_FIT_ORACLE = """
+WITH freq AS (
+  SELECT token, COUNT(*) AS f
+  FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+        FROM documents)
+  GROUP BY token
+), ranked AS (
+  SELECT LN(ROW_NUMBER() OVER (ORDER BY f DESC, token)) AS lr,
+         LN(f) AS lf
+  FROM freq
+)
+SELECT COUNT(*) AS vocab_size,
+       ROUND(REGR_SLOPE(lf, lr), 4) AS zipf_slope,
+       ROUND(REGR_R2(lf, lr), 4) AS fit_r2
+FROM ranked
+"""
+
+
+def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-ladder capstone: every detector run over the SAME
+    corpus and tallied side by side — exact duplicate docs, MinHash
+    +LSH verified pairs, exact 3-gram Jaccard pairs, 5-gram
+    containment pairs, shared 8-token exact-substring pairs, and
+    embedding-cosine drop decisions — the comparison a curation team
+    uses to choose thresholds and see which tiers subsume which.
+    Each count is the already-oracled query's own aggregate, and the
+    oracle composes those verified SQL bodies verbatim, so this row
+    set cross-checks the whole ladder's consistency in one gate
+    entry."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def tally(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_flagged")).select(
+            F.lit(name).alias("method"), "n_flagged"
+        )
+
+    exact_dups = (
+        dd.exact_duplicates(docs)
+        .agg(F.sum(F.col("n_copies") - 1).cast("long").alias("n_flagged"))
+        .select(F.lit("exact_duplicate_docs").alias("method"), "n_flagged")
+    )
+    return (
+        exact_dups
+        .unionAll(tally(
+            "minhash_lsh_pairs_050",
+            dd.minhash_near_duplicates(docs, threshold=0.5),
+        ))
+        .unionAll(tally(
+            "ngram_jaccard_pairs_040",
+            dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4),
+        ))
+        .unionAll(tally(
+            "containment_pairs_050",
+            dd.containment_pairs(docs, shingle_len=5, threshold=0.5),
+        ))
+        .unionAll(tally(
+            "exact_substring_pairs_w8",
+            dd.shared_gram_pairs(docs, window_len=8),
+        ))
+        .unionAll(tally(
+            "embedding_cosine_drops_030",
+            sim.embedding_near_duplicates(
+                emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
+            ),
+        ))
+    )
+
+
+DEDUP_METHOD_COMPARISON_ORACLE = f"""
+SELECT 'exact_duplicate_docs' AS method,
+       COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_flagged FROM documents
+UNION ALL
+SELECT 'minhash_lsh_pairs_050', COUNT(*)
+FROM ({DEDUP_MINHASH_LSH_ORACLE})
+UNION ALL
+SELECT 'ngram_jaccard_pairs_040', COUNT(*) FROM ({DEDUP_NGRAM_ORACLE})
+UNION ALL
+SELECT 'containment_pairs_050', COUNT(*) FROM ({DEDUP_CONTAINMENT_ORACLE})
+UNION ALL
+SELECT 'exact_substring_pairs_w8', COUNT(*)
+FROM ({DEDUP_EXACT_SUBSTRING_ORACLE})
+UNION ALL
+SELECT 'embedding_cosine_drops_030', COUNT(*)
+FROM ({DEDUP_EMBEDDING_ORACLE})
+"""
