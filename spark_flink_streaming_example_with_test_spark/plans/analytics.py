@@ -2166,3 +2166,36 @@ SELECT CASE WHEN calc_total IS NULL THEN 'no_lineitems'
 FROM orders LEFT JOIN calc ON orders.o_orderkey = calc.l_orderkey
 GROUP BY 1
 """
+
+
+def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity profile with global share —
+    the load-seasonality heatmap behind capacity planning and
+    anomaly baselines. Weekday numbering is the classic cross-engine
+    trap: Spark's dayofweek() is Sunday=1 while DuckDB's is
+    Sunday=0, so both sides use the ISO convention (Spark
+    weekday()+1 == DuckDB ISODOW, Monday=1). One hash aggregate to
+    168 cells; the share window runs over that tiny frame."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.weekday("ts") + 1).alias("iso_dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count("*").alias("n"))
+    total = Window.partitionBy()
+    return cells.select(
+        "iso_dow",
+        "hour",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+    )
+
+
+SEASONALITY_ORACLE = """
+WITH cells AS (
+  SELECT ISODOW(ts) AS iso_dow, HOUR(ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT iso_dow, hour, n,
+       ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+FROM cells
+"""

@@ -223,6 +223,8 @@ _SPECS: list[QuerySpec] = [
     QuerySpec("zipf_token_fit", llm.zipf_token_fit, llm.ZIPF_FIT_ORACLE),
     QuerySpec("dedup_method_comparison", llm.dedup_method_comparison,
               llm.DEDUP_METHOD_COMPARISON_ORACLE),
+    QuerySpec("seasonality_profile", an.seasonality_profile,
+              an.SEASONALITY_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,
