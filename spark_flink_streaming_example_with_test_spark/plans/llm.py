@@ -3035,7 +3035,12 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     exact_dups = (
         dd.exact_duplicates(docs)
-        .agg(F.sum(F.col("n_copies") - 1).cast("long").alias("n_flagged"))
+        .agg(
+            # coalesce: SUM over an empty corpus is NULL, oracle says 0
+            F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_flagged")
+        )
         .select(F.lit("exact_duplicate_docs").alias("method"), "n_flagged")
     )
     return (
@@ -3067,7 +3072,8 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_METHOD_COMPARISON_ORACLE = f"""
 SELECT 'exact_duplicate_docs' AS method,
-       COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_flagged FROM documents
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_flagged
+FROM (SELECT COUNT(*) AS n FROM documents GROUP BY MD5(text))
 UNION ALL
 SELECT 'minhash_lsh_pairs_050', COUNT(*)
 FROM ({DEDUP_MINHASH_LSH_ORACLE})
