@@ -225,6 +225,10 @@ _SPECS: list[QuerySpec] = [
               llm.DEDUP_METHOD_COMPARISON_ORACLE),
     QuerySpec("seasonality_profile", an.seasonality_profile,
               an.SEASONALITY_ORACLE),
+    QuerySpec("bigram_logprob_scores", llm.bigram_logprob_scores,
+              llm.BIGRAM_LOGPROB_ORACLE),
+    QuerySpec("source_token_pmi", llm.source_token_pmi,
+              llm.SOURCE_PMI_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -3088,3 +3088,137 @@ UNION ALL
 SELECT 'embedding_cosine_drops_030', COUNT(*)
 FROM ({DEDUP_EMBEDDING_ORACLE})
 """
+
+
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second rung of the LM-quality ladder (above
+    unigram_logprob_scores): mean negative log-probability per doc
+    under a corpus bigram model with add-one smoothing,
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V). Bigram surprise separates
+    scrambled text from fluent text that unigram frequency alone
+    scores identically. Same linear shape: two count aggregates
+    (bigram + unigram LMs, both vocabulary-sized and broadcast), one
+    instance join, one per-doc mean — no token ever pairs beyond its
+    successor."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    inst = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", "g.w1", "g.w2"
+    )
+    bi = inst.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uni = docs.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
+        F.count("*").alias("cu")
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    nlp = -F.log((F.col("cb") + 1) / (F.col("cu") + F.col("v")))
+    return (
+        inst.join(F.broadcast(bi), ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(nlp), 6).alias("mean_neg_logprob"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), inst AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, UNNEST(RANGE(1, LEN(w))) AS i
+        FROM t WHERE LEN(w) >= 2)
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM inst GROUP BY w1, w2
+), uni AS (
+  SELECT UNNEST(w) AS w1 FROM t
+), unic AS (
+  SELECT w1, COUNT(*) AS cu FROM uni GROUP BY w1
+), vocab AS (
+  SELECT COUNT(*) AS v FROM unic
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(-LN((cb + 1.0) / (cu + v))), 6) AS mean_neg_logprob
+FROM inst
+JOIN bi USING (w1, w2)
+JOIN unic USING (w1)
+CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+def source_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source via pointwise mutual
+    information log2(p(token|source) / p(token)) — the
+    corpus-comparative companion to source_token_kl (KL scores the
+    WHOLE distribution's drift; PMI names the tokens responsible).
+    Top-3 per source with a minimum-count support filter, ordered by
+    the ROUNDED pmi in both engines so the rank-3 cutoff can't
+    straddle a rounding boundary differently."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = st.groupBy("token").agg(F.sum("c").alias("ct"))
+    total = corpus.agg(F.sum("ct").alias("n"))
+    pmi = F.round(
+        F.log2((F.col("c") / F.col("n_s")) / (F.col("ct") / F.col("n"))), 6
+    )
+    scored = (
+        st.filter(F.col("c") >= 5)
+        .join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(total))
+        .select("source", "token", "c", pmi.alias("pmi"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("pmi"), "token")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 3
+    )
+
+
+SOURCE_PMI_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+), src_tot AS (
+  SELECT source, SUM(c) AS n_s FROM st GROUP BY source
+), corpus AS (
+  SELECT token, SUM(c) AS ct FROM st GROUP BY token
+), total AS (
+  SELECT SUM(ct) AS n FROM corpus
+), scored AS (
+  SELECT st.source, st.token, st.c,
+         ROUND(LOG2((st.c * 1.0 / n_s) / (ct * 1.0 / n)), 6) AS pmi
+  FROM st
+  JOIN src_tot USING (source)
+  JOIN corpus USING (token)
+  CROSS JOIN total
+  WHERE st.c >= 5
+)
+SELECT source, token, CAST(c AS BIGINT) AS c, pmi,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY pmi DESC, token) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""

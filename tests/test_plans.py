@@ -136,6 +136,8 @@ _INTENTIONAL_NLJ = {
     "dq_audit_orders",            # 1-row rule-denominator crossJoins
     "token_cooccurrence_pairs",   # 1-row corpus-count crossJoin
     "equi_depth_histogram_values",  # 1-row percentile-edges crossJoin
+    "bigram_logprob_scores",      # 1-row vocab-size crossJoin
+    "source_token_pmi",           # 1-row corpus-total crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
