@@ -229,6 +229,8 @@ _SPECS: list[QuerySpec] = [
               llm.BIGRAM_LOGPROB_ORACLE),
     QuerySpec("source_token_pmi", llm.source_token_pmi,
               llm.SOURCE_PMI_ORACLE),
+    QuerySpec("higher_order_array_functions", llm.higher_order_array_functions,
+              llm.HIGHER_ORDER_ARRAY_ORACLE),
     QuerySpec("equi_depth_histogram_values", an.equi_depth_histogram_values,
               an.EQUI_DEPTH_ORACLE),
     QuerySpec("dedup_ensemble_agreement", llm.dedup_ensemble_agreement,

@@ -3222,3 +3222,48 @@ FROM (
   FROM scored
 ) WHERE rk <= 3
 """
+
+
+def higher_order_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order-function sweep over the embedding arrays —
+    the Catalyst HOF surface (filter / exists / forall / transform /
+    zip_with / aggregate) the scalar-array query doesn't reach. All
+    evaluate inside whole-stage codegen with no explode, so per-row
+    cost is a single pass over the 64-dim array; both engines cast
+    to double first so the arithmetic matches bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sum_sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    rev_dot = F.aggregate(
+        F.zip_with(v, F.reverse(v), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.exists(v, lambda x: F.abs(x) > 2.5).alias("has_big"),
+        F.forall(v, lambda x: F.abs(x) < 10).alias("all_small"),
+        F.round(sum_sq, 6).alias("sum_sq"),
+        F.round(rev_dot, 6).alias("rev_dot"),
+    )
+
+
+HIGHER_ORDER_ARRAY_ORACLE = """
+SELECT vec_id,
+       LEN(LIST_FILTER(embedding::DOUBLE[], x -> x > 0)) AS n_pos,
+       LEN(LIST_FILTER(embedding::DOUBLE[], x -> ABS(x) > 2.5)) > 0
+         AS has_big,
+       LEN(LIST_FILTER(embedding::DOUBLE[], x -> NOT (ABS(x) < 10))) = 0
+         AS all_small,
+       ROUND(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x)), 6)
+         AS sum_sq,
+       ROUND(LIST_SUM(LIST_TRANSFORM(
+           RANGE(1, LEN(embedding) + 1),
+           i -> (embedding::DOUBLE[])[i]
+                * (embedding::DOUBLE[])[LEN(embedding) + 1 - i])), 6)
+         AS rev_dot
+FROM embeddings
+"""
