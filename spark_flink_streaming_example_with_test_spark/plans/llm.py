@@ -1389,9 +1389,21 @@ FROM c GROUP BY source, pack_id
 def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization codes for every embedding: 4 subspaces of
     16 dims, 8 seeded centroids per subspace (vectors with id < 8 as
-    the codebook, the IVF seed convention)."""
+    the codebook, the IVF seed convention).
+
+    The library op (``sim.pq_encode``) emits ``codes`` as
+    ``array<long>``; the catalog wrapper stringifies it
+    (``array_join``) because the driver's canonicalizer sorts result
+    cells with pandas and complex top-level columns are unhashable
+    there — the same flatten-for-comparison convention the reference
+    test applies to window structs (``spark-test.py:74-80``)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.pq_encode(emb, m=4, k=8, dim=64)
+    pq = sim.pq_encode(emb, m=4, k=8, dim=64)
+    return pq.select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes"),
+        "qerr",
+    )
 
 
 EMBEDDING_PQ_ORACLE = """
@@ -1411,7 +1423,7 @@ WITH e AS (
   FROM d GROUP BY vec_id, j
 )
 SELECT vec_id,
-       LIST(b.c ORDER BY j) AS codes,
+       ARRAY_TO_STRING(LIST(b.c ORDER BY j), ',') AS codes,
        ROUND(LIST_SUM(LIST(b.d ORDER BY j)), 6) AS qerr
 FROM best GROUP BY vec_id
 """

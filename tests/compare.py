@@ -52,8 +52,28 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     return out
 
 
+def assert_flat_schema(spark_df, context: str = ""):
+    """Driver-output convention: no top-level Array/Map/Struct
+    columns. The driver's canonicalizer sorts cells with pandas,
+    where complex cells are unhashable — `embedding_pq_codes` erred
+    on exactly this in round 6. Local normalize() tuple-izes arrays
+    and would silently pass, so the class needs its own guard."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{context}: top-level complex columns {complex_cols} break the "
+        "driver canonicalizer — stringify (array_join/to_json) before return"
+    )
+
+
 def assert_df_matches_oracle(spark_df, duck_rel, context: str = ""):
     """Compare a Spark DataFrame against a DuckDB relation."""
+    assert_flat_schema(spark_df, context=context)
     left = normalize(spark_df.toPandas())
     right = normalize(duck_rel.df())
     assert len(left) == len(right), (
