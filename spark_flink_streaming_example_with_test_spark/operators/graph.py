@@ -199,30 +199,35 @@ def bfs_hops_unrolled(
     dst: str = "dst",
 ) -> DataFrame:
     """Bounded-depth BFS as unrolled DataFrame supersteps (the
-    k-hop-neighborhood primitive): per hop, the current distance
-    frontier joins edges on the node key and new nodes fold in via
-    a min-distance aggregate; localCheckpoint truncates each
-    superstep's lineage exactly like pagerank_unrolled. Returns
-    (node, dist) for every node within ``n_hops`` of ``root``.
+    k-hop-neighborhood primitive): per hop, ONLY the nodes first
+    discovered in the previous hop (the frontier) join edges on the
+    node key; candidates already in the visited set are anti-joined
+    away before folding into it, so every node expands exactly once.
+    localCheckpoint truncates each superstep's lineage exactly like
+    pagerank_unrolled. Returns (node, dist) for every node within
+    ``n_hops`` of ``root``.
 
     At 100 TB: one edge-keyed shuffle per hop — the irreducible
-    distributed-BFS cost; depth is bounded by construction, so the
-    plan never grows with graph diameter.
+    distributed-BFS cost — and per-hop work proportional to the
+    frontier's edge set, not the whole visited set (in BFS every
+    node's first discovery already carries its minimal distance, so
+    re-expanding visited nodes can never improve a distance).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(root, 0)], "node long, dist int"
     ).localCheckpoint(eager=True)
+    frontier = dist
     for _ in range(n_hops):
-        frontier = (
-            dist.join(e, dist.node == e.src)
+        candidates = (
+            frontier.join(e, frontier.node == e.src)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
-        )
-        dist = (
-            dist.unionAll(frontier)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
         )
+        frontier = candidates.join(
+            dist, "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        dist = dist.unionAll(frontier).localCheckpoint(eager=True)
     return dist

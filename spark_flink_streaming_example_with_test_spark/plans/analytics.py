@@ -1324,13 +1324,19 @@ def welch_ttest_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     table to 5 moment rows; the pairwise comparison is a broadcast
     self-join of that tiny frame, so the statistical sweep costs one
     scan regardless of pair count.
+
+    Degenerate groups (n < 2: var_samp undefined) and zero-variance
+    pairs (t division by zero) are filtered OUT rather than emitted
+    as NULL statistics, and n_a/n_b ride along in the output — on a
+    skewed real dataset a NULL t_stat reads as data corruption
+    rather than an undefined statistic.
     """
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy("event_type").agg(
         F.count("*").alias("n"),
         F.avg("value").alias("mean"),
         F.var_samp("value").alias("var"),
-    )
+    ).filter(F.col("n") >= 2)
     a = m.select(
         F.col("event_type").alias("type_a"),
         F.col("n").alias("n_a"),
@@ -1351,9 +1357,12 @@ def welch_ttest_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .filter(sa + sb > 0)
         .select(
             "type_a",
             "type_b",
+            "n_a",
+            "n_b",
             F.round(t, 4).alias("t_stat"),
             F.round(dof, 2).alias("welch_dof"),
         )
@@ -1364,15 +1373,17 @@ WELCH_TTEST_ORACLE = """
 WITH m AS (
   SELECT event_type, COUNT(*) AS n, AVG(value) AS mean,
          VAR_SAMP(value) AS var
-  FROM events GROUP BY event_type
+  FROM events GROUP BY event_type HAVING COUNT(*) >= 2
 )
 SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
        ROUND((a.mean - b.mean)
              / SQRT(a.var / a.n + b.var / b.n), 4) AS t_stat,
        ROUND(POW(a.var / a.n + b.var / b.n, 2)
              / (POW(a.var / a.n, 2) / (a.n - 1)
                 + POW(b.var / b.n, 2) / (b.n - 1)), 2) AS welch_dof
 FROM m a JOIN m b ON a.event_type < b.event_type
+WHERE a.var / a.n + b.var / b.n > 0
 """
 
 

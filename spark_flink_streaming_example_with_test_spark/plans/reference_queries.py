@@ -317,7 +317,14 @@ def _interval_join_replay(
     purchases joined to same-user clicks within the following hour,
     watermark 2 hours. Outer variants set ``with_sentinels`` — one
     far-future row per side advances the watermark so evicted
-    unmatched state flushes; sentinels are filtered back out."""
+    unmatched state flushes; sentinels are filtered back out.
+
+    The sentinels are UNIONED into the events frame before the one
+    overwrite write: a separate single-file append to an
+    about-to-start file-stream source directory is racy in this
+    sandbox (the file is sometimes never discovered), and a missed
+    sentinel batch would silently drop every unmatched row from the
+    outer variants — a row-count parity failure, not an error."""
     import shutil
     import tempfile
     import uuid
@@ -330,7 +337,6 @@ def _interval_join_replay(
     src = tempfile.mkdtemp(prefix=f"engine_stream_{prefix}_")
     sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
     try:
-        events.write.mode("overwrite").parquet(src)
         if with_sentinels:
             sentinel_ts = events.agg(
                 (F.max("ts") + F.expr("INTERVAL 1 DAY")).alias("ts")
@@ -341,7 +347,8 @@ def _interval_join_replay(
                     "user_id long, event_id long, event_type string",
                 )
             ).select("user_id", "event_id", "event_type", "ts")
-            sentinels.write.mode("append").parquet(src)
+            events = events.unionByName(sentinels)
+        events.write.mode("overwrite").parquet(src)
 
         def read():
             return spark.readStream.schema(

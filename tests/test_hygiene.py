@@ -160,3 +160,38 @@ def test_label_centroids_expected_dim_guard(spark):
     # Without the guard the documented (lenient) semantics stand.
     lenient = label_centroids(ragged).collect()
     assert lenient[0]["centroid"] == [1.0, 2.0]
+
+
+def test_welch_ttest_excludes_degenerate_groups(spark, tmp_path):
+    """ADVICE r06: groups with n<2 (var_samp undefined) and
+    zero-variance pairs must be filtered out, not emitted as NULL
+    t statistics; sample sizes ride along in the output."""
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import welch_ttest_event_types
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1] * 7,
+            "event_id": range(7),
+            "event_type": ["a", "a", "a", "b", "b", "single", "const"],
+            "value": [1.0, 2.0, 4.0, 1.0, 3.0, 9.9, 5.0],
+            "ts": pd.to_datetime(["2024-01-01"] * 7),
+        }
+    )
+    # const needs n>=2 with zero variance to hit the pair filter
+    df = pd.concat(
+        [df, pd.DataFrame({"user_id": [1], "event_id": [7],
+                           "event_type": ["const"], "value": [5.0],
+                           "ts": pd.to_datetime(["2024-01-01"])})]
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = welch_ttest_event_types(spark, str(tmp_path)).collect()
+    pairs = {(r.type_a, r.type_b) for r in out}
+    # 'single' (n=1) dropped at the group stage; ('a','const') and
+    # ('b','const') survive (a/b have variance); ('const','const')
+    # impossible; no pair has a NULL statistic
+    assert all("single" not in p for p in pairs)
+    assert ("a", "b") in pairs
+    assert all(r.t_stat is not None and r.welch_dof is not None for r in out)
+    assert all(r.n_a >= 2 and r.n_b >= 2 for r in out)

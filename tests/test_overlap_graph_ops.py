@@ -166,3 +166,43 @@ def test_detector_vote_counts_all_categories(spark):
         for r in detector_vote_counts(tp, ep).collect()
     }
     assert got == {"both": 1, "text_only": 2, "embedding_only": 1}
+
+
+# --- bounded-depth BFS -----------------------------------------------
+
+
+def test_bfs_hops_min_distance_with_cycles(spark):
+    """Diamond + cycle back to the root: every node keeps its FIRST
+    (minimal) discovery distance even though longer paths to the
+    same nodes exist (0->1->3->0 revisits the root; 0->1->3 and
+    0->2->3 both reach 3)."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import bfs_hops_unrolled
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 0), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.dist
+        for r in bfs_hops_unrolled(edges, root=0, n_hops=3).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_frontier_only_expansion(spark):
+    """The per-hop join touches only the newly discovered frontier,
+    not the whole visited set: after the frontier empties (all
+    reachable nodes found), extra hops add nothing and the visited
+    set stays fixed."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import bfs_hops_unrolled
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0)], "src long, dst long"
+    )  # 2-cycle: everything reachable within 1 hop
+    shallow = sorted(
+        map(tuple, bfs_hops_unrolled(edges, root=0, n_hops=1).collect())
+    )
+    deep = sorted(
+        map(tuple, bfs_hops_unrolled(edges, root=0, n_hops=5).collect())
+    )
+    assert shallow == deep == [(0, 0), (1, 1)]
