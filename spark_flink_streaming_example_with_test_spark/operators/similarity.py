@@ -476,6 +476,124 @@ def pq_encode(
     )
 
 
+def pq_subvectors(
+    df: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Long-form subspace view for PQ training/encoding: one row per
+    (vector, subspace) — ``(__id, j, sv array<double>)``. The m-fold
+    row expansion is the PQ decomposition itself (m is a small
+    constant); downstream joins key on ``j`` so every subspace
+    trains in the same distributed pass."""
+    if dim % m != 0:
+        raise ValueError(f"m ({m}) must divide dim ({dim})")
+    sub = dim // m
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    return v.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.slice("v", j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("e"),
+    ).select("__id", F.col("e.j").alias("j"), F.col("e.sv").alias("sv"))
+
+
+def pq_train_codebook(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Trained PQ codebook: per-subspace Lloyd's k-means, all ``m``
+    subspaces trained SIMULTANEOUSLY in one distributed loop —
+    ``(j int, cent_id int, cv array<double>)``. ``iters=0`` returns
+    the seeded codebook (vectors with id < k, sliced per subspace —
+    the same convention :func:`pq_encode` quantizes against), so
+    seed-vs-trained comparisons share one code path.
+
+    Per iteration: assignment is a broadcast join on ``j`` (the
+    codebook is m*k tiny rows) with the same rounded-distance /
+    lowest-cent-id determinism as :func:`kmeans_fit`; the centroid
+    update reuses :func:`label_centroids`' map-side-combinable
+    posexplode aggregation keyed by a packed (j, cent_id) label.
+    Empty cells drop (a subspace's k may shrink), exactly like
+    kmeans_fit.
+
+    At 100 TB: each iteration is one shuffle keyed by (j, __id) for
+    the argmin plus one k*m*sub-row centroid exchange; nothing scales
+    with corpus size except the scan. Train on a sample in practice
+    — the plan shape is already the sampled plan's shape.
+    """
+    from pyspark import StorageLevel
+
+    subs = pq_subvectors(df, m=m, id_col=id_col, vec_col=vec_col, dim=dim)
+    if iters > 0:
+        subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
+    cents = subs.filter(F.col("__id") < k).select(
+        "j", F.col("__id").cast("int").alias("cent_id"),
+        F.col("sv").alias("cv"),
+    )
+    for _ in range(iters):
+        d = F.round(sq_dist("sv", "cv"), 6)
+        w = Window.partitionBy("j", "__id").orderBy("d", "cent_id")
+        assigned = (
+            subs.join(F.broadcast(cents), "j")
+            .select("j", "__id", "sv", "cent_id", d.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        packed = assigned.select(
+            (F.col("j") * F.lit(k) + F.col("cent_id")).alias("label"),
+            F.col("sv"),
+        )
+        cents = label_centroids(packed, label_col="label", vec_col="sv").select(
+            F.floor(F.col("label") / k).cast("int").alias("j"),
+            (F.col("label") % k).cast("int").alias("cent_id"),
+            F.col("centroid").alias("cv"),
+        )
+    return cents
+
+
+def pq_quantization_error(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-subspace total quantization error of a corpus under a
+    given codebook: ``(j, sq_err)`` where sq_err sums each vector's
+    min squared distance to the subspace's centroids. Broadcast
+    codebook, min-struct argmin fold, map-side-combinable final sum
+    — one scan regardless of codebook origin (seed or trained)."""
+    subs = pq_subvectors(df, m=m, id_col=id_col, vec_col=vec_col, dim=dim)
+    d = F.round(sq_dist("sv", "cv"), 6)
+    per_vec = (
+        subs.join(F.broadcast(codebook), "j")
+        .select("j", "__id", d.alias("d"))
+        .groupBy("j", "__id")
+        .agg(F.min("d").alias("dmin"))
+    )
+    return per_vec.groupBy("j").agg(
+        F.round(F.sum("dmin"), 4).alias("sq_err")
+    )
+
+
 def cluster_semantic_duplicates(
     df: DataFrame,
     cluster_col: str = "label",

@@ -1429,6 +1429,66 @@ FROM best GROUP BY vec_id
 """
 
 
+def embedding_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained PQ codebook (k-means per subspace, 2 Lloyd's
+    iterations from the seeded codebook) vs the seed codebook,
+    compared by per-subspace total quantization error — the step
+    that turns `embedding_pq_codes`' seeded convention into a real
+    IVF-PQ storage layer.
+
+    Sanctioned sketch-query shape (same as similarity_ivf_kmeans):
+    the SQL-exact columns are the subspace id and the SEED
+    codebook's per-subspace error (a pure broadcast argmin DuckDB
+    recomputes); the iterative training result is surfaced as the
+    property boolean ``trained_improved`` (trained err <= seed err
+    per subspace — Lloyd's must not regress), computed genuinely on
+    the Spark side and emitted as a literal by the oracle. A k-means
+    regression perturbs the boolean and fails the hash match;
+    centroid recovery on planted clusters is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_cb = sim.pq_train_codebook(emb, m=4, k=8, iters=0, dim=64)
+    trained_cb = sim.pq_train_codebook(emb, m=4, k=8, iters=2, dim=64)
+    seed_err = sim.pq_quantization_error(emb, seed_cb, m=4, dim=64)
+    trained_err = sim.pq_quantization_error(emb, trained_cb, m=4, dim=64)
+    return (
+        seed_err.alias("s")
+        .join(
+            trained_err.select(
+                "j", F.col("sq_err").alias("trained_sq_err")
+            ).alias("t"),
+            "j",
+        )
+        .select(
+            F.col("j").cast("int").alias("subspace"),
+            F.col("sq_err").alias("seed_sq_err"),
+            (F.col("trained_sq_err") <= F.col("sq_err") + F.lit(1e-6))
+            .alias("trained_improved"),
+        )
+    )
+
+
+EMBEDDING_PQ_TRAINED_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cb AS (
+  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, cb.cent_id, j.j,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17),
+             i -> (v[j.j*16 + i] - cv[j.j*16 + i])
+                * (v[j.j*16 + i] - cv[j.j*16 + i]))), 6) AS dist
+  FROM e CROSS JOIN cb CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS j) j
+), per_vec AS (
+  SELECT vec_id, j, MIN(dist) AS dmin FROM d GROUP BY vec_id, j
+)
+SELECT CAST(j AS INTEGER) AS subspace,
+       ROUND(SUM(dmin), 4) AS seed_sq_err,
+       TRUE AS trained_improved
+FROM per_vec GROUP BY j
+"""
+
+
 def _mixture_rate_frame(docs: DataFrame) -> DataFrame:
     """Shared mixture solve used by BOTH the planning query
     (mixture_sampling_rates) and the application query
@@ -3278,4 +3338,193 @@ SELECT vec_id,
                 * (embedding::DOUBLE[])[LEN(embedding) + 1 - i])), 6)
          AS rev_dot
 FROM embeddings
+"""
+
+
+# --- Round-7 additions: tokenizer training, model scoring, -----------
+# --- boilerplate removal ----------------------------------------------
+
+
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, step 1 (Sennrich et al. 2016): count
+    adjacent character-pair frequencies over the corpus vocabulary,
+    weighted by word frequency — the statistic whose argmax becomes
+    the first merge rule. Emits the top-20 pairs (count desc, pair
+    asc tiebreak).
+
+    Scale shape: the word-frequency aggregate collapses the corpus
+    to its vocabulary FIRST (map-side-combinable count), so the
+    char-pair explosion runs over distinct words only — vocabulary-
+    not corpus-sized, the same reason real BPE trainers operate on
+    word counts. One shuffle for the vocab, one for the pair sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        words.select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.substr(F.col("word"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").alias("pair_count"))
+    )
+    return (
+        pairs.orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+        .select("pair", "pair_count")
+    )
+
+
+BPE_FIRST_MERGES_ORACLE = """
+WITH words AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents
+  ) WHERE LEN(word) >= 2 GROUP BY word
+), pairs AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+                i -> SUBSTR(word, i, 2))) AS pair, n
+  FROM words
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 20
+"""
+
+
+def quality_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style linear quality scorer at corpus scale: each
+    token hashes into a 256-bucket feature space (md5-nibble hash —
+    bit-identical in both engines), each bucket carries a fixed
+    pseudo-random weight ((bucket*37 % 101)/100 - 0.5), and a
+    document's score is the sigmoid of its mean token weight scaled
+    plus a length prior. ``accept`` is the production decision bit.
+
+    This is the shape of every learned-filter deployment (quality,
+    toxicity, language): broadcast/inline weights, per-row expression
+    scoring, one aggregate per document — no shuffle beyond the
+    doc-level mean, no Python in the loop.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    h = F.md5(F.col("term"))
+    bucket = _md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)
+    w = (bucket * 37 % 101) / F.lit(100.0) - 0.5
+    scored = tok.select("doc_id", w.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("w").alias("mean_w"),
+    )
+    raw = F.col("mean_w") * 4.0 + F.log(F.col("n_tokens") + 1.0) * 0.05
+    score = 1.0 / (1.0 + F.exp(-raw))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) >= 0.5).alias("accept"),
+    )
+
+
+QUALITY_LINEAR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         (({_md5_nibble_sql('MD5(term)', 1)} * 16
+           + {_md5_nibble_sql('MD5(term)', 2)}) * 37 % 101) / 100.0 - 0.5
+           AS w
+  FROM toks
+), s AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(w) AS mean_w FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(1.0 / (1.0 + EXP(-(mean_w * 4.0 + LN(n_tokens + 1.0) * 0.05))), 6)
+         AS quality_score,
+       ROUND(1.0 / (1.0 + EXP(-(mean_w * 4.0 + LN(n_tokens + 1.0) * 0.05))), 6)
+         >= 0.5 AS accept
+FROM s
+"""
+
+
+def boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style boilerplate REMOVAL (not just detection): 8-word
+    non-overlapping segments whose corpus frequency >= 3 are stripped
+    from every document; emits per-document before/after token counts
+    and the removed-segment tally. The tail tokens past the last full
+    segment are always kept (they never formed a comparable segment).
+
+    Scale shape: segment fingerprints aggregate map-side to corpus
+    frequencies (segment-keyed shuffle #1); the doc rebuild joins
+    each doc's segment instances to that frequency table
+    (segment-keyed shuffle #2) and re-aggregates per doc — no
+    all-pairs anything, cost linear in corpus tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    seg_len = 8
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    segs = toks.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor(F.size("w") / seg_len).cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice("w", i * seg_len + 1, seg_len), " "
+                ),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count("*").alias("f"))
+    per_doc = (
+        segs.join(freq, "seg")
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(F.when(F.col("f") >= 3, 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("tokens_before"),
+        (
+            F.col("n_tokens") - F.col("n_removed") * seg_len
+        ).cast("long").alias("tokens_after"),
+        F.col("n_removed").cast("long").alias("segments_removed"),
+    )
+
+
+BOILERPLATE_STRIP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), segs AS (
+  SELECT doc_id, LEN(w) AS n_tokens,
+         UNNEST(LIST_TRANSFORM(RANGE(0, LEN(w) // 8),
+                i -> ARRAY_TO_STRING(w[i*8+1 : i*8+8], ' '))) AS seg
+  FROM toks WHERE LEN(w) >= 8
+), freq AS (
+  SELECT seg, COUNT(*) AS f FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       CAST(s.n_tokens AS BIGINT) AS tokens_before,
+       CAST(s.n_tokens - 8 * COUNT(*) FILTER (WHERE f.f >= 3) AS BIGINT)
+         AS tokens_after,
+       COUNT(*) FILTER (WHERE f.f >= 3) AS segments_removed
+FROM segs s JOIN freq f ON s.seg = f.seg
+GROUP BY s.doc_id, s.n_tokens
 """

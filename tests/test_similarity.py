@@ -199,3 +199,44 @@ def test_pq_encode_rejects_bad_m(spark):
     emb = spark.createDataFrame([(0, [0.0] * 4)], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="must divide"):
         pq_encode(emb, m=3, k=1, dim=4)
+
+def test_pq_train_codebook_recovers_planted_centroids(spark):
+    """Planted clusters: two tight clusters per subspace whose means
+    differ from the seed vectors. Two Lloyd's iterations must move
+    each trained centroid onto its planted cluster mean and beat the
+    seed codebook's quantization error."""
+    import statistics
+
+    from spark_flink_streaming_example_with_test_spark.operators.similarity import (
+        pq_quantization_error,
+        pq_train_codebook,
+    )
+
+    # dim=4, m=2: subspace 0 = dims 1-2, subspace 1 = dims 3-4.
+    # Cluster A centers (0,0 | 0,5); cluster B centers (10,10 | 10,-5).
+    offs = [-1.0, -0.5, 0.0, 0.5, 1.0, 1.5]
+    rows = []
+    vid = 0
+    for o in offs:                     # cluster A members (vec 0 first)
+        rows.append((vid, [0.0 + o, 0.0 + o, 0.0 + o, 5.0 + o])); vid += 1
+        rows.append((vid, [10.0 + o, 10.0 + o, 10.0 + o, -5.0 + o])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    mean_off = statistics.mean(offs)   # 0.25: cluster means are
+    # (0.25, 0.25), (10.25, 10.25) in subspace 0 etc.
+
+    trained = pq_train_codebook(emb, m=2, k=2, iters=2, dim=4)
+    cents = {(r.j, r.cent_id): r.cv for r in trained.collect()}
+    assert len(cents) == 4  # 2 subspaces x 2 live cells
+    for (j, _cid), cv in cents.items():
+        first = cv[0]
+        assert (
+            abs(first - (0.0 + mean_off)) < 0.3
+            or abs(first - (10.0 + mean_off)) < 0.3
+        ), f"subspace {j} centroid {cv} not on a planted mean"
+
+    seed = pq_train_codebook(emb, m=2, k=2, iters=0, dim=4)
+    seed_err = {r.j: r.sq_err for r in pq_quantization_error(emb, seed, m=2, dim=4).collect()}
+    trained_err = {r.j: r.sq_err for r in pq_quantization_error(emb, trained, m=2, dim=4).collect()}
+    for j in seed_err:
+        assert trained_err[j] <= seed_err[j] + 1e-6
+    assert sum(trained_err.values()) < sum(seed_err.values())
