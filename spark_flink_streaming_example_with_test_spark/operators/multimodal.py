@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -243,3 +244,73 @@ def payload_sizes_arrow(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInArrow(
         batches, "asset_id long, n_bytes long"
     )
+
+
+def audio_frame_energy(
+    assets: DataFrame, frame_len: int = 256, fake: bool = False
+) -> DataFrame:
+    """Windowed RMS energy over an audio payload — the
+    voice-activity / silence-trim primitive of an audio-data
+    pipeline: payload bytes in, one (asset_id, frame_id, rms) row
+    per full ``frame_len``-sample frame out (the tail shorter than a
+    frame is dropped, standard framing semantics).
+
+    The real path would ffmpeg-decode to PCM; the fake path treats
+    each payload byte as an unsigned 8-bit sample centered at 128 —
+    deterministic, numpy-vectorized, and (for ASCII payloads)
+    reproducible by the DuckDB oracle from the text itself, so the
+    WHOLE Spark plumbing — Arrow batching, frame explosion, float
+    math — is hash-checked even though the decoder is a stand-in.
+
+    Scale shape: mapInPandas with per-batch numpy reshape — no
+    per-sample Python, no shuffle at all (frame rows inherit the
+    input partitioning); downstream aggregates see
+    (assets x frames) rows, never raw samples.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode needs an audio library absent from this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, frames, rms = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                x = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = len(x) // frame_len
+                if n == 0:
+                    continue
+                mat = (
+                    x[: n * frame_len]
+                    .reshape(n, frame_len)
+                    .astype(np.float64)
+                    - 128.0
+                )
+                ids.extend([aid] * n)
+                frames.extend(range(n))
+                # No numpy-side rounding: np.round is banker's,
+                # SQL ROUND is half-away — on an exact boundary they
+                # diverge. The raw double is bit-identical across
+                # engines (exact integer sums, power-of-2 division,
+                # IEEE correctly-rounded sqrt), so rounding belongs
+                # to the query layer where both engines share one
+                # convention.
+                rms.extend(np.sqrt((mat * mat).mean(axis=1)))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_id": pd.Series(frames, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("frame_id", LongType()),
+            StructField("rms", DoubleType()),
+        ]
+    )
+    return assets.mapInPandas(batches, schema)

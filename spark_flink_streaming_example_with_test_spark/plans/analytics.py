@@ -2210,3 +2210,127 @@ SELECT iso_dow, hour, n,
        ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
 FROM cells
 """
+
+
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range self-join re-expressed as an EQUI join — the 100 TB
+    plan for "pairs of same-user events within 30 minutes". The
+    naive form is a theta join (per-user cartesian filtered on
+    |Δt| <= 30 min — unshardable); here each event lands in a
+    30-minute bucket, the probe side explodes to its bucket ±1, and
+    the join is a plain (user_id, bucket) sort-merge/hash equi-join
+    whose output the exact |Δt| predicate then trims. Every
+    qualifying pair matches in EXACTLY one bucket (the build side
+    stays at its home bucket), so no dedup pass is needed — the
+    standard interval-bucketing rewrite every range join at scale
+    uses. Oracle: the naive theta join, which DuckDB can afford at
+    fixture scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    sec = F.unix_timestamp("ts")
+    bucket = F.floor(sec / 1800).cast("long")
+    left = ev.select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        sec.alias("a_sec"),
+        bucket.alias("bkt"),
+    )
+    right = ev.select(
+        "user_id",
+        F.col("event_id").alias("b_id"),
+        sec.alias("b_sec"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bkt"),
+    )
+    pairs = left.join(right, ["user_id", "bkt"]).filter(
+        (F.col("a_id") < F.col("b_id"))
+        & (F.abs(F.col("b_sec") - F.col("a_sec")) <= 1800)
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.max(F.abs(F.col("b_sec") - F.col("a_sec"))).alias("max_gap_sec"),
+    )
+
+
+RANGE_JOIN_BUCKETED_ORACLE = """
+WITH e AS (
+  -- whole seconds (FLOOR) to mirror Spark unix_timestamp truncation
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+  FROM events
+)
+SELECT a.user_id, COUNT(*) AS n_pairs,
+       MAX(ABS(b.sec - a.sec)) AS max_gap_sec
+FROM e a
+JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND ABS(b.sec - a.sec) <= 1800
+GROUP BY a.user_id
+"""
+
+
+def multi_format_federation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format federated join: the nation dim round-tripped
+    through CSV (header, explicit schema), the region dim through
+    JSON lines, joined against the parquet customer fact — the
+    lake-house reality where dims arrive as exports in whatever
+    format the upstream system writes (SURVEY.md §2.6 file-format
+    gap, gated rather than unit-only). Formats must not change
+    values: the oracle reads the same data straight from parquet.
+
+    The tiny aggregated result (one row per region) is materialized
+    before the temp CSV/JSON dirs are removed — a bounded collect of
+    |regions| rows, same class as the streaming replays' memory
+    sinks.
+    """
+    import shutil
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    customer = load_table(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="engine_federation_")
+    try:
+        nation.write.mode("overwrite").option("header", True).csv(
+            d + "/nation_csv"
+        )
+        region.write.mode("overwrite").json(d + "/region_json")
+        n = (
+            spark.read.option("header", True)
+            .schema("n_nationkey int, n_name string, n_regionkey int")
+            .csv(d + "/nation_csv")
+        )
+        r = spark.read.schema("r_regionkey int, r_name string").json(
+            d + "/region_json"
+        )
+        out = (
+            customer.join(
+                F.broadcast(n), customer.c_nationkey == n.n_nationkey
+            )
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "r_name string, n_customers long, total_acctbal double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+MULTI_FORMAT_FEDERATION_ORACLE = """
+SELECT r.r_name,
+       COUNT(*) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""

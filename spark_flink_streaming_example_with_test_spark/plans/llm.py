@@ -3528,3 +3528,296 @@ SELECT s.doc_id,
 FROM segs s JOIN freq f ON s.seg = f.seg
 GROUP BY s.doc_id, s.n_tokens
 """
+
+
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation harness: recall@10 of the IVF index
+    (16 seeded lists, 4 probes) against exact brute-force cosine for
+    query vectors vec_id < 5 — the accept/reject measurement every
+    index deployment runs before swapping approximate search in.
+    Both legs use the identical rounded-cosine + id tiebreak ranking,
+    so the overlap count is deterministic in both engines.
+
+    Scale shape: the exact leg is one broadcast sweep (queries are
+    tiny); the IVF leg touches only probed lists; the comparison
+    joins two k-row-per-query frames — evaluation cost is dominated
+    by the exact leg, which is why recall is measured on a query
+    SAMPLE, never the full corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = sim.cosine_topk(emb, queries, k=10).select(
+        "q_id", F.col("vec_id").alias("nbr")
+    )
+    ivf = sim.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        "q_id", F.col("vec_id").alias("nbr")
+    )
+    hits = exact.join(ivf, ["q_id", "nbr"]).groupBy("q_id").agg(
+        F.count("*").alias("n_overlap")
+    )
+    base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+ANN_RECALL_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, v AS qv, nrm AS q_nrm FROM e WHERE vec_id < 5
+), exact_scored AS (
+  SELECT q_id, vec_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+                         i -> v[i] * qv[i])) / (nrm * q_nrm), 6) AS cos_sim
+  FROM e CROSS JOIN q WHERE vec_id != q_id
+), exact_topk AS (
+  SELECT q_id, vec_id AS nbr FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM exact_scored
+  ) WHERE rk <= 10
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS c_nrm FROM e WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, v, nrm, cent_id FROM (
+    SELECT e.vec_id, e.v, e.nrm, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(
+                                  RANGE(1, LEN(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                                  / (e.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT q_id, qv, q_nrm, cent_id FROM (
+    SELECT e.vec_id AS q_id, e.v AS qv, e.nrm AS q_nrm, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(
+                                  RANGE(1, LEN(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                                  / (e.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cents c WHERE e.vec_id < 5
+  ) WHERE rn <= 4
+), ivf_scored AS (
+  SELECT p.q_id, a.vec_id,
+         ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.v) + 1),
+                         i -> a.v[i] * p.qv[i])) / (a.nrm * p.q_nrm), 6) AS cos_sim
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+  WHERE a.vec_id != p.q_id
+), ivf_topk AS (
+  SELECT q_id, vec_id AS nbr FROM (
+    SELECT q_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos_sim DESC, vec_id) AS rk
+    FROM ivf_scored
+  ) WHERE rk <= 10
+)
+SELECT b.q_id,
+       CAST(b.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(h.n_overlap, 0) / b.n_exact, 4) AS recall_at_10
+FROM (SELECT q_id, COUNT(*) AS n_exact FROM exact_topk GROUP BY q_id) b
+LEFT JOIN (
+  SELECT x.q_id, COUNT(*) AS n_overlap
+  FROM exact_topk x JOIN ivf_topk i ON x.q_id = i.q_id AND x.nbr = i.nbr
+  GROUP BY x.q_id
+) h ON b.q_id = h.q_id
+"""
+
+
+def embedding_truncate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation fidelity (Kusupati et al. 2022):
+    what fraction of each vector's energy survives truncation to the
+    first 8 / 16 / 32 dims, averaged per label. The go/no-go metric
+    for serving shorter embeddings against a full-dimension index.
+
+    Scale shape: pure per-row fold expressions plus one label-keyed
+    map-side-combinable aggregate — a single scan, no joins.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+
+    def energy(upto) -> F.Column:
+        sliced = F.slice(v, 1, upto) if upto else v
+        return F.aggregate(
+            sliced, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+
+    total = energy(None)
+    fracs = emb.select(
+        "label",
+        (energy(8) / total).alias("f8"),
+        (energy(16) / total).alias("f16"),
+        (energy(32) / total).alias("f32"),
+    )
+    return fracs.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("f8"), 6).alias("avg_energy_frac_8"),
+        F.round(F.avg("f16"), 6).alias("avg_energy_frac_16"),
+        F.round(F.avg("f32"), 6).alias("avg_energy_frac_32"),
+    )
+
+
+EMBEDDING_TRUNCATE_ORACLE = """
+WITH e AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+), fr AS (
+  SELECT label,
+         LIST_SUM(LIST_TRANSFORM(v[1:8], x -> x * x))
+           / LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS f8,
+         LIST_SUM(LIST_TRANSFORM(v[1:16], x -> x * x))
+           / LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS f16,
+         LIST_SUM(LIST_TRANSFORM(v[1:32], x -> x * x))
+           / LIST_SUM(LIST_TRANSFORM(v, x -> x * x)) AS f32
+  FROM e
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(f8), 6) AS avg_energy_frac_8,
+       ROUND(AVG(f16), 6) AS avg_energy_frac_16,
+       ROUND(AVG(f32), 6) AS avg_energy_frac_32
+FROM fr GROUP BY label
+"""
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screen (the diagonal of the PCA
+    covariance matrix): mean and sample variance of every embedding
+    dimension, the top-8 by variance — which dimensions carry signal
+    vs are dead, the first diagnostic before whitening or dimension
+    pruning.
+
+    Scale shape: posexplode widens each vector to dim rows, but the
+    groupBy(pos) aggregate is map-side combinable — every mapper
+    reduces its split to at most 64 partial rows before the
+    exchange (the label_centroid_positions argument, applied to
+    moments).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    stats = pos.groupBy("pos").agg(
+        F.round(F.avg("x"), 6).alias("dim_mean"),
+        F.round(F.var_samp("x"), 6).alias("dim_var"),
+    )
+    return (
+        stats.orderBy(F.desc("dim_var"), F.asc("pos"))
+        .limit(8)
+        .select(F.col("pos").cast("int").alias("dim"), "dim_mean", "dim_var")
+    )
+
+
+EMBEDDING_DIM_VARIANCE_ORACLE = """
+WITH pos AS (
+  SELECT i - 1 AS pos, v[i] AS x FROM (
+    SELECT embedding::DOUBLE[] AS v FROM embeddings
+  ), (SELECT UNNEST(RANGE(1, 65)) AS i)
+), stats AS (
+  SELECT pos, ROUND(AVG(x), 6) AS dim_mean,
+         ROUND(VAR_SAMP(x), 6) AS dim_var
+  FROM pos GROUP BY pos
+)
+SELECT CAST(pos AS INTEGER) AS dim, dim_mean, dim_var
+FROM stats ORDER BY dim_var DESC, pos ASC LIMIT 8
+"""
+
+
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: windowed RMS energy per 64-sample
+    frame over the payload (operators/multimodal.py
+    audio_frame_energy, fake 8-bit decode), then per-asset energy
+    stats — the silence-trim / voice-activity screen. For the ASCII
+    fixture payloads the oracle recomputes every frame's RMS from
+    the text bytes, so the full mapInPandas framing path is
+    hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = mm.audio_frame_energy(
+        mm.documents_as_assets(docs), frame_len=64, fake=True
+    )
+    # Round ONCE, on the aggregate: nesting round(6) inside
+    # round(4) double-rounds, and Spark (BigDecimal, decimal-string
+    # semantics) disagrees with DuckDB (float-arithmetic semantics)
+    # on doubles that the inner round parks exactly on a half
+    # boundary. The raw rms doubles are bit-identical across engines
+    # (exact integer sums, power-of-2 division, IEEE sqrt), so a
+    # single final round is deterministic.
+    return frames.groupBy("asset_id").agg(
+        F.count("*").alias("n_frames"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.round(F.max("rms"), 6).alias("max_rms"),
+    )
+
+
+MULTIMODAL_AUDIO_ORACLE = """
+WITH f AS (
+  SELECT doc_id AS asset_id, f.f AS frame_id,
+         SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+             i -> POW(ASCII(SUBSTR(text, CAST(f.f*64 + i AS INTEGER), 1))
+                      - 128.0, 2))) / 64.0) AS rms
+  FROM documents,
+       (SELECT UNNEST(RANGE(0, 100)) AS f) f
+  WHERE OCTET_LENGTH(ENCODE(text)) // 64 > f.f
+)
+SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       ROUND(AVG(rms), 6) AS avg_rms,
+       ROUND(MAX(rms), 6) AS max_rms
+FROM f GROUP BY asset_id
+"""
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual-corpus
+    convention from mBERT/XLM-R and unimax-style pretraining): raw
+    source shares p_i = tokens_i / total are flattened to
+    p_i^alpha / sum(p_j^alpha) at alpha = 0.3 — upsampling tails,
+    downsampling heads. Emits raw vs tempered shares and the
+    effective upsampling factor per source.
+
+    Scale shape: one token-count aggregate (map-side combinable)
+    collapses the corpus to |sources| rows; the normalization is a
+    window over that tiny frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    full = Window.partitionBy()
+    raw = F.col("n_tokens") / F.sum("n_tokens").over(full)
+    per = per.withColumn("raw_share", raw)
+    tempered = F.pow("raw_share", 0.3) / F.sum(F.pow("raw_share", 0.3)).over(full)
+    return per.select(
+        "source",
+        "n_tokens",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(tempered, 6).alias("tempered_share"),
+        F.round(tempered / F.col("raw_share"), 4).alias("upsample_factor"),
+    )
+
+
+TEMPERATURE_MIXTURE_ORACLE = """
+WITH per AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), shares AS (
+  SELECT *, n_tokens * 1.0 / SUM(n_tokens) OVER () AS raw_share FROM per
+), t AS (
+  SELECT *, POW(raw_share, 0.3) / SUM(POW(raw_share, 0.3)) OVER ()
+            AS tempered FROM shares
+)
+SELECT source, n_tokens,
+       ROUND(raw_share, 6) AS raw_share,
+       ROUND(tempered, 6) AS tempered_share,
+       ROUND(tempered / raw_share, 4) AS upsample_factor
+FROM t
+"""

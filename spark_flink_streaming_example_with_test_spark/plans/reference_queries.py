@@ -1235,3 +1235,78 @@ FROM p FULL OUTER JOIN c
   ON p.user_id = c.user_id
  AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
 """
+
+
+def streaming_union_two_sources_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-source streaming union on the real engine: events split
+    by user-id parity into TWO file-stream sources, unioned, then
+    watermarked + windowed-counted per event_type. Exercises the
+    semantics no single-source replay can: the query's event-time
+    watermark is the MIN across both sources' watermarks, so one
+    slow source holds back eviction for the whole union — the
+    multi-topic production topology (reference:
+    spark/spark_streaming.py:40-47 reads one topic; this is the
+    several-topics generalization). Complete-mode memory sink for
+    the bounded replay, like streaming_windowed_count_e2e; the
+    oracle is the batch windowed count over ALL events — union must
+    lose or duplicate nothing.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src_a = tempfile.mkdtemp(prefix="engine_stream_union_a_")
+    src_b = tempfile.mkdtemp(prefix="engine_stream_union_b_")
+    sink = f"union2_{uuid.uuid4().hex[:8]}"
+    try:
+        events.filter(F.col("user_id") % 2 == 0).write.mode(
+            "overwrite"
+        ).parquet(src_a)
+        events.filter(F.col("user_id") % 2 != 0).write.mode(
+            "overwrite"
+        ).parquet(src_b)
+
+        def read(path: str):
+            return spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp"
+            ).parquet(path)
+
+        unioned = read(src_a).unionByName(read(src_b))
+        counted = (
+            unioned.withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "1 minute"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "cnt",
+            )
+        )
+        query = (
+            counted.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src_a, ignore_errors=True)
+        shutil.rmtree(src_b, ignore_errors=True)
+
+
+STREAMING_UNION_TWO_SOURCES_ORACLE = """
+SELECT DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+"""

@@ -126,6 +126,8 @@ _INTENTIONAL_NLJ = {
     "time_spine_gapfill",         # hours x 5 types spine cross
     "unigram_logprob_scores",     # 1-row corpus-total crossJoin
     "embedding_pq_codes",         # 8-row codebook broadcast
+    "ann_recall_ivf",             # <=5 query rows broadcast (exact leg)
+    "embedding_pq_trained",       # 32-row codebook broadcast (seed err leg)
     "hybrid_search_rrf",          # 1-row corpus-stats crossJoin
     "regr_value_trend",           # 1-row global-min-ts crossJoin
     "hll_sketch_union_tokens",    # 1-row sketch-estimate crossJoin
@@ -154,6 +156,7 @@ _EXECUTING = {
         "observed_clean_metrics",    # observation filled by an action
         "similarity_ivf_kmeans",     # Lloyd's iterations
         "synthetic_activity_stats",  # generator materializes via range
+        "multi_format_federation",   # writes temp CSV/JSON at build time
     }
 }
 

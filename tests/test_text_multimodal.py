@@ -226,3 +226,30 @@ def test_pii_patterns_edge_cases(spark):
             _PII_IP, "<IP>").alias("red")
     ).first().red
     assert redacted == "reach <EMAIL> or <PHONE> at <IP>"
+
+
+def test_audio_frame_energy_framing_and_values(spark):
+    """Fake audio decode: bytes are unsigned 8-bit samples centered
+    at 128; frames of 4 with tail dropped; RMS computed per frame."""
+    from spark_flink_streaming_example_with_test_spark.operators.multimodal import audio_frame_energy
+
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray([128, 128, 128, 128, 130, 126, 130, 126, 0])),
+            (2, bytearray([128, 128])),  # shorter than one frame
+        ],
+        "asset_id long, payload binary",
+    )
+    rows = audio_frame_energy(assets, frame_len=4, fake=True).collect()
+    got = {(r.asset_id, r.frame_id): r.rms for r in rows}
+    assert got == {(1, 0): 0.0, (1, 1): 2.0}  # tail byte + short asset drop
+
+
+def test_audio_frame_energy_real_path_stubbed(spark):
+    import pytest
+
+    from spark_flink_streaming_example_with_test_spark.operators.multimodal import audio_frame_energy
+
+    assets = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
+    with pytest.raises(NotImplementedError, match="audio"):
+        audio_frame_energy(assets, fake=False)
