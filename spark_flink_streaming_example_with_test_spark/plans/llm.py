@@ -3821,3 +3821,185 @@ SELECT source, n_tokens,
        ROUND(tempered / raw_share, 4) AS upsample_factor
 FROM t
 """
+
+
+def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-grade dedup: near-duplicate clusters (3-gram Jaccard
+    >= 0.4 edges, connected components) each keep their BEST member
+    — highest distinct-token ratio, lowest doc_id on ties — not the
+    arbitrary first. Emits one row per multi-doc cluster with the
+    canonical winner; the keep-FIRST convention elsewhere
+    (dedup_keep_first_docs) is the cheap default, this is what a
+    quality-aware pipeline actually ships.
+
+    Scale shape: component ids come from the O(diameter) label
+    propagation; the argmax is one min(struct) aggregate over
+    (component, score) — no sorting, no per-cluster state.
+    """
+    from spark_flink_streaming_example_with_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    cc = connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    ).select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct("w")) / F.size("w"), 6
+        ).alias("score"),
+    )
+    member = cc.join(toks, "doc_id")
+    best = member.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.min(
+            F.struct((-F.col("score")).alias("neg"), F.col("doc_id").alias("d"))
+        ).alias("b"),
+    )
+    return best.filter(F.col("n_members") >= 2).select(
+        "component",
+        "n_members",
+        F.col("b.d").alias("canonical_doc_id"),
+        F.round(-F.col("b.neg"), 6).alias("canonical_score"),
+    )
+
+
+DEDUP_KEEP_BEST_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(node, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON r.node = e.u
+), comp AS (
+  SELECT node AS doc_id, MIN(anc) AS component FROM reach GROUP BY node
+), scored AS (
+  SELECT doc_id,
+         ROUND(LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w), 6) AS score
+  FROM toks
+), best AS (
+  SELECT c.component, COUNT(*) AS n_members,
+         MIN(STRUCT_PACK(neg := -s.score, d := c.doc_id)) AS b
+  FROM comp c JOIN scored s ON c.doc_id = s.doc_id
+  GROUP BY c.component
+)
+SELECT component, n_members,
+       b.d AS canonical_doc_id,
+       ROUND(-b.neg, 6) AS canonical_score
+FROM best WHERE n_members >= 2
+"""
+
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-growth novelty decay: per source, documents in doc_id
+    order are bucketed into quintiles, and each quintile reports the
+    average fraction of its documents' distinct 3-grams appearing
+    for the FIRST time in that source (min-doc_id ownership) — the
+    curve that says when a crawl stops contributing new content and
+    further ingestion is rehash.
+
+    Scale shape: gram ownership is one (source, gram) min-aggregate
+    (map-side combinable); novelty joins doc grams to owners on the
+    same key — two shuffles on (source, gram), nothing quadratic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "source", "doc_id", F.split(F.lower("text"), " ").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - 2),
+                        lambda i: F.array_join(F.slice("w", i, 3), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    owner = grams.groupBy("source", "gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    per_doc = (
+        grams.join(owner, ["source", "gram"])
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn("novelty", F.col("n_novel") / F.col("n_grams"))
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    q = F.least(
+        F.floor((F.row_number().over(w) - 1) * 5 / F.count("*").over(Window.partitionBy("source"))),
+        F.lit(4),
+    ).cast("int")
+    return (
+        per_doc.withColumn("quintile", q)
+        .groupBy("source", "quintile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+        )
+    )
+
+
+NGRAM_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT source, doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT source, doc_id, UNNEST(LIST_DISTINCT(
+      LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+          i -> ARRAY_TO_STRING(w[i:i+2], ' ')))) AS gram
+  FROM toks WHERE LEN(w) >= 3
+), owner AS (
+  SELECT source, gram, MIN(doc_id) AS first_doc
+  FROM grams GROUP BY source, gram
+), per_doc AS (
+  SELECT g.source, g.doc_id, COUNT(*) AS n_grams,
+         COUNT(*) FILTER (WHERE o.first_doc = g.doc_id) AS n_novel
+  FROM grams g JOIN owner o ON g.source = o.source AND g.gram = o.gram
+  GROUP BY g.source, g.doc_id
+), ranked AS (
+  SELECT source, doc_id, n_novel * 1.0 / n_grams AS novelty,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM per_doc
+)
+SELECT source,
+       CAST(LEAST((rn - 1) * 5 // n, 4) AS INTEGER) AS quintile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(novelty), 6) AS avg_novelty
+FROM ranked GROUP BY source, quintile
+"""
