@@ -1,0 +1,93 @@
+"""Targeted unit tests for the round-7 operators, on crafted inputs
+that pin the semantics the fixture-scale oracle parity can't isolate:
+exact BPE pair arithmetic, boilerplate threshold behavior, range-join
+bucket-boundary inclusivity, and linear-scorer determinism."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from spark_flink_streaming_example_with_test_spark.plans.analytics import range_join_bucketed
+from spark_flink_streaming_example_with_test_spark.plans.llm import (
+    boilerplate_strip_stats,
+    bpe_first_merges,
+    quality_linear_classifier,
+)
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_bpe_first_merges_golden(spark, tmp_path):
+    """'aaab aaab ab' -> word counts {aaab:2, ab:1}; pair counts:
+    aa: 2 words x 2 positions = 4, ab: 2+1 = 3."""
+    sf = _write_docs(tmp_path, ["aaab aaab ab"])
+    got = {r.pair: r.pair_count for r in bpe_first_merges(spark, sf).collect()}
+    assert got == {"aa": 4, "ab": 3}
+
+
+def test_boilerplate_strip_thresholds(spark, tmp_path):
+    """A segment repeated in 3 docs is stripped everywhere; a
+    segment in only 2 docs survives; tail tokens under one segment
+    length never count."""
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"           # freq 3 -> stripped
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8"             # freq 2 -> kept
+    texts = [
+        boiler + " " + rare,                      # 16 tokens, strips 8
+        boiler + " " + rare,                      # same
+        boiler + " tail word",                    # 10 tokens, strips 8
+    ]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in boilerplate_strip_stats(spark, sf).collect()}
+    assert rows[0].tokens_before == 16 and rows[0].tokens_after == 8
+    assert rows[0].segments_removed == 1
+    assert rows[2].tokens_before == 10 and rows[2].tokens_after == 2
+    assert rows[2].segments_removed == 1
+
+
+def test_quality_linear_classifier_deterministic_and_bounded(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path, ["alpha beta gamma delta", "zeta eta theta", "one two"]
+    )
+    first = sorted(map(tuple, quality_linear_classifier(spark, sf).collect()))
+    second = sorted(map(tuple, quality_linear_classifier(spark, sf).collect()))
+    assert first == second
+    for _, _, score, accept in first:
+        assert 0.0 < score < 1.0
+        assert accept == (score >= 0.5)
+
+
+def test_range_join_bucketed_boundary_and_cross_bucket(spark, tmp_path):
+    """Pairs exactly 1800 s apart are IN (inclusive); 1801 s is out;
+    pairs straddling a bucket boundary are found exactly once."""
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: 3 events — (a,b) 1800s apart (in), (a,c) 1801s (out),
+        # (b,c) 1s apart (in)
+        (1, 10, base),
+        (1, 11, base + pd.Timedelta(seconds=1800)),
+        (1, 12, base + pd.Timedelta(seconds=1801)),
+        # user 2: straddles the 1800-s bucket edge: 1799s vs 1801s
+        # epoch -> different buckets, 2s apart -> exactly one pair
+        (2, 20, base + pd.Timedelta(seconds=1799)),
+        (2, 21, base + pd.Timedelta(seconds=1801)),
+    ]
+    pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts"]
+    ).to_parquet(tmp_path / "events.parquet")
+    got = {
+        r.user_id: (r.n_pairs, r.max_gap_sec)
+        for r in range_join_bucketed(spark, str(tmp_path)).collect()
+    }
+    assert got[1] == (2, 1800)
+    assert got[2] == (1, 2)
