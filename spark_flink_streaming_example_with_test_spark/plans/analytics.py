@@ -2334,3 +2334,84 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name
 """
+
+
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join, gated end-to-end: orders and
+    lineitem are written ONCE as catalog tables bucketed by orderkey
+    (functions/bucketing.py), then joined shuffle-free — the 100 TB
+    pattern that converts every repeated fact-fact join's exchange
+    into a one-time write cost. The SQL-exact columns are the
+    per-orderpriority revenue rollup; ``join_shuffle_free`` is the
+    property boolean the Spark side computes GENUINELY from the
+    joined frame's physical plan (no Exchange between the two scans
+    and the SortMergeJoin) and the oracle emits as a literal — a
+    bucketing regression (dropped bucketBy, mismatched bucket
+    counts, path read instead of catalog read) flips it and fails
+    the hash match.
+
+    The bounded aggregate (5 priority rows) is collected before the
+    temp warehouse tables are dropped, the multi_format_federation
+    convention.
+    """
+    from spark_flink_streaming_example_with_test_spark.functions.bucketing import bucketed_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ob, lb = "r07_orders_bkt", "r07_lineitem_bkt"
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Broadcast off for the probe: at fixture scale the optimizer
+    # would broadcast the small side (its own BroadcastExchange),
+    # hiding exactly the exchange-elimination a 100 TB fact-fact
+    # sort-merge join needs proven.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, ob, "o_orderkey", n_buckets=8,
+                       sort_cols="o_orderkey")
+        write_bucketed(li, lb, "l_orderkey", n_buckets=8,
+                       sort_cols="l_orderkey")
+        joined = bucketed_table(spark, ob).join(
+            bucketed_table(spark, lb),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        shuffle_free = (
+            "Exchange" not in plan and "SortMergeJoin" in plan
+        )
+        out = (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ),
+                    2,
+                ).alias("revenue"),
+            )
+            .withColumn("join_shuffle_free", F.lit(shuffle_free))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "o_orderpriority string, n_lines long, revenue double, "
+            "join_shuffle_free boolean",
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {ob}")
+        spark.sql(f"DROP TABLE IF EXISTS {lb}")
+
+
+BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       TRUE AS join_shuffle_free
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""

@@ -4003,3 +4003,215 @@ SELECT source,
        ROUND(AVG(novelty), 6) AS avg_novelty
 FROM ranked GROUP BY source, quintile
 """
+
+
+def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 capstone: the new curation ops composed into one
+    pipeline the way a pretraining-data team ships them —
+    (1) fasttext-style linear quality gate (quality_linear_classifier's
+    accept bit), (2) keep-BEST near-dup canonicalization (3-gram
+    Jaccard clusters keep their highest distinct-token-ratio member),
+    (3) boilerplate segment stripping for the survivors' token
+    accounting — rolled up per source. Precedence: quality rejection
+    first, then duplicate drop, then kept. The oracle recomposes the
+    three verified SQL bodies, so this row set cross-checks the new
+    block's consistency in one gate entry (the dedup_method_comparison
+    convention)."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    toks = docs.select(
+        "source", "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    # --- quality gate (quality_linear_classifier's arithmetic) ----
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    h = F.md5(F.col("term"))
+    bucket = _md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)
+    wcol = (bucket * 37 % 101) / F.lit(100.0) - 0.5
+    scored = tok.select("doc_id", wcol.alias("w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.avg("w").alias("mean_w")
+    )
+    raw = F.col("mean_w") * 4.0 + F.log(F.col("n_tokens") + 1.0) * 0.05
+    quality = scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.round(1.0 / (1.0 + F.exp(-raw)), 6) >= 0.5).alias("accept"),
+    )
+    # --- keep-best duplicate drop (dedup_keep_best_canonical) -----
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4)
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ).select(F.col("node").alias("doc_id"), "component")
+    member_score = cc.join(
+        toks.select(
+            "doc_id",
+            F.round(F.size(F.array_distinct("w")) / F.size("w"), 6).alias(
+                "score"
+            ),
+        ),
+        "doc_id",
+    )
+    winners = member_score.groupBy("component").agg(
+        F.min(
+            F.struct((-F.col("score")).alias("neg"), F.col("doc_id").alias("d"))
+        ).alias("b")
+    ).select(F.col("b.d").alias("doc_id"), F.lit(True).alias("is_canonical"))
+    dup_status = cc.join(winners, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
+    )
+    # --- boilerplate token accounting (boilerplate_strip_stats) ---
+    seg_len = 8
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.size("w") / seg_len).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice("w", i * seg_len + 1, seg_len), " "),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(F.count("*").alias("f"))
+    stripped = (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("f") >= 3, 1).otherwise(0)).alias("n_removed")
+        )
+    )
+    # --- classification + rollup ----------------------------------
+    status = (
+        docs.select("source", "doc_id")
+        .join(quality, "doc_id")
+        .join(dup_status, "doc_id", "left")
+        .join(stripped, "doc_id", "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.when(~F.col("accept"), F.lit("dropped_quality"))
+            .when(
+                F.coalesce("is_canonical", F.lit(True)) == F.lit(False),
+                F.lit("dropped_duplicate"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            (
+                F.col("n_tokens")
+                - F.coalesce("n_removed", F.lit(0)) * seg_len
+            ).alias("tokens_after"),
+        )
+    )
+    return status.groupBy("source").agg(
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("status") == "dropped_quality", 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_quality"),
+        F.sum(F.when(F.col("status") == "dropped_duplicate", 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped_duplicate"),
+        F.sum(
+            F.when(F.col("status") == "kept", F.col("tokens_after")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+CURATION_CAPSTONE_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT source, doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), terms AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+), wts AS (
+  SELECT doc_id,
+         (({_md5_nibble_sql('MD5(term)', 1)} * 16
+           + {_md5_nibble_sql('MD5(term)', 2)}) * 37 % 101) / 100.0 - 0.5
+           AS w
+  FROM terms
+), quality AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         ROUND(1.0 / (1.0 + EXP(-(AVG(w) * 4.0
+               + LN(COUNT(*) + 1.0) * 0.05))), 6) >= 0.5 AS accept
+  FROM wts GROUP BY doc_id
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jpairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.4
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM jpairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM jpairs
+), reach(node, anc) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, r.anc FROM reach r JOIN edges e ON r.node = e.u
+), comp AS (
+  SELECT node AS doc_id, MIN(anc) AS component FROM reach GROUP BY node
+), mscore AS (
+  SELECT c.component, c.doc_id,
+         ROUND(LEN(LIST_DISTINCT(t.w)) * 1.0 / LEN(t.w), 6) AS score
+  FROM comp c JOIN toks t ON c.doc_id = t.doc_id
+), winners AS (
+  SELECT component, MIN(STRUCT_PACK(neg := -score, d := doc_id)).d AS win
+  FROM mscore GROUP BY component
+), dup_status AS (
+  SELECT c.doc_id,
+         (c.doc_id = w.win) AS is_canonical
+  FROM comp c JOIN winners w ON c.component = w.component
+), segs AS (
+  SELECT doc_id,
+         UNNEST(LIST_TRANSFORM(RANGE(0, LEN(w) // 8),
+                i -> ARRAY_TO_STRING(w[i*8+1 : i*8+8], ' '))) AS seg
+  FROM toks WHERE LEN(w) >= 8
+), freq AS (
+  SELECT seg, COUNT(*) AS f FROM segs GROUP BY seg
+), stripped AS (
+  SELECT s.doc_id, COUNT(*) FILTER (WHERE f.f >= 3) AS n_removed
+  FROM segs s JOIN freq f ON s.seg = f.seg GROUP BY s.doc_id
+), status AS (
+  SELECT d.source, d.doc_id, q.n_tokens,
+         CASE WHEN NOT q.accept THEN 'dropped_quality'
+              WHEN COALESCE(ds.is_canonical, TRUE) = FALSE
+                   THEN 'dropped_duplicate'
+              ELSE 'kept' END AS status,
+         q.n_tokens - COALESCE(st.n_removed, 0) * 8 AS tokens_after
+  FROM documents d
+  JOIN quality q ON d.doc_id = q.doc_id
+  LEFT JOIN dup_status ds ON d.doc_id = ds.doc_id
+  LEFT JOIN stripped st ON d.doc_id = st.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) FILTER (WHERE status = 'kept') AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE status = 'dropped_quality') AS BIGINT)
+         AS n_dropped_quality,
+       CAST(COUNT(*) FILTER (WHERE status = 'dropped_duplicate') AS BIGINT)
+         AS n_dropped_duplicate,
+       CAST(SUM(CASE WHEN status = 'kept' THEN tokens_after ELSE 0 END)
+            AS BIGINT) AS tokens_kept
+FROM status GROUP BY source
+"""

@@ -157,6 +157,8 @@ _EXECUTING = {
         "similarity_ivf_kmeans",     # Lloyd's iterations
         "synthetic_activity_stats",  # generator materializes via range
         "multi_format_federation",   # writes temp CSV/JSON at build time
+        "bucketed_join_colocated",   # writes bucketed tables at build time
+        "curation_pipeline_capstone",  # CC label propagation (eager checkpoints)
     }
 }
 
