@@ -4215,3 +4215,89 @@ SELECT source,
             AS BIGINT) AS tokens_kept
 FROM status GROUP BY source
 """
+
+
+def bpe_apply_first_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training, step 2: APPLY the winning first merge and
+    recount — the iteration that separates a pair-counter from a
+    tokenizer trainer. The corpus-argmax pair from
+    ``bpe_first_merges`` is materialized (a 1-row broadcast), every
+    vocabulary word rewrites that two-char sequence to an atomic
+    placeholder symbol ('A' — the corpus is lowercase, so uppercase
+    is free symbol space), and adjacent-pair counts are recomputed
+    over the rewritten vocabulary. Emits the top-10 post-merge pairs;
+    pairs containing 'A' are merges WITH the new symbol — exactly
+    how merge rule #2 is chosen.
+
+    Scale shape: same as step 1 — all pair work happens on the
+    word-frequency VOCABULARY, not the corpus; the merge rule is a
+    1-row broadcast crossJoin.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        return (
+            wdf.select(
+                "n",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("word") - 1),
+                        lambda i: F.substr(F.col("word"), i, F.lit(2)),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("pair_count"))
+        )
+
+    best = (
+        pair_counts(words)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("best_pair"))
+    )
+    merged = words.crossJoin(F.broadcast(best)).select(
+        F.replace(F.col("word"), F.col("best_pair"), F.lit("A")).alias("word"),
+        "n",
+    ).filter(F.length("word") >= 2)
+    return (
+        pair_counts(merged)
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(10)
+        .select("pair", "pair_count")
+    )
+
+
+BPE_APPLY_MERGE_ORACLE = """
+WITH words AS (
+  SELECT word, COUNT(*) AS n FROM (
+    SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents
+  ) WHERE LEN(word) >= 2 GROUP BY word
+), p1 AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+                i -> SUBSTR(word, i, 2))) AS pair, n
+  FROM words
+), best AS (
+  SELECT pair AS best_pair FROM (
+    SELECT pair, SUM(n) AS c FROM p1 GROUP BY pair
+    ORDER BY c DESC, pair ASC LIMIT 1
+  )
+), merged AS (
+  SELECT REPLACE(word, best_pair, 'A') AS word, n
+  FROM words CROSS JOIN best
+  WHERE LEN(REPLACE(word, best_pair, 'A')) >= 2
+), p2 AS (
+  SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(word)),
+                i -> SUBSTR(word, i, 2))) AS pair, n
+  FROM merged
+)
+SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM p2 GROUP BY pair
+ORDER BY pair_count DESC, pair ASC LIMIT 10
+"""

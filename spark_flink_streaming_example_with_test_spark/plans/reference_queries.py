@@ -1310,3 +1310,68 @@ SELECT DATE_TRUNC('minute', CAST(ts AS TIMESTAMP)) AS window_start,
 FROM events
 GROUP BY 1, 2
 """
+
+
+def streaming_available_now_incremental_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trigger.AvailableNow incremental processing — the
+    batch-cadence production pattern (run the stream until the
+    source is drained, exit, run again later): the events table is
+    split in half; run 1 processes half A with
+    ``trigger(availableNow=True)`` and exits; half B is added; run 2
+    resumes from the SAME checkpoint and must process ONLY half B,
+    proving offset tracking across restarts (the reference's
+    checkpointLocation promise, spark/spark_streaming.py:90, under
+    the trigger its batch-cadence deployments actually use).
+    Counts accumulate in an update-mode memory sink; the oracle is
+    the batch rollup of ALL events — double-processing half A or
+    missing half B both fail the hash.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_avnow_")
+    ckpt = tempfile.mkdtemp(prefix="engine_stream_avnow_ckpt_")
+    sink = f"avnow_{uuid.uuid4().hex[:8]}"
+    try:
+        half_a = events.filter(F.col("user_id") % 2 == 0)
+        half_b = events.filter(F.col("user_id") % 2 != 0)
+        half_a.write.mode("overwrite").parquet(src)
+
+        def run_once():
+            stream = spark.readStream.schema(
+                "user_id long, event_type string, ts timestamp"
+            ).parquet(src)
+            counts = stream.groupBy("event_type").agg(
+                F.count("*").alias("cnt")
+            )
+            q = (
+                counts.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        run_once()
+        # Multi-file append (one parquet dir write) between runs —
+        # safe here because run 2 starts AFTER the files land and
+        # does a fresh listing against the checkpointed offsets.
+        half_b.write.mode("append").parquet(src)
+        run_once()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+STREAMING_AVAILABLE_NOW_ORACLE = """
+SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+"""
