@@ -2415,3 +2415,199 @@ SELECT o.o_orderpriority,
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 GROUP BY o.o_orderpriority
 """
+
+
+def timeseries_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite additive decomposition of the hourly event count
+    series: trend = centered 24-hour moving average (full windows
+    only), seasonal = mean hour-of-day detrended deviation, residual
+    = observed - trend - seasonal — the decomposition a monitoring
+    pipeline runs before alerting on residuals. Emits the last 48
+    fully-decomposed hours.
+
+    Scale shape: one hourly pre-aggregate collapses the event stream
+    to |hours| rows; every window after that operates on the tiny
+    series frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("y"))
+    w = Window.orderBy("hour").rowsBetween(-12, 11)
+    n_w = F.count("y").over(w)
+    trend = F.when(n_w == 24, F.avg("y").over(w))
+    t = hourly.select(
+        "hour", "y", trend.alias("trend"), F.hour("hour").alias("hod")
+    ).filter(F.col("trend").isNotNull())
+    seasonal = t.groupBy("hod").agg(
+        F.avg(F.col("y") - F.col("trend")).alias("seasonal")
+    )
+    out = (
+        t.join(F.broadcast(seasonal), "hod")
+        .select(
+            "hour",
+            "y",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal", 4).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal"), 4
+            ).alias("residual"),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("hour"))
+    return (
+        out.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 48)
+        .drop("rk")
+    )
+
+
+TIMESERIES_DECOMP_ORACLE = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         COUNT(*) AS y
+  FROM events GROUP BY 1
+), tr AS (
+  SELECT hour, y,
+         CASE WHEN COUNT(y) OVER w = 24
+              THEN AVG(y) OVER w END AS trend,
+         EXTRACT(hour FROM hour) AS hod
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+), t AS (
+  SELECT * FROM tr WHERE trend IS NOT NULL
+), seasonal AS (
+  SELECT hod, AVG(y - trend) AS seasonal FROM t GROUP BY hod
+), full_d AS (
+  SELECT t.hour, t.y,
+         ROUND(t.trend, 4) AS trend,
+         ROUND(s.seasonal, 4) AS seasonal,
+         ROUND(t.y - t.trend - s.seasonal, 4) AS residual,
+         ROW_NUMBER() OVER (ORDER BY t.hour DESC) AS rk
+  FROM t JOIN seasonal s ON t.hod = s.hod
+)
+SELECT hour, y, trend, seasonal, residual
+FROM full_d WHERE rk <= 48
+"""
+
+
+def ewma_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of hourly mean event
+    value per event_type (alpha = 0.3), expressed CLOSED-FORM as a
+    windowed weighted sum (sum of alpha*(1-alpha)^lag * x over the
+    trailing 20 hours, normalized) — no recursion, no UDAF, pure
+    window expressions, so the plan is one series-frame window pass
+    and both engines agree bit-for-bit. Emits the last 24 hours per
+    type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.avg("value").alias("x"))
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("hour")
+    )
+    seq = hourly.withColumn("rn", rn)
+    # Lag-weighted sum via a bounded self-join on the tiny series
+    # frame (a frame-relative pow() weight can't reference the
+    # current row's rank from inside a window aggregate).
+    cur = seq.select(
+        "event_type", F.col("hour").alias("c_hour"), F.col("rn").alias("c_rn")
+    )
+    hist = seq.select(
+        "event_type", F.col("rn").alias("h_rn"), F.col("x").alias("h_x")
+    )
+    pairs = cur.join(hist, "event_type").filter(
+        (F.col("h_rn") <= F.col("c_rn")) & (F.col("h_rn") > F.col("c_rn") - 20)
+    )
+    weight = F.pow(F.lit(0.7), F.col("c_rn") - F.col("h_rn"))
+    ew = pairs.groupBy("event_type", "c_hour", "c_rn").agg(
+        (F.sum(F.col("h_x") * weight) / F.sum(weight)).alias("ewma")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(F.desc("c_rn"))
+    return (
+        ew.withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= 24)
+        .select(
+            "event_type",
+            F.col("c_hour").alias("hour"),
+            F.round("ewma", 6).alias("ewma"),
+        )
+    )
+
+
+EWMA_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         AVG(value) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour) AS rn
+  FROM hourly
+), pairs AS (
+  SELECT c.event_type, c.hour AS c_hour, c.rn AS c_rn,
+         h.x AS h_x, POW(0.7, c.rn - h.rn) AS wt
+  FROM seq c JOIN seq h
+    ON c.event_type = h.event_type
+   AND h.rn <= c.rn AND h.rn > c.rn - 20
+), ew AS (
+  SELECT event_type, c_hour, c_rn,
+         SUM(h_x * wt) / SUM(wt) AS ewma,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c_rn DESC) AS rk
+  FROM pairs GROUP BY event_type, c_hour, c_rn
+)
+SELECT event_type, c_hour AS hour, ROUND(ewma, 6) AS ewma
+FROM ew WHERE rk <= 24
+"""
+
+
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction (Kafka log-compaction / CDC-merge
+    semantics): per user the LATEST event by (ts, event_id) wins;
+    users whose latest event is an 'error' are tombstoned out of the
+    compacted state. Emits the surviving per-user state — the
+    materialized-view form every CDC ingest ends in.
+
+    Scale shape: one max(struct) aggregate keyed by user — no sort,
+    no window, map-side combinable; tombstone filtering is a
+    post-aggregate predicate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("event_type"),
+                F.col("value"),
+            )
+        ).alias("m"),
+        F.count("*").alias("n_changes"),
+    )
+    return latest.filter(F.col("m.event_type") != "error").select(
+        "user_id",
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.event_type").alias("last_event_type"),
+        F.round(F.col("m.value"), 4).alias("last_value"),
+        "n_changes",
+    )
+
+
+CDC_COMPACT_ORACLE = """
+WITH latest AS (
+  SELECT user_id,
+         MAX(STRUCT_PACK(ts := CAST(ts AS TIMESTAMP),
+                         event_id := event_id,
+                         event_type := event_type,
+                         value := value)) AS m,
+         COUNT(*) AS n_changes
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       m.ts AS last_ts,
+       m.event_type AS last_event_type,
+       ROUND(m.value, 4) AS last_value,
+       n_changes
+FROM latest WHERE m.event_type != 'error'
+"""
