@@ -2611,3 +2611,69 @@ SELECT user_id,
        n_changes
 FROM latest WHERE m.event_type != 'error'
 """
+
+
+def partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning proven end to end: events land in a
+    hive-partitioned layout (one directory per event_type —
+    functions/layout.py), a filtered rollup reads it back, and
+    ``pruned_at_plan_time`` is computed GENUINELY from the scan
+    node: the event_type predicate must appear as a PartitionFilter
+    (directory skip, zero IO for excluded partitions) and NOT as a
+    pushed data filter. At 100 TB this is the difference between
+    scanning two directories and scanning the fleet. Oracle emits
+    the literal; a layout regression (partitionBy dropped, filter
+    after a column rename breaking pruning) flips the boolean and
+    fails the hash. Bounded collect of the per-type rollup before
+    the temp layout is removed.
+    """
+    import shutil
+    import tempfile
+
+    from spark_flink_streaming_example_with_test_spark.functions.layout import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="engine_partlayout_")
+    try:
+        write_partitioned(ev, d, "event_type")
+        # Explicit schema: a zero-row input writes a file-less layout
+        # that schema inference can't read (the empty-partition
+        # degenerate case the 100 TB contract requires surviving).
+        back = spark.read.schema(
+            "user_id long, value double, event_type string"
+        ).parquet(d).filter(
+            F.col("event_type").isin("click", "purchase")
+        )
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        pruned = (
+            "PartitionFilters: [" in plan
+            and "event_type" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        )
+        out = (
+            back.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .withColumn("pruned_at_plan_time", F.lit(pruned))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n long, total_value double, "
+            "pruned_at_plan_time boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+PARTITION_PRUNED_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       TRUE AS pruned_at_plan_time
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""

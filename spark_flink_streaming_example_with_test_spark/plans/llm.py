@@ -4301,3 +4301,131 @@ SELECT pair, CAST(SUM(n) AS BIGINT) AS pair_count
 FROM p2 GROUP BY pair
 ORDER BY pair_count DESC, pair ASC LIMIT 10
 """
+
+
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation harness over the corpus: the stopword
+    lang-id heuristic's predictions crossed with the fixture's
+    ground-truth ``lang`` column — confusion-matrix cells plus
+    per-cell share of the true class (recall decomposition). The
+    shape every model-vs-labels eval at corpus scale reduces to:
+    score per row (pure expressions), one (truth, prediction)
+    aggregate, one tiny per-truth window for the shares.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tx.tokenize(F.col("text")))
+    ratio = tx.stopword_hits(F.col("text")) / n_tokens
+    pred = docs.select(
+        F.col("lang").alias("true_lang"),
+        tx.predict_language(ratio).alias("predicted_lang"),
+    )
+    cells = pred.groupBy("true_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
+            "share_of_true"
+        ),
+    )
+
+
+LANGID_CONFUSION_ORACLE = """
+WITH pred AS (
+  SELECT lang AS true_lang,
+         CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+                   * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.12 THEN 'en'
+              WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+                   * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.04
+                   THEN 'latin-ish'
+              ELSE 'other' END AS predicted_lang
+  FROM documents
+), cells AS (
+  SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n_docs,
+       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY true_lang), 4)
+         AS share_of_true
+FROM cells
+"""
+
+
+def embedding_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier screen via diagonal Mahalanobis
+    distance: per-dimension corpus mean/variance (one
+    posexplode-partial aggregate), then each vector's sum of squared
+    per-dim z-scores — the cheap whitened-distance QA pass that
+    flags corrupt or out-of-distribution vectors before indexing.
+    Emits the top-20 outliers (score desc, vec_id tiebreak).
+
+    Scale shape: the moment frame is 64 rows broadcast back; scoring
+    is one scan of per-row fold expressions; top-k is a
+    WindowGroupLimit-style global limit on the tiny scored frame.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    )
+    stats = pos.groupBy("pos").agg(
+        F.avg("x").alias("mu"),
+        F.var_samp("x").alias("var"),
+    )
+    moments = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "mu", "var"))
+        ).alias("m")
+    ).select(
+        F.transform("m", lambda s: s["mu"]).alias("mus"),
+        F.transform("m", lambda s: s["var"]).alias("vars"),
+    )
+    scored = emb.crossJoin(F.broadcast(moments)).select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        "mus",
+                        lambda x, m: x - m,
+                    ),
+                    "vars",
+                    lambda d, v: d * d / v,
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            ),
+            4,
+        ).alias("mahalanobis_sq"),
+    )
+    return (
+        scored.orderBy(F.desc("mahalanobis_sq"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+EMBEDDING_OUTLIER_ORACLE = """
+WITH pos AS (
+  SELECT i - 1 AS pos, v[i] AS x FROM (
+    SELECT embedding::DOUBLE[] AS v FROM embeddings
+  ), (SELECT UNNEST(RANGE(1, 65)) AS i)
+), stats AS (
+  SELECT pos, AVG(x) AS mu, VAR_SAMP(x) AS var FROM pos GROUP BY pos
+), scored AS (
+  SELECT e.vec_id,
+         ROUND(SUM((e.v[s.pos + 1] - s.mu) * (e.v[s.pos + 1] - s.mu)
+                   / s.var), 4) AS mahalanobis_sq
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+  CROSS JOIN stats s
+  GROUP BY e.vec_id
+)
+SELECT vec_id, mahalanobis_sq
+FROM scored ORDER BY mahalanobis_sq DESC, vec_id ASC LIMIT 20
+"""

@@ -128,6 +128,8 @@ _INTENTIONAL_NLJ = {
     "embedding_pq_codes",         # 8-row codebook broadcast
     "ann_recall_ivf",             # <=5 query rows broadcast (exact leg)
     "embedding_pq_trained",       # 32-row codebook broadcast (seed err leg)
+    "bpe_apply_first_merge",      # 1-row argmax merge-rule crossJoin
+    "embedding_outlier_scores",   # 1-row moment-arrays crossJoin
     "hybrid_search_rrf",          # 1-row corpus-stats crossJoin
     "regr_value_trend",           # 1-row global-min-ts crossJoin
     "hll_sketch_union_tokens",    # 1-row sketch-estimate crossJoin
@@ -159,6 +161,7 @@ _EXECUTING = {
         "multi_format_federation",   # writes temp CSV/JSON at build time
         "bucketed_join_colocated",   # writes bucketed tables at build time
         "curation_pipeline_capstone",  # CC label propagation (eager checkpoints)
+        "partition_pruned_scan",     # writes temp partitioned layout at build time
     }
 }
 
