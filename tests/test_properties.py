@@ -467,3 +467,83 @@ def test_cdc_chunks_partition_token_stream(spark, docs):
         rebuilt = " ".join(c[1] for c in chunks)
         assert rebuilt == text.lower()
         assert sum(c[2] for c in chunks) == len(text.split(" "))
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=2, max_size=6),
+        min_size=1, max_size=25,
+    )
+)
+def test_bpe_pair_counts_match_python_reference(spark, tmp_path_factory, words):
+    """The vocabulary-sized BPE pair counter must equal the naive
+    per-word scan for arbitrary short words (repeats included)."""
+    import collections
+
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.llm import bpe_first_merges
+
+    ref: collections.Counter = collections.Counter()
+    for w in words:
+        for i in range(len(w) - 1):
+            ref[w[i:i + 2]] += 1
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    d = tmp_path_factory.mktemp("bpe_prop")
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [" ".join(words)],
+            "lang": ["en"],
+            "source": ["src0"],
+            "n_chars": [1],
+        }
+    ).to_parquet(d / "documents.parquet")
+    got = [
+        (r.pair, r.pair_count)
+        for r in bpe_first_merges(spark, str(d)).collect()
+    ]
+    assert got == top
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)),
+        min_size=1, max_size=30, unique=True,
+    )
+)
+def test_range_join_bucketed_matches_bruteforce(spark, tmp_path_factory, events):
+    """The bucket-rewritten range self-join must produce exactly the
+    brute-force qualifying pair set for arbitrary (user, second)
+    events — including bucket-boundary and exactly-1800 s pairs."""
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import range_join_bucketed
+
+    rows = [
+        (u, i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s))
+        for i, (u, s) in enumerate(events)
+    ]
+    ref: dict[int, list[int]] = {}
+    for (u1, i1, t1) in rows:
+        for (u2, i2, t2) in rows:
+            if u1 == u2 and i1 < i2 and abs(int((t2 - t1).total_seconds())) <= 1800:
+                ref.setdefault(u1, []).append(abs(int((t2 - t1).total_seconds())))
+    expected = {
+        u: (len(gaps), max(gaps)) for u, gaps in ref.items()
+    }
+
+    d = tmp_path_factory.mktemp("rj_prop")
+    pd.DataFrame(rows, columns=["user_id", "event_id", "ts"]).to_parquet(
+        d / "events.parquet"
+    )
+    got = {
+        r.user_id: (r.n_pairs, r.max_gap_sec)
+        for r in range_join_bucketed(spark, str(d)).collect()
+    }
+    assert got == expected
