@@ -1459,3 +1459,91 @@ SELECT event_type, COUNT(*) AS n,
        ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY event_type
 """
+
+
+def streaming_jdbc_merge_upsert_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Update-mode streaming aggregate landed in a relational store
+    via server-side MERGE (streaming/sinks.py jdbc_merge_writer),
+    end to end on embedded Derby: the custom stateful running-totals
+    operator (applyInPandasWithState) emits per-user updates,
+    ``maxFilesPerTrigger=1`` forces MULTIPLE micro-batches so the
+    same user's row is genuinely UPDATED across merges (not just
+    inserted once), and the final JDBC table must equal the batch
+    aggregate — stale rows from earlier batches would fail the hash.
+    This is the production upsert topology the reference's
+    append-only sink can't express (append of an update-mode
+    aggregate duplicates keys).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import running_user_totals
+    from spark_flink_streaming_example_with_test_spark.streaming.sinks import jdbc_merge_writer
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = tempfile.mkdtemp(prefix="engine_stream_merge_")
+    db = f"engine_merge_{uuid.uuid4().hex[:8]}"
+    url = f"jdbc:derby:memory:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    target, staging = "user_totals", "user_totals_stage"
+    try:
+        # Several part files -> several micro-batches (repartition
+        # guarantees >1 even at tiny scale).
+        events.repartition(4).write.mode("overwrite").parquet(src)
+        empty = spark.createDataFrame(
+            [], "user_id long, n_events long, total_value double"
+        )
+        for t in (target, staging):
+            empty.write.format("jdbc").option("url", url).option(
+                "dbtable", t
+            ).option("driver", driver).mode("overwrite").save()
+        stream = spark.readStream.schema(
+            "user_id long, value double"
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        writer = jdbc_merge_writer(
+            url=url, target=target, staging=staging, key="user_id",
+            set_cols=["n_events", "total_value"], driver=driver,
+        )
+        query = (
+            running_user_totals(stream)
+            .writeStream.foreachBatch(writer)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", target)
+            .option("driver", driver)
+            .load()
+        )
+        rows = back.select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        ).collect()
+        return spark.createDataFrame(
+            rows, "user_id long, n_events long, total_value double"
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:memory:{db};drop=true"
+            )
+        except Exception:
+            pass
+
+
+STREAMING_JDBC_MERGE_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id
+"""

@@ -172,3 +172,67 @@ def upsert_parquet_writer(
                 spark.conf.set(_OVERWRITE_MODE, prev)
 
     return sink
+
+
+def jdbc_merge_writer(
+    url: str,
+    target: str,
+    staging: str,
+    key: str,
+    set_cols: list[str],
+    driver: str = "org.postgresql.Driver",
+) -> BatchWriter:
+    """Keyed UPSERT into a JDBC table — the production landing for an
+    update-mode streaming aggregate in a relational store: each
+    micro-batch overwrites a staging table, then one server-side
+    ``MERGE INTO target USING staging`` updates matched keys and
+    inserts new ones. A replayed batch merges the same rows to the
+    same state, so the sink is idempotent (exactly-once table state
+    under the micro-batch replay contract). ANSI MERGE runs on
+    Postgres 15+, Derby 10.11+, and most warehouses unchanged.
+    """
+
+    # Spark's JDBC writer creates tables with QUOTED identifiers, so
+    # they are case-sensitive lowercase in ANSI-folding databases
+    # (Derby, Postgres) — the MERGE must quote them identically or
+    # the parser upper-folds and misses the columns.
+    def q(ident: str) -> str:
+        return '"' + ident + '"'
+
+    set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in set_cols)
+    insert_cols = ", ".join(q(c) for c in [key, *set_cols])
+    insert_vals = ", ".join(f"s.{q(c)}" for c in [key, *set_cols])
+    # Table names stay UNQUOTED: Spark passes the dbtable string
+    # through verbatim in DDL, so the created name upper-folds and an
+    # unquoted reference matches it; only columns get dialect quoting.
+    merge_sql = (
+        f"MERGE INTO {target} t USING {staging} s "
+        f"ON t.{q(key)} = s.{q(key)} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) "
+        f"VALUES ({insert_vals})"
+    )
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        (
+            df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", staging)
+            .option("driver", driver)
+            .option("truncate", "true")
+            .mode("overwrite")
+            .save()
+        )
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.executeUpdate(merge_sql)
+            finally:
+                stmt.close()
+        finally:
+            conn.close()
+
+    return sink
