@@ -1547,3 +1547,80 @@ SELECT user_id, COUNT(*) AS n_events,
        ROUND(SUM(value), 2) AS total_value
 FROM events GROUP BY user_id
 """
+
+
+def jdbc_parallel_read_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parallel JDBC ingest — how a 100 TB pipeline bulk
+    -reads an OLTP system: the table is range-split on a numeric
+    column (``partitionColumn``/``lowerBound``/``upperBound``/
+    ``numPartitions``), each executor opens its own connection for
+    its stride, and predicates push down into each generated query.
+    Run against embedded Derby: events land in the database once
+    (batched append), then the parallel read pulls them back split 4
+    ways on user_id. ``read_parallel`` is computed genuinely from
+    the ingest RDD's partition count; range splitting must neither
+    drop nor duplicate boundary rows — the rollup hash proves it.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    db = f"engine_pread_{uuid.uuid4().hex[:8]}"
+    url = f"jdbc:derby:memory:{db};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    table = "events_oltp"
+    try:
+        (
+            events.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("driver", driver)
+            .option("batchsize", "1000")
+            .mode("overwrite")
+            .save()
+        )
+        hi = events.agg(F.max("user_id")).first()[0] or 1
+        ingest = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("driver", driver)
+            .option("partitionColumn", "user_id")
+            .option("lowerBound", "0")
+            .option("upperBound", str(int(hi) + 1))
+            .option("numPartitions", "4")
+            .load()
+        )
+        parallel = ingest.rdd.getNumPartitions() == 4
+        out = (
+            ingest.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .withColumn("read_parallel", F.lit(parallel))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n long, total_value double, "
+            "read_parallel boolean",
+        )
+    finally:
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:memory:{db};drop=true"
+            )
+        except Exception:
+            pass
+
+
+JDBC_PARALLEL_READ_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       TRUE AS read_parallel
+FROM events GROUP BY event_type
+"""
