@@ -2677,3 +2677,87 @@ FROM events
 WHERE event_type IN ('click', 'purchase')
 GROUP BY event_type
 """
+
+
+def csv_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine for CSV ingest — the reference's
+    PERMISSIVE + corrupt-record convention (SURVEY §1.2, adopted for
+    from_json) applied to the other ubiquitous landing format: an
+    export is generated with every 'error'-typed event written as an
+    unparsable line (non-numeric user_id), read back with an
+    explicit schema + ``columnNameOfCorruptRecord``, and rolled up
+    into parsed-vs-quarantined accounting per event_type bucket.
+    Bad rows must land in quarantine (not vanish, not poison the
+    typed columns) — at 100 TB a silent drop is unauditable.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="engine_csvq_")
+    try:
+        lines = ev.select(
+            F.when(
+                F.col("event_type") == "error",
+                F.concat(
+                    F.lit("notanint,"), F.col("event_type"), F.lit(","),
+                    F.col("value").cast("string"),
+                ),
+            )
+            .otherwise(
+                # concat (not concat_ws): concat_ws SKIPS nulls and
+                # would silently shift columns; empty fields parse
+                # back to plain nulls, a null event_type writes the
+                # same sentinel the oracle groups under.
+                F.concat(
+                    F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+                    F.lit(","),
+                    F.coalesce(F.col("event_type"), F.lit("<null>")),
+                    F.lit(","),
+                    F.coalesce(F.col("value").cast("string"), F.lit("")),
+                )
+            )
+            .alias("value")
+        )
+        lines.write.mode("overwrite").text(d)
+        parsed = (
+            spark.read.schema(
+                "user_id long, event_type string, value double, "
+                "_corrupt string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(d)
+        )
+        out = parsed.groupBy(
+            F.coalesce("event_type", F.lit("<null>")).alias("event_type")
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_quarantined"),
+            F.sum(
+                F.when(F.col("user_id").isNull()
+                       & F.col("_corrupt").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_field_nulled"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows long, n_quarantined long, "
+            "n_field_nulled long",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+CSV_QUARANTINE_ORACLE = """
+SELECT COALESCE(event_type, '<null>') AS event_type,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_quarantined,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_field_nulled
+FROM events
+GROUP BY 1
+"""

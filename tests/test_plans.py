@@ -162,6 +162,8 @@ _EXECUTING = {
         "bucketed_join_colocated",   # writes bucketed tables at build time
         "curation_pipeline_capstone",  # CC label propagation (eager checkpoints)
         "partition_pruned_scan",     # writes temp partitioned layout at build time
+        "jdbc_parallel_read_ingest",  # lands a Derby table at build time
+        "csv_corrupt_quarantine",    # writes temp CSV export at build time
     }
 }
 
