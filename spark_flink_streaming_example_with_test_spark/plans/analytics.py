@@ -2761,3 +2761,96 @@ SELECT COALESCE(event_type, '<null>') AS event_type,
 FROM events
 GROUP BY 1
 """
+
+
+def dataset_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive dataset fingerprinting — the migration /
+    replication validation primitive: every row digests to
+    md5(concat of null-tagged columns), digests reduce to one
+    additive checksum per dataset (sum of the first-12-hex-digit
+    value — order-free, partition-free, mergeable), and the original
+    events table is compared against a parquet round-trip of itself.
+    A single flipped row flips the checksum with probability
+    ~1-2^-48. Emits both checksums, row counts, and the match
+    booleans — computed GENUINELY on the Spark side; the oracle
+    recomputes the original's checksum and emits the match literals.
+
+    Scale shape: per-row expression work + one map-side-combinable
+    global sum per dataset — the cheapest possible full-table
+    comparison (no sort, no join, no shuffle beyond 1-row partials).
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def checksum(df: DataFrame):
+        digest = F.md5(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("event_id").cast("string"), F.lit("<n>")),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("<n>")),
+                F.coalesce(F.col("event_type"), F.lit("<n>")),
+                # integer-scaled value: double->string formatting is
+                # engine-specific; a scaled BIGINT stringifies
+                # identically everywhere
+                F.coalesce(
+                    F.round(F.col("value") * 1000000)
+                    .cast("long")
+                    .cast("string"),
+                    F.lit("<n>"),
+                ),
+            )
+        )
+        return df.agg(
+            F.sum(F.conv(F.substring(digest, 1, 12), 16, 10).cast("long"))
+            .alias("checksum"),
+            F.count("*").alias("n_rows"),
+        )
+
+    d = tempfile.mkdtemp(prefix="engine_checksum_")
+    try:
+        ev.write.mode("overwrite").parquet(d)
+        copy = spark.read.parquet(d)
+        a = checksum(ev).first()
+        b = checksum(copy).first()
+        return spark.createDataFrame(
+            [
+                (
+                    a["checksum"],
+                    b["checksum"],
+                    a["n_rows"],
+                    b["n_rows"],
+                    a["checksum"] == b["checksum"],
+                    a["n_rows"] == b["n_rows"],
+                )
+            ],
+            "checksum_orig long, checksum_copy long, rows_orig long, "
+            "rows_copy long, checksums_match boolean, counts_match boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+DATASET_CHECKSUM_ORACLE = """
+WITH digests AS (
+  SELECT MD5(CONCAT_WS('|',
+             COALESCE(CAST(event_id AS VARCHAR), '<n>'),
+             COALESCE(CAST(user_id AS VARCHAR), '<n>'),
+             COALESCE(event_type, '<n>'),
+             COALESCE(CAST(CAST(ROUND(value * 1000000) AS BIGINT)
+                           AS VARCHAR), '<n>'))) AS h
+  FROM events
+), s AS (
+  SELECT CAST(SUM(CAST(('0x' || SUBSTR(h, 1, 12)) AS BIGINT)) AS BIGINT)
+           AS checksum,
+         COUNT(*) AS n_rows
+  FROM digests
+)
+SELECT checksum AS checksum_orig, checksum AS checksum_copy,
+       n_rows AS rows_orig, n_rows AS rows_copy,
+       TRUE AS checksums_match, TRUE AS counts_match
+FROM s
+"""

@@ -1624,3 +1624,74 @@ SELECT event_type, COUNT(*) AS n,
        TRUE AS read_parallel
 FROM events GROUP BY event_type
 """
+
+
+def streaming_dedup_then_window_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTIPLE stateful operators chained in one streaming query —
+    watermarked exact dedup (dropDuplicatesWithinWatermark) feeding
+    a tumbling windowed count — the at-least-once-ingest reality
+    (Kafka redeliveries) where dedup must happen BEFORE the
+    aggregate or retries inflate every count. Spark only recently
+    allows chaining these stateful operators; this proves the
+    composition end to end: events are replayed WITH each
+    'purchase' row duplicated (the redelivery), and the final
+    per-type hourly counts must equal the batch rollup of the
+    ORIGINAL events — surviving duplicates would fail the hash.
+    Complete-mode memory sink for the bounded replay, like
+    streaming_windowed_count_e2e.
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import dedup_within_watermark
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    dupes = events.filter(F.col("event_type") == "purchase")
+    replay = events.unionByName(dupes)  # simulated redelivery
+    src = tempfile.mkdtemp(prefix="engine_stream_dedupwin_")
+    sink = f"ddw_{uuid.uuid4().hex[:8]}"
+    try:
+        replay.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        deduped = dedup_within_watermark(
+            stream, keys=["event_id"], ts_col="ts", delay="10 seconds"
+        )
+        counted = (
+            deduped.groupBy(
+                F.window("ts", "1 hour"), "event_type"
+            )
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "cnt",
+            )
+        )
+        query = (
+            counted.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return spark.table(sink)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_DEDUP_WINDOW_ORACLE = """
+SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS cnt
+FROM events GROUP BY 1, 2
+"""

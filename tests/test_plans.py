@@ -164,6 +164,7 @@ _EXECUTING = {
         "partition_pruned_scan",     # writes temp partitioned layout at build time
         "jdbc_parallel_read_ingest",  # lands a Derby table at build time
         "csv_corrupt_quarantine",    # writes temp CSV export at build time
+        "dataset_checksum_compare",  # parquet round-trip at build time
     }
 }
 
