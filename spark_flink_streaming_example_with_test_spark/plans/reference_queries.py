@@ -1695,3 +1695,80 @@ SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        COUNT(*) AS cnt
 FROM events GROUP BY 1, 2
 """
+
+
+def streaming_progress_metrics_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming OBSERVABILITY as a verified query: the engine's own
+    progress telemetry (StreamingQueryProgress.stateOperators) for a
+    watermarked dedup replay must agree with table-derived truth —
+    state rows tracked == distinct dedup keys, input rows == table
+    rows. This is what an on-call engineer alerts on (state-store
+    growth, input throughput); here those numbers are hash-checked
+    against SQL instead of eyeballed. Progress is read after
+    processAllAvailable from recentProgress (inputs summed across
+    micro-batches; state taken at its PEAK — the trailing no-data
+    batch evicts behind the watermark and would under-report).
+    """
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import dedup_within_watermark
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts"
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_progress_")
+    sink = f"prog_{uuid.uuid4().hex[:8]}"
+    try:
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp"
+        ).parquet(src)
+        deduped = dedup_within_watermark(
+            stream, keys=["event_id"], ts_col="ts", delay="10 seconds"
+        ).select("event_id")
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            progresses = [p for p in query.recentProgress if p is not None]
+            input_rows = sum(
+                int(p["numInputRows"]) for p in progresses
+            )
+            # PEAK state size: the trailing no-data batch evicts
+            # entries behind the watermark, so the final snapshot
+            # under-reports; the peak is what equals the distinct
+            # key count for a bounded replay.
+            state_rows = max(
+                (
+                    int(ops[0]["numRowsTotal"])
+                    for p in progresses
+                    for ops in [p.get("stateOperators") or []]
+                    if ops
+                ),
+                default=0,
+            )
+        finally:
+            query.stop()
+        emitted = spark.table(sink).count()
+        return spark.createDataFrame(
+            [(input_rows, state_rows, emitted)],
+            "input_rows long, state_rows long, emitted_rows long",
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_PROGRESS_ORACLE = """
+SELECT COUNT(*) AS input_rows,
+       COUNT(DISTINCT event_id) AS state_rows,
+       COUNT(DISTINCT event_id) AS emitted_rows
+FROM events
+"""
