@@ -2854,3 +2854,98 @@ SELECT checksum AS checksum_orig, checksum AS checksum_copy,
        TRUE AS checksums_match, TRUE AS counts_match
 FROM s
 """
+
+
+def global_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Globally-sorted export — repartitionByRange + within-partition
+    sort, the scalable total order (never a single-partition
+    ``orderBy`` for a full-table export at 100 TB: range partitioning
+    samples split points so every partition sorts independently and
+    partition i's max <= partition i+1's min). Verified genuinely:
+    per-partition (min, max, count) bounds are computed from the
+    exported frame, the non-overlap invariant is folded into
+    ``ranges_ok``, and within-partition sortedness into
+    ``sorted_ok``; the SQL-exact columns (row count, global min/max
+    event_id by ts-order position) pin content. Bounded collect of
+    the per-partition bounds (n_partitions rows).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    n_parts = 8
+    arranged = ev.repartitionByRange(n_parts, "ts", "event_id").sortWithinPartitions(
+        "ts", "event_id"
+    )
+    part_bounds = arranged.select(
+        F.spark_partition_id().alias("pid"),
+        F.struct("ts", "event_id").alias("k"),
+    ).groupBy("pid").agg(
+        F.min("k").alias("lo"),
+        F.max("k").alias("hi"),
+        F.count("*").alias("n"),
+    )
+    bounds = sorted(
+        part_bounds.collect(), key=lambda r: (r.lo.ts, r.lo.event_id)
+    )
+    ranges_ok = all(
+        (a.hi.ts, a.hi.event_id) <= (b.lo.ts, b.lo.event_id)
+        for a, b in zip(bounds, bounds[1:])
+    )
+    # within-partition sortedness: any inversion vs the lag row
+    inversions = (
+        arranged.select(
+            F.spark_partition_id().alias("pid"),
+            # materialized BEFORE the window's exchange, so ordering
+            # by it reconstructs the partition's physical row order
+            F.monotonically_increasing_id().alias("seq"),
+            "ts",
+            "event_id",
+        )
+        .withColumn(
+            "prev",
+            F.lag(F.struct("ts", "event_id")).over(
+                Window.partitionBy("pid").orderBy("seq")
+            ),
+        )
+        .filter(
+            F.col("prev").isNotNull()
+            & (
+                (F.col("prev.ts") > F.col("ts"))
+                | (
+                    (F.col("prev.ts") == F.col("ts"))
+                    & (F.col("prev.event_id") > F.col("event_id"))
+                )
+            )
+        )
+        .count()
+    )
+    total = sum(r.n for r in bounds)
+    first_id = bounds[0].lo.event_id if bounds else None
+    last_id = bounds[-1].hi.event_id if bounds else None
+    return spark.createDataFrame(
+        [
+            (
+                total,
+                first_id,
+                last_id,
+                bool(ranges_ok),
+                inversions == 0,
+            )
+        ],
+        "n_rows long, first_event_id long, last_event_id long, "
+        "ranges_non_overlapping boolean, partitions_sorted boolean",
+    )
+
+
+GLOBAL_SORTED_EXPORT_ORACLE = """
+WITH ordered AS (
+  SELECT event_id,
+         ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM events
+)
+SELECT MAX(n) AS n_rows,
+       MAX(CASE WHEN rn = 1 THEN event_id END) AS first_event_id,
+       MAX(CASE WHEN rn = n THEN event_id END) AS last_event_id,
+       TRUE AS ranges_non_overlapping,
+       TRUE AS partitions_sorted
+FROM ordered
+"""

@@ -165,6 +165,7 @@ _EXECUTING = {
         "jdbc_parallel_read_ingest",  # lands a Derby table at build time
         "csv_corrupt_quarantine",    # writes temp CSV export at build time
         "dataset_checksum_compare",  # parquet round-trip at build time
+        "global_sorted_export",      # collects partition bounds at build time
     }
 }
 
