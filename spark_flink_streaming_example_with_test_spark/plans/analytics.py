@@ -2949,3 +2949,85 @@ SELECT MAX(n) AS n_rows,
        TRUE AS partitions_sorted
 FROM ordered
 """
+
+
+def parquet_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a parquet landing zone: an early batch
+    written WITHOUT a column, a later batch WITH it, read back under
+    ``mergeSchema=true`` — the additive-column reality of any
+    long-lived ingest path. Old rows surface the new column as NULL
+    (never dropped, never defaulted); the rollup accounts rows and
+    value sums per schema generation.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="engine_schemaevo_")
+    try:
+        old_batch = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        )
+        new_batch = ev.filter(F.col("event_id") % 2 != 0)
+        old_batch.write.mode("overwrite").parquet(d + "/g=0")
+        new_batch.write.mode("overwrite").parquet(d + "/g=1")
+        merged = spark.read.option("mergeSchema", "true").parquet(d)
+        out = merged.groupBy("event_type").agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pre_evolution"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "value_post_evolution"
+            ),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n_rows long, n_pre_evolution long, "
+            "value_post_evolution double",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+PARQUET_MERGE_SCHEMA_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n_pre_evolution,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE event_id % 2 != 0), 0.0), 2)
+         AS value_post_evolution
+FROM events GROUP BY event_type
+"""
+
+
+def timezone_conversion_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-timezone correctness (SURVEY §2.2 P5/P6: the reference's
+    two epoch paths only agree under a pinned session tz — this
+    query exercises the NAMED-zone conversion path those pins
+    protect): event timestamps (UTC) converted to America/New_York
+    wall time, rolled up by local hour of day. The oracle uses
+    DuckDB's session-independent ``AT TIME ZONE`` composition, so a
+    session-tz leak on either engine breaks the hash.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    local = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    return (
+        ev.select(F.hour(local).alias("ny_hour"), "value")
+        .groupBy("ny_hour")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+TIMEZONE_KPI_ORACLE = """
+SELECT EXTRACT(hour FROM timezone('America/New_York',
+           CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')) AS ny_hour,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""

@@ -166,6 +166,7 @@ _EXECUTING = {
         "csv_corrupt_quarantine",    # writes temp CSV export at build time
         "dataset_checksum_compare",  # parquet round-trip at build time
         "global_sorted_export",      # collects partition bounds at build time
+        "parquet_merge_schema_evolution",  # writes temp generations at build time
     }
 }
 
