@@ -34,6 +34,12 @@ BUDGETS = [
     ("events_json_kpi", 10.0),
     ("activity_windowed_count", 10.0),
     ("token_counts_top", 10.0),
+    # Round-7 additions: the heaviest new gate-window queries (the
+    # inverted-index + connected-components composites). Warm sf0.01
+    # times are ~1-3 s; caps at the same catastrophic-only altitude.
+    ("dedup_method_comparison", 30.0),
+    ("curation_pipeline_capstone", 30.0),
+    ("dedup_keep_best_canonical", 30.0),
 ]
 
 
