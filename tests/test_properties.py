@@ -547,3 +547,63 @@ def test_range_join_bucketed_matches_bruteforce(spark, tmp_path_factory, events)
         for r in range_join_bucketed(spark, str(d)).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    payload=st.binary(min_size=0, max_size=64),
+)
+def test_audio_frame_energy_matches_numpy(spark, payload):
+    """Arbitrary payload bytes: the mapInPandas framing must equal
+    the straight numpy computation (frames of 8, tail dropped)."""
+    import numpy as np
+
+    from spark_flink_streaming_example_with_test_spark.operators.multimodal import audio_frame_energy
+
+    assets = spark.createDataFrame(
+        [(0, bytearray(payload))], "asset_id long, payload binary"
+    )
+    got = {
+        r.frame_id: r.rms
+        for r in audio_frame_energy(assets, frame_len=8, fake=True).collect()
+    }
+    x = np.frombuffer(payload, dtype=np.uint8)
+    n = len(x) // 8
+    ref = {}
+    if n:
+        mat = x[: n * 8].reshape(n, 8).astype(np.float64) - 128.0
+        for i, v in enumerate(np.sqrt((mat * mat).mean(axis=1))):
+            ref[i] = v
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-12
+
+
+def test_dataset_checksum_detects_single_row_change(spark, tmp_path):
+    """Flipping one row's value must change the additive checksum —
+    the property the migration-validation use case rests on."""
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import dataset_checksum_compare
+
+    base = pd.DataFrame(
+        {
+            "event_id": range(50),
+            "user_id": [i % 7 for i in range(50)],
+            "event_type": ["click"] * 50,
+            "ts": pd.to_datetime(["2024-01-01"] * 50),
+            "value": [float(i) for i in range(50)],
+            "props": ["{}"] * 50,
+        }
+    )
+    d1 = tmp_path / "a"; d1.mkdir()
+    base.to_parquet(d1 / "events.parquet")
+    mutated = base.copy()
+    mutated.loc[17, "value"] = 999.25
+    d2 = tmp_path / "b"; d2.mkdir()
+    mutated.to_parquet(d2 / "events.parquet")
+    c1 = dataset_checksum_compare(spark, str(d1)).first()
+    c2 = dataset_checksum_compare(spark, str(d2)).first()
+    assert c1.checksums_match and c2.checksums_match  # self-roundtrip
+    assert c1.checksum_orig != c2.checksum_orig      # cross-dataset
