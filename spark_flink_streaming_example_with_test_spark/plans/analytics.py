@@ -3031,3 +3031,107 @@ SELECT EXTRACT(hour FROM timezone('America/New_York',
        ROUND(AVG(value), 4) AS avg_value
 FROM events GROUP BY 1
 """
+
+
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order clustering key (functions/layout.py zorder_value)
+    computed cross-engine: Morton-interleaved (user_id, hour-of-day)
+    for the first 200 events, the oracle recomputing the identical
+    shift/mask arithmetic — so the layout primitive behind 2-D
+    min/max file skipping is itself hash-verified, not just
+    unit-tested. Also emits the per-row locality witness: the
+    z-value's upper bits change only when either key's upper bits
+    do, which is what makes file min/max ranges compact.
+    """
+    from spark_flink_streaming_example_with_test_spark.functions.layout import zorder_value
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 200
+    )
+    z = zorder_value(F.col("user_id"), F.hour("ts"), bits=8)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.hour("ts").alias("hod"),
+        z.alias("zkey"),
+        F.shiftright(z, 8).alias("zkey_hi"),
+    )
+
+
+ZORDER_KEYS_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id,
+         EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod
+  FROM events WHERE event_id < 200
+), z AS (
+  SELECT event_id, user_id, hod,
+         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 8),
+             i -> ((user_id >> i) & 1) * POW(2, 2*i)
+                + ((hod >> i) & 1) * POW(2, 2*i + 1))) AS BIGINT) AS zkey
+  FROM base
+)
+SELECT event_id, user_id, CAST(hod AS BIGINT) AS hod, zkey,
+       zkey >> 8 AS zkey_hi
+FROM z
+"""
+
+
+def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a heterogeneous score — the
+    feature-engineering step that makes quality scores comparable
+    ACROSS sources with different score distributions: each doc's
+    distinct-token-ratio maps to its within-source quantile
+    (rank-1)/(n-1), so every source spans [0,1] uniformly. Emits
+    per-source calibration stats (mean raw vs mean normalized — the
+    latter is 0.5 by construction, the self-check).
+
+    Scale shape: one per-source window rank over the doc-level score
+    frame; nothing corpus-global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (
+            F.size(F.array_distinct(F.split(F.lower("text"), " ")))
+            / F.size(F.split(F.lower("text"), " "))
+        ).alias("raw"),
+    )
+    w = Window.partitionBy("source").orderBy("raw", "doc_id")
+    n = Window.partitionBy("source")
+    normed = scored.select(
+        "source",
+        "raw",
+        (
+            (F.row_number().over(w) - 1)
+            / (F.count("*").over(n) - 1)
+        ).alias("q"),
+    )
+    return normed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("raw"), 6).alias("mean_raw"),
+        F.round(F.avg("q"), 6).alias("mean_quantile"),
+        F.round(F.min("q"), 6).alias("min_quantile"),
+        F.round(F.max("q"), 6).alias("max_quantile"),
+    )
+
+
+QUANTILE_NORMALIZE_ORACLE = """
+WITH scored AS (
+  SELECT source, doc_id,
+         LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) * 1.0
+           / LEN(STRING_SPLIT(LOWER(text), ' ')) AS raw
+  FROM documents
+), normed AS (
+  SELECT source, raw,
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY raw, doc_id) - 1)
+           * 1.0 / (COUNT(*) OVER (PARTITION BY source) - 1) AS q
+  FROM scored
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(raw), 6) AS mean_raw,
+       ROUND(AVG(q), 6) AS mean_quantile,
+       ROUND(MIN(q), 6) AS min_quantile,
+       ROUND(MAX(q), 6) AS max_quantile
+FROM normed GROUP BY source
+"""

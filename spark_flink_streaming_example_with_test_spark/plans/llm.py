@@ -4429,3 +4429,80 @@ WITH pos AS (
 SELECT vec_id, mahalanobis_sq
 FROM scored ORDER BY mahalanobis_sq DESC, vec_id ASC LIMIT 20
 """
+
+
+def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate screen: document pairs in DIFFERENT
+    ``lang`` buckets sharing >= 3 distinct 5-grams — the
+    translation/transliteration-duplicate proxy a multilingual
+    corpus runs, and the blocking-key inversion of the usual dedup
+    (same-language pairs are EXCLUDED; the interesting signal is
+    leakage ACROSS the partition every other detector blocks on).
+    Emits per language-pair: candidate pair count and max shared
+    grams.
+
+    Scale shape: the same inverted 5-gram index core as
+    decontaminate_ngrams, with the lang-inequality predicate applied
+    inside the gram-keyed join — never a doc x doc product.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", "lang", F.split(F.lower("text"), " ").alias("w")
+        )
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - 4),
+                        lambda i: F.array_join(F.slice("w", i, 5), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    a = grams.select(
+        F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), "gram"
+    )
+    b = grams.select(
+        F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("lang_a") != F.col("lang_b"))
+        )
+        .groupBy("id_a", "id_b", "lang_a", "lang_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 3)
+    )
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.max("shared").alias("max_shared_grams"),
+    )
+
+
+DEDUP_CROSS_LINGUAL_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, lang,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+             RANGE(1, LEN(STRING_SPLIT(LOWER(text), ' ')) - 3),
+             i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(text), ' ')[i:i+4],
+                                  ' ')))) AS gram
+  FROM documents WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS shared
+  FROM grams a JOIN grams b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id AND a.lang != b.lang
+  GROUP BY 1, 2, 3, 4
+  HAVING COUNT(*) >= 3
+)
+SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MAX(shared) AS BIGINT) AS max_shared_grams
+FROM pairs GROUP BY lang_a, lang_b
+"""
