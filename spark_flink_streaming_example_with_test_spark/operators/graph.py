@@ -231,3 +231,56 @@ def bfs_hops_unrolled(
         ).localCheckpoint(eager=True)
         dist = dist.unionAll(frontier).localCheckpoint(eager=True)
     return dist
+
+
+def label_propagation_communities(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Community detection via synchronous label propagation
+    (Raghavan et al. 2007), ``rounds`` unrolled supersteps: every
+    node starts labeled with itself; each round, every node
+    simultaneously adopts the most frequent label among its
+    neighbors (tie -> smallest label; isolated nodes keep their own).
+    Unlike connected_components' min-label flood, the MAJORITY vote
+    finds dense substructure inside one component. Deterministic by
+    construction (fixed rounds, total tiebreak), so it is
+    oracle-replayable as unrolled SQL.
+
+    Returns (node, community) after the final round.
+
+    At 100 TB: per round one edge-keyed join plus one
+    (node, label)-keyed count — both map-side combinable; the
+    synchronous update needs no per-node state beyond the label
+    column, and localCheckpoint truncates superstep lineage exactly
+    like pagerank_unrolled.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym.v == labels.node)
+            .select(sym.u.alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+            ).alias("b")
+        ).select("node", F.col("b.l").alias("label"))
+        labels = winner.localCheckpoint(eager=True)
+    return labels.withColumnRenamed("label", "community")

@@ -3135,3 +3135,65 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(MAX(q), 6) AS max_quantile
 FROM normed GROUP BY source
 """
+
+
+def community_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the shared ring+chord link graph:
+    2 rounds of synchronous majority label propagation
+    (operators/graph.py label_propagation_communities), community
+    sizes as output. The fourth graph-family algorithm (after
+    components, PageRank, triangles, BFS) — majority vote finds
+    dense substructure a min-label flood cannot. Fixed rounds +
+    total tiebreak make the iterative result exactly replayable as
+    unrolled SQL.
+    """
+    from spark_flink_streaming_example_with_test_spark.operators.graph import label_propagation_communities
+
+    edges = _ring_chord_edges(spark, sf_dir)
+    lp = label_propagation_communities(edges, rounds=2)
+    return lp.groupBy("community").agg(F.count("*").alias("n_nodes"))
+
+
+COMMUNITY_LPA_ORACLE = """
+WITH n AS (
+  SELECT COUNT(*) AS n FROM documents
+), ids AS (
+  SELECT doc_id FROM documents
+), fam AS (
+  SELECT doc_id AS src, (doc_id * 1 + 1) % n.n AS dst FROM ids, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 1 + 2) % n.n FROM ids, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % n.n FROM ids, n
+), sym AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT src AS u, dst AS v FROM fam
+    UNION ALL
+    SELECT dst, src FROM fam
+  ) WHERE u != v
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS label FROM sym
+), v1 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l0 l ON s.v = l.node GROUP BY 1, 2
+), l1 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rk
+    FROM v1
+  ) WHERE rk = 1
+), v2 AS (
+  SELECT s.u AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN l1 l ON s.v = l.node GROUP BY 1, 2
+), l2 AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rk
+    FROM v2
+  ) WHERE rk = 1
+)
+SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM l2 GROUP BY label
+"""

@@ -206,3 +206,26 @@ def test_bfs_frontier_only_expansion(spark):
         map(tuple, bfs_hops_unrolled(edges, root=0, n_hops=5).collect())
     )
     assert shallow == deep == [(0, 0), (1, 1)]
+
+
+# --- label propagation communities -----------------------------------
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 2 synchronous
+    rounds every clique member carries its clique's minimum label —
+    majority vote keeps the bridge from merging the communities
+    (a min-label flood WOULD merge them)."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import label_propagation_communities
+
+    clique_a = [(a, b) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a + 10, b + 10) for a, b in clique_a]
+    edges = spark.createDataFrame(
+        clique_a + clique_b + [(3, 10)], "src long, dst long"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation_communities(edges, rounds=2).collect()
+    }
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(10, 14)} == {10}

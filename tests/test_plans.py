@@ -167,6 +167,7 @@ _EXECUTING = {
         "dataset_checksum_compare",  # parquet round-trip at build time
         "global_sorted_export",      # collects partition bounds at build time
         "parquet_merge_schema_evolution",  # writes temp generations at build time
+        "community_label_propagation",  # per-round eager checkpoints
     }
 }
 
