@@ -4506,3 +4506,188 @@ SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        CAST(MAX(shared) AS BIGINT) AS max_shared_grams
 FROM pairs GROUP BY lang_a, lang_b
 """
+
+
+def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted near-dup pairs: 3-gram Jaccard where each
+    distinct gram contributes its smoothed IDF
+    (ln((N+1)/(df+1))) instead of 1 — shared CONTENT grams drive
+    the score while boilerplate grams that appear everywhere are
+    discounted, which plain Jaccard cannot do. Weighted
+    J = sum_idf(A∩B) / (sum_idf(A) + sum_idf(B) - sum_idf(A∩B));
+    pairs >= 0.4 emitted with both scores so the re-ranking effect
+    is visible.
+
+    Scale shape: the same inverted-index core as
+    dedup_ngram_jaccard — one gram-keyed join for intersections —
+    plus one broadcast-size IDF table derived from the document
+    frequencies the index pass already computes; per-doc weight
+    totals are one map-side-combinable aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.select(
+            "doc_id", F.split(F.lower("text"), " ").alias("w")
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("w") - 2),
+                        lambda i: F.array_join(F.slice("w", i, 3), " "),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    idf = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "gram",
+            F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)).alias("idf"),
+        )
+    )
+    weighted = grams.join(idf, "gram")
+    totals = weighted.groupBy("doc_id").agg(
+        F.sum("idf").alias("w_total"), F.count("*").alias("n_grams")
+    )
+    a = weighted.select(
+        F.col("doc_id").alias("id_a"), "gram", F.col("idf").alias("idf_a")
+    )
+    b = weighted.select(F.col("doc_id").alias("id_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum("idf_a").alias("w_inter"),
+            F.count("*").alias("n_inter"),
+        )
+    )
+    ta = totals.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("w_total").alias("wa"),
+        F.col("n_grams").alias("na"),
+    )
+    tb = totals.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("w_total").alias("wb"),
+        F.col("n_grams").alias("nb"),
+    )
+    scored = (
+        inter.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("w_inter")
+                / (F.col("wa") + F.col("wb") - F.col("w_inter")),
+                6,
+            ).alias("weighted_jaccard"),
+            F.round(
+                F.col("n_inter")
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("plain_jaccard"),
+        )
+    )
+    return scored.filter(F.col("weighted_jaccard") >= 0.4)
+
+
+DEDUP_WEIGHTED_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(
+      LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+          i -> ARRAY_TO_STRING(w[i:i+2], ' ')))) AS gram
+  FROM toks WHERE LEN(w) >= 3
+), n_docs AS (
+  SELECT COUNT(*) AS n FROM documents
+), idf AS (
+  SELECT gram, LN((n_docs.n + 1.0) / (COUNT(*) + 1.0)) AS idf
+  FROM grams, n_docs GROUP BY gram, n_docs.n
+), weighted AS (
+  SELECT g.doc_id, g.gram, i.idf FROM grams g JOIN idf i ON g.gram = i.gram
+), totals AS (
+  SELECT doc_id, SUM(idf) AS w_total, COUNT(*) AS n_grams
+  FROM weighted GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(a.idf) AS w_inter, COUNT(*) AS n_inter
+  FROM weighted a JOIN weighted b
+    ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(i.w_inter / (ta.w_total + tb.w_total - i.w_inter), 6)
+         AS weighted_jaccard,
+       ROUND(i.n_inter * 1.0 / (ta.n_grams + tb.n_grams - i.n_inter), 6)
+         AS plain_jaccard
+FROM inter i
+JOIN totals ta ON i.id_a = ta.doc_id
+JOIN totals tb ON i.id_b = tb.doc_id
+WHERE i.w_inter / (ta.w_total + tb.w_total - i.w_inter) >= 0.4
+"""
+
+
+def padding_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching-efficiency diagnostic: documents bucketed by
+    power-of-two token-length bands (the standard length-bucketed
+    batching scheme), each band reporting how many tokens a
+    pad-to-band-max batcher wastes vs the actual tokens — the number
+    that decides between plain bucketing and sequence packing
+    (pack_token_budget's approach). Pure per-row arithmetic + one
+    band aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " "))
+    band_hi = F.pow(
+        F.lit(2.0), F.ceil(F.log2(F.greatest(n_tok, F.lit(1))))
+    ).cast("long")
+    banded = docs.select(
+        n_tok.alias("n_tokens"),
+        F.greatest(band_hi, F.lit(1)).alias("band_max"),
+    )
+    return (
+        banded.groupBy("band_max")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("real_tokens"),
+            (F.count("*") * F.first("band_max")).cast("long").alias(
+                "padded_tokens"
+            ),
+        )
+        .select(
+            "band_max",
+            "n_docs",
+            "real_tokens",
+            "padded_tokens",
+            F.round(
+                1.0 - F.col("real_tokens") / F.col("padded_tokens"), 6
+            ).alias("waste_frac"),
+        )
+    )
+
+
+PADDING_WASTE_ORACLE = """
+WITH banded AS (
+  SELECT LEN(STRING_SPLIT(LOWER(text), ' ')) AS n_tokens,
+         GREATEST(CAST(POW(2, CEIL(LOG2(GREATEST(
+             LEN(STRING_SPLIT(LOWER(text), ' ')), 1)))) AS BIGINT), 1)
+           AS band_max
+  FROM documents
+)
+SELECT band_max, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
+       CAST(COUNT(*) * band_max AS BIGINT) AS padded_tokens,
+       ROUND(1.0 - SUM(n_tokens) * 1.0 / (COUNT(*) * band_max), 6)
+         AS waste_frac
+FROM banded GROUP BY band_max
+"""

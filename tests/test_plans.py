@@ -142,6 +142,7 @@ _INTENTIONAL_NLJ = {
     "equi_depth_histogram_values",  # 1-row percentile-edges crossJoin
     "bigram_logprob_scores",      # 1-row vocab-size crossJoin
     "source_token_pmi",           # 1-row corpus-total crossJoin
+    "dedup_weighted_jaccard",     # 1-row corpus-count crossJoin (IDF)
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
