@@ -2425,6 +2425,14 @@ def timeseries_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs before alerting on residuals. Emits the last 48
     fully-decomposed hours.
 
+    Numerically ORDER-INDEPENDENT by construction: all sums run on
+    exact integers scaled by 24 (trend*24 = the window SUM of
+    integer counts; deviations stay integral), so aggregation order
+    cannot move a value across a rounding boundary — float division
+    happens once, on identical operands in both engines. (The first
+    float-avg formulation flaked exactly once in ~10 full-suite
+    runs on an avg-order ULP at a round(4) half boundary.)
+
     Scale shape: one hourly pre-aggregate collapses the event stream
     to |hours| rows; every window after that operates on the tiny
     series frame.
@@ -2435,22 +2443,28 @@ def timeseries_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("y"))
     w = Window.orderBy("hour").rowsBetween(-12, 11)
     n_w = F.count("y").over(w)
-    trend = F.when(n_w == 24, F.avg("y").over(w))
+    trend24 = F.when(n_w == 24, F.sum("y").over(w))  # exact: 24x trend
     t = hourly.select(
-        "hour", "y", trend.alias("trend"), F.hour("hour").alias("hod")
-    ).filter(F.col("trend").isNotNull())
+        "hour",
+        "y",
+        trend24.alias("trend24"),
+        F.hour("hour").alias("hod"),
+    ).filter(F.col("trend24").isNotNull())
+    t = t.withColumn("dev24", F.col("y") * 24 - F.col("trend24"))
     seasonal = t.groupBy("hod").agg(
-        F.avg(F.col("y") - F.col("trend")).alias("seasonal")
+        F.sum("dev24").alias("dev24_sum"), F.count("*").alias("m")
+    ).select(
+        "hod", (F.col("dev24_sum") / F.col("m")).alias("seasonal24")
     )
     out = (
         t.join(F.broadcast(seasonal), "hod")
         .select(
             "hour",
             "y",
-            F.round("trend", 4).alias("trend"),
-            F.round("seasonal", 4).alias("seasonal"),
+            F.round(F.col("trend24") / 24.0, 4).alias("trend"),
+            F.round(F.col("seasonal24") / 24.0, 4).alias("seasonal"),
             F.round(
-                F.col("y") - F.col("trend") - F.col("seasonal"), 4
+                (F.col("dev24") - F.col("seasonal24")) / 24.0, 4
             ).alias("residual"),
         )
     )
@@ -2470,19 +2484,21 @@ WITH hourly AS (
 ), tr AS (
   SELECT hour, y,
          CASE WHEN COUNT(y) OVER w = 24
-              THEN AVG(y) OVER w END AS trend,
+              THEN SUM(y) OVER w END AS trend24,
          EXTRACT(hour FROM hour) AS hod
   FROM hourly
   WINDOW w AS (ORDER BY hour ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
 ), t AS (
-  SELECT * FROM tr WHERE trend IS NOT NULL
+  SELECT hour, y, trend24, hod, y * 24 - trend24 AS dev24
+  FROM tr WHERE trend24 IS NOT NULL
 ), seasonal AS (
-  SELECT hod, AVG(y - trend) AS seasonal FROM t GROUP BY hod
+  SELECT hod, SUM(dev24) * 1.0 / COUNT(*) AS seasonal24
+  FROM t GROUP BY hod
 ), full_d AS (
   SELECT t.hour, t.y,
-         ROUND(t.trend, 4) AS trend,
-         ROUND(s.seasonal, 4) AS seasonal,
-         ROUND(t.y - t.trend - s.seasonal, 4) AS residual,
+         ROUND(t.trend24 / 24.0, 4) AS trend,
+         ROUND(s.seasonal24 / 24.0, 4) AS seasonal,
+         ROUND((t.dev24 - s.seasonal24) / 24.0, 4) AS residual,
          ROW_NUMBER() OVER (ORDER BY t.hour DESC) AS rk
   FROM t JOIN seasonal s ON t.hod = s.hod
 )
