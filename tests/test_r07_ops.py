@@ -91,3 +91,39 @@ def test_range_join_bucketed_boundary_and_cross_bucket(spark, tmp_path):
     }
     assert got[1] == (2, 1800)
     assert got[2] == (1, 2)
+
+
+def test_quantile_normalize_uniform_output(spark, tmp_path):
+    """Any raw score distribution maps to exactly {0, 1/(n-1), ...,
+    1} per source — the property quantile normalization exists for."""
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import quantile_normalize_scores
+
+    texts = ["a a a a", "a b c d", "a a b b", "a b b b", "x y z w v"]
+    sf = _write_docs(tmp_path, texts)
+    row = quantile_normalize_scores(spark, sf).first()
+    assert row.n_docs == 5
+    assert row.min_quantile == 0.0 and row.max_quantile == 1.0
+    assert row.mean_quantile == 0.5
+
+
+def test_cross_lingual_pairs_exclude_same_language(spark, tmp_path):
+    """A 5-gram shared within one language must NOT pair; the same
+    overlap across languages must."""
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.llm import dedup_cross_lingual
+
+    shared = "one two three four five six seven"
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [shared, shared, shared],
+            "lang": ["en", "en", "de"],
+            "source": ["s"] * 3,
+            "n_chars": [len(shared)] * 3,
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = dedup_cross_lingual(spark, str(tmp_path)).collect()
+    got = {(r.lang_a, r.lang_b): r.n_pairs for r in rows}
+    # en-en pair (0,1) excluded; en-de pairs (0,2) and (1,2) kept
+    assert got == {("en", "de"): 2}
