@@ -243,8 +243,12 @@ def label_propagation_communities(
     (Raghavan et al. 2007), ``rounds`` unrolled supersteps: every
     node starts labeled with itself; each round, every node
     simultaneously adopts the most frequent label among its
-    neighbors (tie -> smallest label; isolated nodes keep their own).
-    Unlike connected_components' min-label flood, the MAJORITY vote
+    neighbors (tie -> smallest label). Nodes with no non-self edge
+    (they appear in ``edges`` only as self-loops) have no neighbors
+    to vote, keep their own label, and ARE present in the output —
+    round-7 ADVICE fixed the earlier behavior that silently dropped
+    them when self-loops were filtered out of the symmetrized edge
+    set. Unlike connected_components' min-label flood, the MAJORITY vote
     finds dense substructure inside one component. Deterministic by
     construction (fixed rounds, total tiebreak), so it is
     oracle-replayable as unrolled SQL.
@@ -283,4 +287,15 @@ def label_propagation_communities(
             ).alias("b")
         ).select("node", F.col("b.l").alias("label"))
         labels = winner.localCheckpoint(eager=True)
-    return labels.withColumnRenamed("label", "community")
+    # Self-loop-only nodes never entered sym (no neighbor to vote):
+    # re-attach them with their own label so the output covers the
+    # full input node set. Anti-join on the tiny label frame — no
+    # extra full-edge shuffle.
+    isolated = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .join(labels, "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return labels.unionAll(isolated).withColumnRenamed("label", "community")

@@ -2791,6 +2791,14 @@ def dataset_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     booleans — computed GENUINELY on the Spark side; the oracle
     recomputes the original's checksum and emits the match literals.
 
+    Overflow posture (round-7 ADVICE, medium): a sum of uniform
+    2^47-mean values wraps int64 at ~65k rows — silently on Spark
+    (non-ANSI sum) and loudly on DuckDB (INT128 downcast). The sum
+    therefore accumulates as DECIMAL (exact to 10^30, ~3.5e15 rows
+    of 48-bit digests) and is reduced modulo the Mersenne prime
+    2^61-1 into a plain BIGINT — identical modular arithmetic on
+    both engines, valid at any realistic row count.
+
     Scale shape: per-row expression work + one map-side-combinable
     global sum per dataset — the cheapest possible full-table
     comparison (no sort, no join, no shuffle beyond 1-row partials).
@@ -2820,8 +2828,17 @@ def dataset_checksum_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        mersenne_61 = F.lit(2305843009213693951).cast("decimal(38,0)")
         return df.agg(
-            F.sum(F.conv(F.substring(digest, 1, 12), 16, 10).cast("long"))
+            (
+                F.sum(
+                    F.conv(F.substring(digest, 1, 12), 16, 10).cast(
+                        "decimal(20,0)"
+                    )
+                )
+                % mersenne_61
+            )
+            .cast("long")
             .alias("checksum"),
             F.count("*").alias("n_rows"),
         )
@@ -2860,8 +2877,8 @@ WITH digests AS (
                            AS VARCHAR), '<n>'))) AS h
   FROM events
 ), s AS (
-  SELECT CAST(SUM(CAST(('0x' || SUBSTR(h, 1, 12)) AS BIGINT)) AS BIGINT)
-           AS checksum,
+  SELECT CAST(SUM(CAST(('0x' || SUBSTR(h, 1, 12)) AS BIGINT))
+              % 2305843009213693951 AS BIGINT) AS checksum,
          COUNT(*) AS n_rows
   FROM digests
 )
@@ -3099,10 +3116,25 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-token-ratio maps to its within-source quantile
     (rank-1)/(n-1), so every source spans [0,1] uniformly. Emits
     per-source calibration stats (mean raw vs mean normalized — the
-    latter is 0.5 by construction, the self-check).
+    latter is 0.5 by construction, the self-check). A single-doc
+    source (n-1 = 0) pins to quantile 0.5 on BOTH engines — Spark's
+    0/0 Divide yields NULL while DuckDB's IEEE division yields NaN,
+    so the degenerate case must never reach the division (round-7
+    ADVICE, low).
 
-    Scale shape: one per-source window rank over the doc-level score
-    frame; nothing corpus-global.
+    Scale shape (reshaped round 8, VERDICT item #3): sources are
+    LOW-CARDINALITY by construction, so the obvious
+    ``row_number() over (partition by source order by raw)`` puts an
+    entire source's rows on ONE task — a driver-sized-task
+    bottleneck at 100 TB. Instead the rank decomposes into
+    all-parallel pieces: (1) value counts per (source, raw) — a
+    map-side-combinable aggregate; (2) a running ``below`` count via
+    a window over that DISTINCT-VALUE frame (|distinct scores| rows
+    per source, bounded, not |docs|); (3) a within-tie row_number
+    partitioned by (source, raw) — high-cardinality keys, fully
+    parallel; (4) rank = below + tie, joined back with the
+    broadcast per-source sizes. No full-source single-partition
+    sort anywhere in the plan (pinned by tests/test_plans.py).
     """
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
@@ -3113,16 +3145,25 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.split(F.lower("text"), " "))
         ).alias("raw"),
     )
-    w = Window.partitionBy("source").orderBy("raw", "doc_id")
-    n = Window.partitionBy("source")
-    normed = scored.select(
+    vc = scored.groupBy("source", "raw").agg(F.count("*").alias("cnt"))
+    w_vals = Window.partitionBy("source").orderBy("raw")
+    cum = vc.select(
         "source",
         "raw",
-        (
-            (F.row_number().over(w) - 1)
-            / (F.count("*").over(n) - 1)
-        ).alias("q"),
+        (F.sum("cnt").over(w_vals) - F.col("cnt")).alias("below"),
     )
+    sizes = scored.groupBy("source").agg(F.count("*").alias("n"))
+    w_tie = Window.partitionBy("source", "raw").orderBy("doc_id")
+    ranked = (
+        scored.withColumn("tie", F.row_number().over(w_tie))
+        .join(cum, ["source", "raw"])
+        .join(F.broadcast(sizes), "source")
+    )
+    q = F.when(
+        F.col("n") > 1,
+        (F.col("below") + F.col("tie") - 1) / (F.col("n") - 1),
+    ).otherwise(F.lit(0.5))
+    normed = ranked.select("source", "raw", q.alias("q"))
     return normed.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.round(F.avg("raw"), 6).alias("mean_raw"),
@@ -3140,8 +3181,11 @@ WITH scored AS (
   FROM documents
 ), normed AS (
   SELECT source, raw,
-         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY raw, doc_id) - 1)
-           * 1.0 / (COUNT(*) OVER (PARTITION BY source) - 1) AS q
+         CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
+              THEN (ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY raw, doc_id) - 1)
+                   * 1.0 / (COUNT(*) OVER (PARTITION BY source) - 1)
+              ELSE 0.5 END AS q
   FROM scored
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

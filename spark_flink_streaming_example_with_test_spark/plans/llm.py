@@ -3466,6 +3466,11 @@ def boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from every document; emits per-document before/after token counts
     and the removed-segment tally. The tail tokens past the last full
     segment are always kept (they never formed a comparable segment).
+    Documents shorter than one segment (< 8 tokens) form no segment
+    and are omitted from the output, mirroring the oracle's
+    ``WHERE LEN(w) >= 8``; without this guard ``sequence(0, -1)``
+    walks DOWNWARD ([0, -1]) and emits phantom segments with
+    negative token counts (round-7 ADVICE, high).
 
     Scale shape: segment fingerprints aggregate map-side to corpus
     frequencies (segment-keyed shuffle #1); the doc rebuild joins
@@ -3477,7 +3482,7 @@ def boilerplate_strip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_len = 8
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("w")
-    )
+    ).filter(F.size("w") >= seg_len)
     segs = toks.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
@@ -3739,7 +3744,15 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats — the silence-trim / voice-activity screen. For the ASCII
     fixture payloads the oracle recomputes every frame's RMS from
     the text bytes, so the full mapInPandas framing path is
-    hash-checked."""
+    hash-checked.
+
+    Oracle parity assumption (round-7 ADVICE, low): the Spark path
+    frames raw UTF-8 BYTES while the oracle's SUBSTR/ASCII indexes
+    CHARACTERS — identical only for ASCII-only payloads, which the
+    documents fixture satisfies (asserted by
+    tests/test_text_multimodal.py::test_documents_fixture_is_ascii).
+    The oracle's frame range is derived from each doc's
+    OCTET_LENGTH, not a fixed literal, so longer docs stay exact."""
     docs = load_table(spark, sf_dir, "documents")
     frames = mm.audio_frame_energy(
         mm.documents_as_assets(docs), frame_len=64, fake=True
@@ -3759,14 +3772,16 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIMODAL_AUDIO_ORACLE = """
-WITH f AS (
-  SELECT doc_id AS asset_id, f.f AS frame_id,
+WITH framed AS (
+  SELECT doc_id AS asset_id, text,
+         UNNEST(RANGE(0, OCTET_LENGTH(ENCODE(text)) // 64)) AS frame_id
+  FROM documents
+), f AS (
+  SELECT asset_id, frame_id,
          SQRT(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
-             i -> POW(ASCII(SUBSTR(text, CAST(f.f*64 + i AS INTEGER), 1))
+             i -> POW(ASCII(SUBSTR(text, CAST(frame_id*64 + i AS INTEGER), 1))
                       - 128.0, 2))) / 64.0) AS rms
-  FROM documents,
-       (SELECT UNNEST(RANGE(0, 100)) AS f) f
-  WHERE OCTET_LENGTH(ENCODE(text)) // 64 > f.f
+  FROM framed
 )
 SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
        ROUND(AVG(rms), 6) AS avg_rms,
@@ -4064,8 +4079,11 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("is_canonical", F.lit(False)).alias("is_canonical"),
     )
     # --- boilerplate token accounting (boilerplate_strip_stats) ---
+    # Docs with < seg_len tokens form no segment; without the size
+    # guard sequence(0, -1) walks downward and emits phantom
+    # segments that corrupt tokens_kept (round-7 ADVICE, high).
     seg_len = 8
-    segs = toks.select(
+    segs = toks.filter(F.size("w") >= seg_len).select(
         "doc_id",
         F.explode(
             F.transform(

@@ -229,3 +229,21 @@ def test_lpa_two_cliques_with_bridge(spark):
     }
     assert {got[n] for n in range(4)} == {0}
     assert {got[n] for n in range(10, 14)} == {10}
+
+
+def test_lpa_self_loop_only_nodes_kept(spark):
+    """A node appearing only as a self-loop has no neighbor to vote
+    but must still be in the output with its own label (round-7
+    ADVICE, low: these were silently dropped when self-loops were
+    filtered from the symmetrized edge set)."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import label_propagation_communities
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (99, 99)], "src long, dst long"
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation_communities(edges, rounds=2).collect()
+    }
+    assert got[99] == 99
+    assert set(got) == {0, 1, 2, 99}

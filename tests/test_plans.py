@@ -324,3 +324,27 @@ def test_rolling_wau_no_theta_join(spark):
     plan = _plan(spark, "rolling_wau")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_quantile_normalize_no_single_task_source_sort(spark):
+    """quantile_normalize_scores (reshaped round 8): sources are
+    low-cardinality, so NO doc-level window may partition by source
+    alone — that sends a whole source to one task at 100 TB. The
+    doc-level row_number must partition by (source, raw); the only
+    source-partitioned window rides the aggregated distinct-value
+    frame (|distinct scores| rows per source)."""
+    import re
+
+    plan = _plan(spark, "quantile_normalize_scores")
+    assert "SinglePartition" not in plan
+    rn_lines = [ln for ln in plan.splitlines() if "row_number()" in ln]
+    assert rn_lines, "row_number window missing from plan"
+    for ln in rn_lines:
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        # partition-by columns precede the first ordered column:
+        # (source, raw) partitioning means raw# appears before the
+        # doc_id# ordering column.
+        assert re.search(r"source#\d+, raw#\d+", spec), ln
+    # the source-only window input is the (source, raw) aggregate,
+    # not the doc-level frame
+    assert re.search(r"HashAggregate\(keys=\[source#\d+, raw#\d+\]", plan)

@@ -127,3 +127,75 @@ def test_cross_lingual_pairs_exclude_same_language(spark, tmp_path):
     got = {(r.lang_a, r.lang_b): r.n_pairs for r in rows}
     # en-en pair (0,1) excluded; en-de pairs (0,2) and (1,2) kept
     assert got == {("en", "de"): 2}
+
+
+def test_boilerplate_strip_short_docs_omitted(spark, tmp_path):
+    """Docs with < 8 tokens form no segment and are OMITTED from the
+    output (mirror of the oracle's LEN(w) >= 8) — never emitted with
+    phantom segments / negative token counts (round-7 ADVICE high:
+    unguarded sequence(0, -1) walks downward to [0, -1])."""
+    texts = ["a b c", "x y", "b1 b2 b3 b4 b5 b6 b7 b8 tail"]
+    sf = _write_docs(tmp_path, texts)
+    rows = {r.doc_id: r for r in boilerplate_strip_stats(spark, sf).collect()}
+    assert set(rows) == {2}
+    assert rows[2].tokens_before == 9
+    assert rows[2].segments_removed == 0  # corpus freq 1 < 3
+    assert rows[2].tokens_after == 9
+
+
+def test_curation_capstone_short_docs_no_phantom_tokens(spark, tmp_path):
+    """ADVICE repro: three 3-token duplicate docs must not produce
+    negative tokens_kept via phantom boilerplate segments. Every doc
+    is shorter than one segment, so tokens_after == n_tokens and
+    tokens_kept == 3 * n_kept exactly."""
+    from spark_flink_streaming_example_with_test_spark.plans.llm import curation_pipeline_capstone
+
+    sf = _write_docs(tmp_path, ["a b c", "a b c", "a b c"])
+    rows = curation_pipeline_capstone(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_kept + r.n_dropped_quality + r.n_dropped_duplicate == 3
+    assert r.tokens_kept == 3 * r.n_kept
+    assert r.tokens_kept >= 0
+
+
+def test_quantile_normalize_single_doc_source(spark, tmp_path):
+    """A single-doc source is 0/0 in (rank-1)/(n-1): Spark's Divide
+    returns NULL, DuckDB returns NaN. Both engines must pin the
+    degenerate case to quantile 0.5 (round-7 ADVICE, low)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import (
+        QUANTILE_NORMALIZE_ORACLE,
+        quantile_normalize_scores,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["solo doc here", "alpha beta", "gamma gamma delta"],
+            "lang": ["en"] * 3,
+            "source": ["lonely", "busy", "busy"],
+            "n_chars": [13, 10, 17],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        r.source: r
+        for r in quantile_normalize_scores(spark, str(tmp_path)).collect()
+    }
+    assert rows["lonely"].mean_quantile == 0.5
+    assert rows["lonely"].min_quantile == 0.5
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(QUANTILE_NORMALIZE_ORACLE).fetchdf()
+    orow = odf[odf.source == "lonely"].iloc[0]
+    assert float(orow.mean_quantile) == 0.5
+    brow = odf[odf.source == "busy"].iloc[0]
+    assert float(brow.mean_quantile) == 0.5
+    assert float(brow.min_quantile) == 0.0
+    assert float(brow.max_quantile) == 1.0
+    assert rows["busy"].min_quantile == 0.0 and rows["busy"].max_quantile == 1.0

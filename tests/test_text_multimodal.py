@@ -253,3 +253,56 @@ def test_audio_frame_energy_real_path_stubbed(spark):
     assets = spark.createDataFrame([(1, bytearray(b"x"))], "asset_id long, payload binary")
     with pytest.raises(NotImplementedError, match="audio"):
         audio_frame_energy(assets, fake=False)
+
+
+def test_documents_fixture_is_ascii(spark, sf_dir):
+    """MULTIMODAL_AUDIO_ORACLE indexes CHARACTERS (SUBSTR/ASCII)
+    while the Spark path frames raw UTF-8 BYTES — parity holds only
+    for ASCII payloads. Pin the fixture assumption explicitly
+    (round-7 ADVICE, low): every documents.text must be pure ASCII
+    at the tested scale."""
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_non_ascii = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_non_ascii == 0
+
+
+def test_audio_oracle_matches_spark_beyond_100_frames(spark, tmp_path):
+    """A payload longer than 6400 bytes (>100 frames) must still
+    match: the oracle's frame range derives from OCTET_LENGTH, not
+    the former RANGE(0, 100) literal (round-7 ADVICE, low)."""
+    import duckdb
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.llm import (
+        MULTIMODAL_AUDIO_ORACLE,
+        multimodal_audio_energy,
+    )
+
+    text = ("abcdefgh" * 820)[:6550]  # 102 full frames + remainder
+    pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": [text],
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": [len(text)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    srows = {
+        r.asset_id: r
+        for r in multimodal_audio_energy(spark, str(tmp_path)).collect()
+    }
+    assert srows[0].n_frames == 102
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    orow = con.execute(MULTIMODAL_AUDIO_ORACLE).fetchdf().iloc[0]
+    assert int(orow.n_frames) == 102
+    assert round(float(orow.avg_rms), 6) == round(srows[0].avg_rms, 6)
+    assert round(float(orow.max_rms), 6) == round(srows[0].max_rms, 6)
