@@ -15,6 +15,12 @@ from spark_flink_streaming_example_with_test_spark.operators import similarity a
 from spark_flink_streaming_example_with_test_spark.operators import text as tx
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
+# Document-frequency cap for the inline inverted-index queries
+# (dedup_cross_lingual, dedup_weighted_jaccard) — same value and
+# rationale as operators/dedup.py DEFAULT_MAX_GRAM_DF, and mirrored
+# literally (10000) in their oracles.
+HOT_GRAM_DF_CAP = dd.DEFAULT_MAX_GRAM_DF
+
 
 def _md5_nibble(h, i: int):
     """Spark column: i-th hex char of md5 string ``h`` decoded to its
@@ -103,10 +109,18 @@ WITH toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 )
 SELECT id_a, id_b,
        ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard,
@@ -137,10 +151,18 @@ WITH toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 )
 SELECT id_a, id_b,
        ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
@@ -208,10 +230,18 @@ WITH toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 ), pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
@@ -288,10 +318,18 @@ WITH toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 ), pairs AS (
   SELECT id_a, id_b FROM inter
   JOIN sizes sa ON sa.doc_id = id_a
@@ -928,10 +966,18 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 ), pairs AS (
   SELECT id_a, id_b
   FROM inter
@@ -2321,10 +2367,18 @@ WITH toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 )
 SELECT id_a, id_b, inter AS n_shared,
        ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
@@ -2356,11 +2410,18 @@ WITH toks AS (
   FROM toks WHERE LEN(w) >= 8
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF)
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        COUNT(*) AS n_shared_windows
-FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 """
 
 
@@ -3894,10 +3955,18 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 ), pairs AS (
   SELECT id_a, id_b
   FROM inter
@@ -4170,10 +4239,18 @@ WITH RECURSIVE toks AS (
   SELECT doc_id, LEN(g) AS n FROM grams
 ), inv AS (
   SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF): a pair
+  -- is a candidate only via grams with document frequency <= 10000
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 ), jpairs AS (
   SELECT id_a, id_b
   FROM inter
@@ -4457,11 +4534,18 @@ def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same-language pairs are EXCLUDED; the interesting signal is
     leakage ACROSS the partition every other detector blocks on).
     Emits per language-pair: candidate pair count and max shared
-    grams.
+    grams, plus the corpus-wide count of hot grams excluded by the
+    document-frequency cap (no-silent-caps rule).
 
     Scale shape: the same inverted 5-gram index core as
     decontaminate_ngrams, with the lang-inequality predicate applied
-    inside the gram-keyed join — never a doc x doc product.
+    inside the gram-keyed join — never a doc x doc product. Grams
+    with document frequency > 10,000 (the
+    operators/dedup.py DEFAULT_MAX_GRAM_DF twin of the LSH
+    stop-bucket cap) are dropped from the index BEFORE the self
+    join: one boilerplate 5-gram shared by k docs would otherwise
+    contribute k^2 candidate pairs and stall the stage at 100 TB
+    (round-7 VERDICT item #2).
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = (
@@ -4482,10 +4566,16 @@ def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gram"),
         )
     )
-    a = grams.select(
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    rare = gram_df.filter(F.col("df") <= HOT_GRAM_DF_CAP).select("gram")
+    n_dropped = gram_df.filter(F.col("df") > HOT_GRAM_DF_CAP).agg(
+        F.count("*").cast("long").alias("n_hot_grams_dropped")
+    )
+    capped = grams.join(rare, "gram")
+    a = capped.select(
         F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a"), "gram"
     )
-    b = grams.select(
+    b = capped.select(
         F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"), "gram"
     )
     pairs = (
@@ -4501,7 +4591,7 @@ def dedup_cross_lingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("lang_a", "lang_b").agg(
         F.count("*").alias("n_pairs"),
         F.max("shared").alias("max_shared_grams"),
-    )
+    ).crossJoin(F.broadcast(n_dropped))
 
 
 DEDUP_CROSS_LINGUAL_ORACLE = """
@@ -4512,16 +4602,27 @@ WITH grams AS (
              i -> ARRAY_TO_STRING(STRING_SPLIT(LOWER(text), ' ')[i:i+4],
                                   ' ')))) AS gram
   FROM documents WHERE LEN(STRING_SPLIT(LOWER(text), ' ')) >= 5
+), gram_df AS (
+  SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+), dropped AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF)
+  SELECT CAST(COUNT(*) FILTER (WHERE df > 10000) AS BIGINT)
+    AS n_hot_grams_dropped
+  FROM gram_df
+), capped AS (
+  SELECT g.doc_id, g.lang, g.gram
+  FROM grams g JOIN gram_df d ON g.gram = d.gram AND d.df <= 10000
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS shared
-  FROM grams a JOIN grams b
+  FROM capped a JOIN capped b
     ON a.gram = b.gram AND a.doc_id < b.doc_id AND a.lang != b.lang
   GROUP BY 1, 2, 3, 4
   HAVING COUNT(*) >= 3
 )
 SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       CAST(MAX(shared) AS BIGINT) AS max_shared_grams
+       CAST(MAX(shared) AS BIGINT) AS max_shared_grams,
+       (SELECT n_hot_grams_dropped FROM dropped) AS n_hot_grams_dropped
 FROM pairs GROUP BY lang_a, lang_b
 """
 
@@ -4534,13 +4635,22 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounted, which plain Jaccard cannot do. Weighted
     J = sum_idf(A∩B) / (sum_idf(A) + sum_idf(B) - sum_idf(A∩B));
     pairs >= 0.4 emitted with both scores so the re-ranking effect
-    is visible.
+    is visible, every row also carrying the corpus-wide count of
+    capped hot grams (no-silent-caps rule).
 
     Scale shape: the same inverted-index core as
     dedup_ngram_jaccard — one gram-keyed join for intersections —
     plus one broadcast-size IDF table derived from the document
     frequencies the index pass already computes; per-doc weight
-    totals are one map-side-combinable aggregate.
+    totals are one map-side-combinable aggregate. Grams with
+    document frequency > 10,000 (operators/dedup.py
+    DEFAULT_MAX_GRAM_DF) are dropped from the ENTIRE gram universe
+    before the self join — for the IDF-weighted score this cap is
+    principled, not just protective: a df>cap gram carries the
+    corpus-minimum IDF, so the weight it removes is the least
+    informative mass in the score while its k^2 candidate blowup is
+    the single 100 TB hazard of this family (round-7 VERDICT
+    item #2).
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = (
@@ -4561,9 +4671,12 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_docs = docs.agg(F.count("*").alias("n"))
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    n_dropped = gram_df.filter(F.col("df") > HOT_GRAM_DF_CAP).agg(
+        F.count("*").cast("long").alias("n_hot_grams_dropped")
+    )
     idf = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("df"))
+        gram_df.filter(F.col("df") <= HOT_GRAM_DF_CAP)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "gram",
@@ -4615,7 +4728,9 @@ def dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("plain_jaccard"),
         )
     )
-    return scored.filter(F.col("weighted_jaccard") >= 0.4)
+    return scored.filter(F.col("weighted_jaccard") >= 0.4).crossJoin(
+        F.broadcast(n_dropped)
+    )
 
 
 DEDUP_WEIGHTED_JACCARD_ORACLE = """
@@ -4628,9 +4743,16 @@ WITH toks AS (
   FROM toks WHERE LEN(w) >= 3
 ), n_docs AS (
   SELECT COUNT(*) AS n FROM documents
+), gram_df AS (
+  SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+), dropped AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF)
+  SELECT CAST(COUNT(*) FILTER (WHERE df > 10000) AS BIGINT)
+    AS n_hot_grams_dropped
+  FROM gram_df
 ), idf AS (
-  SELECT gram, LN((n_docs.n + 1.0) / (COUNT(*) + 1.0)) AS idf
-  FROM grams, n_docs GROUP BY gram, n_docs.n
+  SELECT gram, LN((n_docs.n + 1.0) / (df + 1.0)) AS idf
+  FROM gram_df, n_docs WHERE df <= 10000
 ), weighted AS (
   SELECT g.doc_id, g.gram, i.idf FROM grams g JOIN idf i ON g.gram = i.gram
 ), totals AS (
@@ -4647,7 +4769,8 @@ SELECT i.id_a, i.id_b,
        ROUND(i.w_inter / (ta.w_total + tb.w_total - i.w_inter), 6)
          AS weighted_jaccard,
        ROUND(i.n_inter * 1.0 / (ta.n_grams + tb.n_grams - i.n_inter), 6)
-         AS plain_jaccard
+         AS plain_jaccard,
+       (SELECT n_hot_grams_dropped FROM dropped) AS n_hot_grams_dropped
 FROM inter i
 JOIN totals ta ON i.id_a = ta.doc_id
 JOIN totals tb ON i.id_b = tb.doc_id

@@ -178,3 +178,76 @@ def test_segment_duplication_stats_hand_example(spark):
     assert rows[2].n_dup_segments == 1
     assert rows[3].n_segments == 2 and rows[3].n_dup_segments == 0
     assert not rows[3].flagged
+
+
+def test_gram_df_cap_stops_hot_gram_pair_blowup(spark):
+    """The df twin of the LSH stop-bucket guard (round-7 VERDICT
+    item #2): a gram shared by k docs must not generate k^2/2
+    candidate pairs once its document frequency exceeds
+    max_doc_freq. Pairs connected ONLY by the hot gram vanish;
+    pairs that also share a rare gram survive — and their
+    intersection counts stay EXACT (the hot gram still counts in
+    `inter`, because verification runs on the full shingle sets)."""
+    from spark_flink_streaming_example_with_test_spark.operators.dedup import _gram_pair_intersections
+
+    hot = "terms of service"  # one 3-gram, planted in every doc
+    rows = [(i, f"{hot} document body number {i} entirely") for i in range(8)]
+    # docs 0 and 1 additionally share a rare run of tokens
+    rows[0] = (0, f"{hot} shared rare content alpha beta gamma")
+    rows[1] = (1, f"{hot} shared rare content alpha beta delta")
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = _gram_pair_intersections(
+        df, "doc_id", "text", 3, max_doc_freq=None
+    )
+    assert uncapped.count() == 8 * 7 // 2  # hot gram pairs everyone
+
+    capped = _gram_pair_intersections(df, "doc_id", "text", 3, max_doc_freq=3)
+    got = {(r.id_a, r.id_b): r for r in capped.collect()}
+    assert set(got) == {(0, 1)}  # only the genuinely-overlapping pair
+    # exact verification: 'shared rare content', 'rare content alpha',
+    # 'content alpha beta' AND the hot 'terms of service' all count
+    pair = got[(0, 1)]
+    exact = {
+        (r.id_a, r.id_b): r.inter
+        for r in uncapped.collect()
+    }
+    assert pair.inter == exact[(0, 1)]  # score undistorted by the cap
+
+
+def test_weighted_jaccard_and_cross_lingual_emit_dropped_count(spark, tmp_path):
+    """The inline capped queries must surface the hot-gram drop
+    count (no-silent-caps rule); on the fixture nothing is hot, so
+    the emitted count is exactly 0 on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from spark_flink_streaming_example_with_test_spark.plans.llm import (
+        DEDUP_WEIGHTED_JACCARD_ORACLE,
+        dedup_weighted_jaccard,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota",
+        "alpha beta gamma delta epsilon zeta eta theta kappa",
+        "totally different content in this one here",
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(3),
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = dedup_weighted_jaccard(spark, str(tmp_path)).collect()
+    assert rows and all(r.n_hot_grams_dropped == 0 for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    odf = con.execute(DEDUP_WEIGHTED_JACCARD_ORACLE).fetchdf()
+    assert len(odf) == len(rows)
+    assert (odf.n_hot_grams_dropped == 0).all()
