@@ -247,3 +247,53 @@ def test_lpa_self_loop_only_nodes_kept(spark):
     }
     assert got[99] == 99
     assert set(got) == {0, 1, 2, 99}
+
+
+def test_lpa_fixed_rounds_choice_is_evidence_backed(spark, sf_dir):
+    """Evidence record for the fixed rounds=2 choice in
+    community_label_propagation. The round-7 VERDICT hypothesized
+    that round 3 REFINES round 2 (no merges reverse); measured on
+    the ring+chord fixture graph that is FALSE — synchronous
+    majority propagation is not monotone (round-3 communities span
+    many round-2 communities; labels oscillate, the well-known
+    synchronous-LPA behavior Raghavan et al. address with
+    asynchronous updates). The fixed unroll is therefore justified
+    by DETERMINISM + oracle replayability, not convergence, and this
+    test pins the properties that actually hold:
+    determinism across runs, full node coverage, and non-degenerate
+    structure (communities neither collapse to one nor stay fully
+    singleton) at both 2 and 3 rounds."""
+    from spark_flink_streaming_example_with_test_spark.operators.graph import label_propagation_communities
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import _ring_chord_edges
+
+    edges = _ring_chord_edges(spark, sf_dir)
+    l2 = {
+        r.node: r.community
+        for r in label_propagation_communities(edges, rounds=2).collect()
+    }
+    l2_again = {
+        r.node: r.community
+        for r in label_propagation_communities(edges, rounds=2).collect()
+    }
+    assert l2 == l2_again  # deterministic: fixed rounds, total tiebreak
+    l3 = {
+        r.node: r.community
+        for r in label_propagation_communities(edges, rounds=3).collect()
+    }
+    assert set(l2) == set(l3)  # same node coverage regardless of rounds
+    for labels in (l2, l3):
+        n_comm = len(set(labels.values()))
+        assert 1 < n_comm < len(labels)  # non-degenerate structure
+    # The refinement hypothesis is false: document the measured
+    # counterexample magnitude so a future round doesn't re-test it.
+    from collections import defaultdict
+
+    by_l3 = defaultdict(set)
+    for node, c3 in l3.items():
+        by_l3[c3].add(l2[node])
+    n_spanning = sum(1 for parents in by_l3.values() if len(parents) > 1)
+    assert n_spanning > 0, (
+        "refinement unexpectedly holds now — if the fixture graph "
+        "changed, re-evaluate whether rounds=2 remains the right "
+        "fixed unroll"
+    )
