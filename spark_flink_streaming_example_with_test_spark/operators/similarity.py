@@ -214,6 +214,40 @@ def ivf_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse-quantizer assignment: every corpus vector's single
+    nearest centroid (the same seeded first-``n_centroids``-by-id
+    stand-in ``ivf_topk`` uses), exposed for index diagnostics —
+    list-balance auditing needs the assignment itself, not the
+    probe results. Returns (id_col, cent_id).
+
+    At 100 TB: one broadcast of the tiny centroid set + a per-row
+    argmax — no shuffle at all until the caller aggregates.
+    """
+    cents = with_unit_prep(
+        corpus.filter(F.col(id_col) < n_centroids), vec_col
+    ).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("v_norm").alias("c_norm"),
+    )
+    prepped = with_unit_prep(corpus, vec_col)
+    csim = F.round(dot("v", "cv") / (F.col("v_norm") * F.col("c_norm")), 6)
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cent_id"))
+    return (
+        prepped.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col("cent_id"), csim.alias("c_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cent_id")
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.9,

@@ -3257,3 +3257,136 @@ WITH n AS (
 SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
 FROM l2 GROUP BY label
 """
+
+
+# --- Round-8 additions ------------------------------------------------
+
+
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-algebra audience overlap: |clickers ∩ purchasers|
+    estimated by inclusion-exclusion over three HyperLogLog sketches
+    (est_A + est_B - est_union — HLL unions are lossless, so this is
+    THE way to intersect sketches at 100 TB, where the exact
+    distinct-intersection needs a full user-keyed shuffle). The
+    exact counts are computed alongside; the driver-checkable
+    columns are the exact values plus `estimate_within_5pct`, the
+    property boolean that pins the sketch error (HLL at Spark's
+    default rsd=0.05 must land inside ±5%% of truth on this corpus —
+    a sketch-config regression flips it). The oracle recomputes the
+    exact columns and emits the boolean as a literal (sanctioned
+    property-boolean shape: the estimate itself is
+    engine-specific).
+
+    Scale shape: the sketch leg is three map-side-combinable
+    aggregates over one scan (no user-keyed shuffle); only the
+    audit's exact leg pays the distinct shuffle — which is the
+    point of the comparison.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("event_type") == "click"
+    b = F.col("event_type") == "purchase"
+    sk = ev.agg(
+        F.approx_count_distinct(F.when(a, F.col("user_id"))).alias("est_a"),
+        F.approx_count_distinct(F.when(b, F.col("user_id"))).alias("est_b"),
+        F.approx_count_distinct(
+            F.when(a | b, F.col("user_id"))
+        ).alias("est_union"),
+        F.countDistinct(F.when(a, F.col("user_id"))).alias("exact_a"),
+        F.countDistinct(F.when(b, F.col("user_id"))).alias("exact_b"),
+        F.countDistinct(F.when(a | b, F.col("user_id"))).alias("exact_union"),
+    )
+    est_inter = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    exact_inter = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_union")
+    )
+    return sk.select(
+        F.col("exact_a").cast("long").alias("exact_clickers"),
+        F.col("exact_b").cast("long").alias("exact_purchasers"),
+        exact_inter.cast("long").alias("exact_overlap"),
+        (
+            F.abs(est_inter - exact_inter)
+            <= F.greatest(0.05 * exact_inter, F.lit(5.0))
+        ).alias("estimate_within_5pct"),
+    )
+
+
+HLL_INTERSECTION_ORACLE = """
+SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                THEN user_id END) AS BIGINT)
+         AS exact_clickers,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                THEN user_id END) AS BIGINT)
+         AS exact_purchasers,
+       CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+            + COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                  THEN user_id END)
+            - COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                                  THEN user_id END) AS BIGINT)
+         AS exact_overlap,
+       TRUE AS estimate_within_5pct
+FROM events
+"""
+
+
+def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-shard balance audit — the pre-flight check before
+    keying a 100 TB shuffle or a sharded sink on user_id: rows per
+    md5-derived bucket (32 buckets, engine-replayable nibble
+    arithmetic rather than engine-private hash functions), each row
+    carrying its share and the global imbalance factor
+    (max bucket / mean bucket). Uniform keys land near 1.0; a
+    skewed tenant shows up as a hot bucket BEFORE the job, not as a
+    straggler task during it (the measurement behind the
+    skew_salted_enrichment mitigation).
+
+    Scale shape: pure per-row expression + one 32-row map-side
+    combinable aggregate; the imbalance window runs over 32 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    bucket = (
+        (_an_md5_nibble(h, 1) * 16 + _an_md5_nibble(h, 2)) % 32
+    ).alias("bucket")
+    total = Window.partitionBy()
+    per = ev.select(bucket).groupBy("bucket").agg(
+        F.count("*").alias("n_rows")
+    )
+    return per.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.round(F.col("n_rows") / F.sum("n_rows").over(total), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.max("n_rows").over(total) / F.avg("n_rows").over(total), 4
+        ).alias("imbalance_factor"),
+    )
+
+
+def _an_md5_nibble(h, i: int):
+    """i-th hex char of md5 string decoded to 0-15 (twin of
+    plans/llm.py _md5_nibble, local to avoid a cross-module import
+    for two call sites)."""
+    a = F.ascii(F.substring(h, i, 1))
+    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+
+
+SHARD_BALANCE_ORACLE = """
+WITH b AS (
+  SELECT ((ASCII(SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1))
+           - CASE WHEN ASCII(SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 1)) >= 97
+                  THEN 87 ELSE 48 END) * 16
+          + (ASCII(SUBSTR(MD5(CAST(user_id AS VARCHAR)), 2, 1))
+             - CASE WHEN ASCII(SUBSTR(MD5(CAST(user_id AS VARCHAR)), 2, 1)) >= 97
+                    THEN 87 ELSE 48 END)) % 32 AS bucket
+  FROM events
+), per AS (
+  SELECT bucket, COUNT(*) AS n_rows FROM b GROUP BY bucket
+)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(n_rows * 1.0 / SUM(n_rows) OVER (), 6) AS share,
+       ROUND(MAX(n_rows) OVER () * 1.0 / AVG(n_rows) OVER (), 4)
+         AS imbalance_factor
+FROM per
+"""

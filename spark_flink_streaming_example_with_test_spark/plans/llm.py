@@ -4832,3 +4832,145 @@ SELECT band_max, CAST(COUNT(*) AS BIGINT) AS n_docs,
          AS waste_frac
 FROM banded GROUP BY band_max
 """
+
+
+# --- Round-8 additions: index diagnostics, quantization, ---------
+# readability, corpus fertility -----------------------------------
+
+
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list balance audit — the skew diagnostic every
+    ANN deployment runs before production: per-centroid list sizes
+    from the full-corpus coarse-quantizer assignment
+    (operators/similarity.py ivf_assignments, the same 16 seeded
+    centroids similarity_ivf_topk probes), each row carrying its
+    share of the corpus and the global imbalance factor
+    (max list / mean list). A hot list breaks the IVF cost model —
+    probing it degenerates toward brute force — exactly as a hot
+    LSH bucket or hot gram does in the dedup family; this query
+    makes the skew measurable instead of discovered-in-production.
+
+    Scale shape: broadcast centroid argmax (no shuffle) + one
+    map-side-combinable count per cent_id (16 partials per mapper);
+    the imbalance window runs over the 16-row aggregate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assignments(emb, n_centroids=16)
+    total = Window.partitionBy()
+    lists = assigned.groupBy("cent_id").agg(
+        F.count("*").alias("n_vectors")
+    )
+    return lists.select(
+        F.col("cent_id").cast("int").alias("cent_id"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.round(
+            F.col("n_vectors") / F.sum("n_vectors").over(total), 6
+        ).alias("share"),
+        F.round(
+            F.max("n_vectors").over(total)
+            / F.avg("n_vectors").over(total),
+            4,
+        ).alias("imbalance_factor"),
+    )
+
+
+IVF_LIST_BALANCE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+  WHERE SQRT(LIST_SUM(LIST_TRANSFORM(embedding::DOUBLE[], x -> x * x))) > 0
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv, nrm AS c_nrm FROM e WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY ROUND(LIST_SUM(LIST_TRANSFORM(
+                                  RANGE(1, LEN(e.v) + 1), i -> e.v[i] * c.cv[i]))
+                                  / (e.nrm * c.c_nrm), 6) DESC, c.cent_id) AS rn
+    FROM e CROSS JOIN cents c
+  ) WHERE rn = 1
+), lists AS (
+  SELECT cent_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cent_id
+)
+SELECT CAST(cent_id AS INTEGER) AS cent_id,
+       CAST(n_vectors AS BIGINT) AS n_vectors,
+       ROUND(n_vectors * 1.0 / SUM(n_vectors) OVER (), 6) AS share,
+       ROUND(MAX(n_vectors) OVER () * 1.0 / AVG(n_vectors) OVER (), 4)
+         AS imbalance_factor
+FROM lists
+"""
+
+
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization error audit — the accept/reject
+    measurement before shipping a 4x-smaller quantized index:
+    per-dimension symmetric scales s_d = max|x_d| / 127 from one
+    corpus pass, every component quantized to round(x/s_d) clamped
+    to [-127, 127] and dequantized, then per-label reconstruction
+    stats (MSE, max absolute error, share of clamped components).
+
+    Scale shape: the scale table is one 64-row
+    map-side-combinable aggregate broadcast back; the error pass is
+    posexplode + per-label aggregate — two narrow shuffles, nothing
+    quadratic. Zero-scale (dead) dimensions quantize to 0 exactly
+    and contribute zero error by construction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    scales = pos.groupBy("pos").agg(
+        (F.max(F.abs(F.col("x"))) / 127.0).alias("s")
+    )
+    q = F.when(
+        F.col("s") > 0,
+        F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.round(F.col("x") / F.col("s"), 0)),
+        ),
+    ).otherwise(F.lit(0.0))
+    joined = pos.join(F.broadcast(scales), "pos").select(
+        "label",
+        "x",
+        (q * F.col("s")).alias("xq"),
+        (F.abs(F.col("x")) > F.lit(127.0) * F.col("s")).alias("clamped"),
+    )
+    return joined.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_components"),
+        F.round(F.avg(F.pow(F.col("x") - F.col("xq"), 2)), 9).alias("mse"),
+        F.round(F.max(F.abs(F.col("x") - F.col("xq"))), 6).alias(
+            "max_abs_err"
+        ),
+        F.sum(F.when(F.col("clamped"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clamped"),
+    )
+
+
+EMBEDDING_INT8_QUANT_ORACLE = """
+WITH pos AS (
+  SELECT label, i - 1 AS pos, v[i] AS x FROM (
+    SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+  ), (SELECT UNNEST(RANGE(1, 65)) AS i)
+), scales AS (
+  SELECT pos, MAX(ABS(x)) / 127.0 AS s FROM pos GROUP BY pos
+), joined AS (
+  SELECT p.label, p.x,
+         CASE WHEN sc.s > 0
+              THEN GREATEST(-127.0, LEAST(127.0, ROUND(p.x / sc.s, 0))) * sc.s
+              ELSE 0.0 END AS xq,
+         ABS(p.x) > 127.0 * sc.s AS clamped
+  FROM pos p JOIN scales sc ON p.pos = sc.pos
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_components,
+       ROUND(AVG(POW(x - xq, 2)), 9) AS mse,
+       ROUND(MAX(ABS(x - xq)), 6) AS max_abs_err,
+       CAST(COUNT(*) FILTER (WHERE clamped) AS BIGINT) AS n_clamped
+FROM joined GROUP BY label
+"""

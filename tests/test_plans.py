@@ -113,6 +113,7 @@ _INTENTIONAL_NLJ = {
     "similarity_topk_cosine",     # <=5 query rows broadcast
     "similarity_ivf_topk",        # 16 centroids broadcast
     "similarity_ivf_kmeans",      # same, trained centroids
+    "ivf_list_balance",           # 16 centroids broadcast (assignment)
     "join_range_price_bands",     # 3-row band table, pure theta join
     "q11_part_value_share",       # scalar subquery threshold
     "q8_market_share",            # scalar ratio denominator
