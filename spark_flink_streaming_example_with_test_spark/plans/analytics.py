@@ -3390,3 +3390,46 @@ SELECT CAST(bucket AS INTEGER) AS bucket,
          AS imbalance_factor
 FROM per
 """
+
+
+def filter_clause_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI aggregate FILTER clause through the Spark SQL front-end —
+    the standard (and DuckDB-native) way to compute multiple
+    conditional aggregates in ONE grouped pass instead of N
+    self-joins or nested CASE pyramids. Catalyst compiles each
+    FILTER into the same conditional-aggregation plan as
+    CASE WHEN, so the scan count stays 1 regardless of how many
+    filtered aggregates the report adds.
+    """
+    import uuid
+
+    view = f"__events_filter_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE value > 50) AS n_high,
+               ROUND(COALESCE(SUM(value) FILTER (WHERE value > 50), 0), 4)
+                 AS sum_high,
+               COUNT(DISTINCT user_id) FILTER (WHERE value > 50)
+                 AS n_high_users
+        FROM {view}
+        GROUP BY event_type
+        """
+    )
+    out.schema
+    return out
+
+
+FILTER_CLAUSE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       ROUND(COALESCE(SUM(value) FILTER (WHERE value > 50), 0), 4)
+         AS sum_high,
+       CAST(COUNT(DISTINCT user_id) FILTER (WHERE value > 50) AS BIGINT)
+         AS n_high_users
+FROM events
+GROUP BY event_type
+"""

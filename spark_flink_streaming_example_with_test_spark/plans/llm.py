@@ -4974,3 +4974,174 @@ SELECT label,
        CAST(COUNT(*) FILTER (WHERE clamped) AS BIGINT) AS n_clamped
 FROM joined GROUP BY label
 """
+
+
+def ks_drift_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the token-
+    length distributions of two corpus shards (src0 vs src1) — the
+    statistical gate a pipeline runs before mixing a new crawl
+    snapshot into training data: D = sup |CDF_a - CDF_b|, flagged
+    against the alpha=0.05 critical value
+    1.358 * sqrt((n_a+n_b)/(n_a*n_b)).
+
+    Scale shape: lengths aggregate to per-(value) counts FIRST
+    (map-side combinable; the frame is |distinct lengths| rows,
+    bounded by max document length, NOT |docs|), so the ordered
+    cumulative window runs over the tiny aggregated frame — same
+    reshape as quantile_normalize_scores, never a full-corpus
+    single-task sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = docs.filter(F.col("source").isin("src0", "src1")).select(
+        "source", F.size(F.split(F.lower("text"), " ")).alias("v")
+    )
+    per_val = two.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cdf = per_val.select(
+        "v",
+        (F.sum("c0").over(w) / F.sum("c0").over(tot)).alias("f0"),
+        (F.sum("c1").over(w) / F.sum("c1").over(tot)).alias("f1"),
+        F.sum("c0").over(tot).alias("n0"),
+        F.sum("c1").over(tot).alias("n1"),
+    )
+    return cdf.groupBy("n0", "n1").agg(
+        F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks_stat")
+    ).select(
+        F.col("n0").cast("long").alias("n_src0"),
+        F.col("n1").cast("long").alias("n_src1"),
+        "ks_stat",
+        (
+            F.col("ks_stat")
+            > 1.358
+            * F.sqrt((F.col("n0") + F.col("n1")) / (F.col("n0") * F.col("n1")))
+        ).alias("drift_detected"),
+    )
+
+
+KS_DRIFT_ORACLE = """
+WITH two AS (
+  SELECT source, LEN(STRING_SPLIT(LOWER(text), ' ')) AS v
+  FROM documents WHERE source IN ('src0', 'src1')
+), per_val AS (
+  SELECT v,
+         COUNT(*) FILTER (WHERE source = 'src0') AS c0,
+         COUNT(*) FILTER (WHERE source = 'src1') AS c1
+  FROM two GROUP BY v
+), cdf AS (
+  SELECT v,
+         SUM(c0) OVER (ORDER BY v) * 1.0 / SUM(c0) OVER () AS f0,
+         SUM(c1) OVER (ORDER BY v) * 1.0 / SUM(c1) OVER () AS f1,
+         SUM(c0) OVER () AS n0,
+         SUM(c1) OVER () AS n1
+  FROM per_val
+)
+SELECT CAST(n0 AS BIGINT) AS n_src0,
+       CAST(n1 AS BIGINT) AS n_src1,
+       ROUND(MAX(ABS(f0 - f1)), 6) AS ks_stat,
+       ROUND(MAX(ABS(f0 - f1)), 6)
+         > 1.358 * SQRT((n0 + n1) * 1.0 / (n0 * n1)) AS drift_detected
+FROM cdf GROUP BY n0, n1
+"""
+
+
+def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (Flesch reading-ease with a vowel-group
+    syllable proxy — the standard no-dictionary approximation):
+    206.835 - 1.015*(words/sentences) - 84.6*(syllables/words),
+    rolled up per source with easy (>=60) / hard (<30) band counts.
+    Quality filters gate on readability bands to separate prose
+    from code/tables/boilerplate.
+
+    Scale shape: three regexp counts per row (JVM regex, no UDF) +
+    one per-source aggregate. Integer counts make every per-doc
+    score bit-identical across engines; rounding happens once on
+    the aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.split(F.lower("text"), " "))
+    syllables = F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+    sentences = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (words / sentences)
+        - 84.6 * (syllables / words)
+    )
+    scored = docs.select("source", flesch.alias("flesch"))
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("flesch"), 4).alias("avg_flesch"),
+        F.sum(F.when(F.col("flesch") >= 60, 1).otherwise(0))
+        .cast("long")
+        .alias("n_easy"),
+        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hard"),
+    )
+
+
+FLESCH_ORACLE = """
+WITH scored AS (
+  SELECT source,
+         206.835
+         - 1.015 * (LEN(STRING_SPLIT(LOWER(text), ' ')) * 1.0
+                    / GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1))
+         - 84.6 * (LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')) * 1.0
+                   / LEN(STRING_SPLIT(LOWER(text), ' '))) AS flesch
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(flesch), 4) AS avg_flesch,
+       CAST(COUNT(*) FILTER (WHERE flesch >= 60) AS BIGINT) AS n_easy,
+       CAST(COUNT(*) FILTER (WHERE flesch < 30) AS BIGINT) AS n_hard
+FROM scored GROUP BY source
+"""
+
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility diagnostics per language: characters and
+    UTF-8 bytes per whitespace token — the compression-ratio numbers
+    that decide vocabulary allocation in multilingual tokenizer
+    training (languages with high bytes/token are under-served by a
+    byte-level vocabulary; the mBERT/XLM-R sizing argument).
+
+    Scale shape: per-row arithmetic + one |langs|-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+        F.round(F.sum("n_bytes") / F.sum("n_tokens"), 4).alias(
+            "bytes_per_token"
+        ),
+    )
+
+
+TOKENIZER_FERTILITY_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT)
+         AS total_tokens,
+       ROUND(SUM(LEN(text)) * 1.0
+             / SUM(LEN(STRING_SPLIT(LOWER(text), ' '))), 4)
+         AS chars_per_token,
+       ROUND(SUM(OCTET_LENGTH(ENCODE(text))) * 1.0
+             / SUM(LEN(STRING_SPLIT(LOWER(text), ' '))), 4)
+         AS bytes_per_token
+FROM documents GROUP BY lang
+"""
