@@ -3433,3 +3433,321 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def orc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange path (the third columnar format after parquet
+    and CSV/JSON federation): the events KPI subset round-trips
+    through an ORC write/read and the per-type rollup is computed
+    from the ORC copy, with `roundtrip_ok` comparing the copy's
+    row count against the parquet source GENUINELY on the Spark
+    side. Exercises the ORC reader/writer + predicate pushdown
+    surface a lakehouse migration needs.
+
+    Bounded collect: the per-type rollup (5 rows) before the temp
+    layout is removed.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="engine_orc_")
+    try:
+        ev.write.mode("overwrite").orc(d)
+        back = spark.read.orc(d)
+        src_n = ev.count()
+        orc_n = back.count()
+        out = back.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ).withColumn("roundtrip_ok", F.lit(src_n == orc_n))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n long, total_value double, "
+            "roundtrip_ok boolean",
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+ORC_ROUNDTRIP_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       TRUE AS roundtrip_ok
+FROM events GROUP BY event_type
+"""
+
+
+def dpp_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning proven end to end — the join-driven
+    sibling of partition_pruned_scan's static proof: events land in
+    a hive layout partitioned by event_type, the filter arrives via
+    a JOIN with a filtered dimension (so no static PartitionFilter
+    is possible at plan time), and `dpp_at_runtime` is computed
+    GENUINELY from the scan node, which must carry a
+    ``dynamicpruningexpression`` in its PartitionFilters. At 100 TB
+    this is the star-schema accelerator: the fact scan skips
+    partitions based on the dim filter's RESULT, discovered at run
+    time. ``reuseBroadcastOnly`` is widened (and restored) so DPP
+    stays available even when the dim side is not broadcast.
+
+    Bounded collect of the per-type rollup before the temp layout
+    is removed.
+    """
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="engine_dpp_")
+    prev = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            "false",
+        )
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(d)
+        back = spark.read.schema(
+            "user_id long, value double, event_type string"
+        ).parquet(d)
+        dim = (
+            ev.select("event_type")
+            .distinct()
+            .filter(F.col("event_type").isin("click", "purchase"))
+        )
+        joined = back.join(dim, "event_type")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        dpp = "dynamicpruningexpression" in plan.lower()
+        out = joined.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ).withColumn("dpp_at_runtime", F.lit(dpp))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "event_type string, n long, total_value double, "
+            "dpp_at_runtime boolean",
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+            prev,
+        )
+        shutil.rmtree(d, ignore_errors=True)
+
+
+DPP_JOIN_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       TRUE AS dpp_at_runtime
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+def bloom_filter_join_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning proven in-plan: a selective
+    orders filter (o_totalprice > 400000) joins lineitem on
+    l_orderkey with broadcast disabled (the big-big SMJ case), and
+    Spark's runtime row-level filter must inject a
+    ``might_contain`` bloom probe into the lineitem scan side — at
+    100 TB this drops non-matching fact rows BEFORE the shuffle,
+    the difference between shuffling the whole fact table and
+    shuffling the matching fraction. ``bloom_pushed`` is computed
+    GENUINELY from the executed plan; KPI columns are exact.
+    Thresholds are widened (and restored) because the fixture scan
+    is far below the 10 GB production default — the PLAN SHAPE is
+    what this query pins.
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        sel = orders.filter(F.col("o_totalprice") > 400000).select(
+            "o_orderkey"
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        bloom = "might_contain" in plan.lower()
+        out = joined.agg(
+            F.count("*").cast("long").alias("n_lineitems"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_quantity"),
+        ).withColumn("bloom_pushed", F.lit(bloom))
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows,
+            "n_lineitems long, n_orders long, sum_quantity double, "
+            "bloom_pushed boolean",
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOM_JOIN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       ROUND(SUM(l.l_quantity), 2) AS sum_quantity,
+       TRUE AS bloom_pushed
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+"""
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4), 3 unrolled peeling rounds over
+    the shared ring+chord link graph: each round removes nodes of
+    symmetric degree < 4 and re-derives the induced subgraph — the
+    fifth graph-family algorithm (after components, PageRank,
+    triangles, BFS, label propagation), and the standard dense-
+    subgraph screen (spam rings, citation cores). Fixed rounds +
+    deterministic arithmetic make the iterative result exactly
+    replayable as unrolled SQL; emits per-round surviving node and
+    edge counts (no driver-side loop state — the three rounds are
+    one lazily-composed plan).
+
+    At 100 TB: per round one degree aggregate + two semi joins, all
+    keyed on node ids — never adjacency materialization beyond the
+    edge list.
+    """
+    edges = _ring_chord_edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    k = 4
+    out = None
+    # localCheckpoint per round truncates superstep lineage exactly
+    # like pagerank_unrolled/BFS — without it the round-3 plan nests
+    # every prior round's joins and analysis time explodes.
+    cur = sym.localCheckpoint(eager=True)
+    for rnd in range(1, 4):
+        deg = cur.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        cur = (
+            cur.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+        ).localCheckpoint(eager=True)
+        stats = cur.agg(
+            F.countDistinct("src").cast("long").alias("n_nodes"),
+            (F.count("*") / 2).cast("long").alias("n_edges"),
+        ).select(F.lit(rnd).alias("round"), "n_nodes", "n_edges")
+        out = stats if out is None else out.unionAll(stats)
+    return out
+
+
+KCORE_ORACLE = """
+WITH n AS (
+  SELECT COUNT(*) AS n FROM documents
+), base AS (
+  SELECT doc_id AS src, (doc_id * 1 + 1) % n.n AS dst FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 1 + 2) % n.n FROM documents, n
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % n.n FROM documents, n
+), sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM base UNION ALL SELECT dst, src FROM base
+  ) WHERE src != dst
+), deg1 AS (
+  SELECT src, COUNT(*) AS deg FROM sym GROUP BY src
+), keep1 AS (SELECT src AS node FROM deg1 WHERE deg >= 4),
+e1 AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN keep1 a ON s.src = a.node JOIN keep1 b ON s.dst = b.node
+), deg2 AS (
+  SELECT src, COUNT(*) AS deg FROM e1 GROUP BY src
+), keep2 AS (SELECT src AS node FROM deg2 WHERE deg >= 4),
+e2 AS (
+  SELECT s.src, s.dst FROM e1 s
+  JOIN keep2 a ON s.src = a.node JOIN keep2 b ON s.dst = b.node
+), deg3 AS (
+  SELECT src, COUNT(*) AS deg FROM e2 GROUP BY src
+), keep3 AS (SELECT src AS node FROM deg3 WHERE deg >= 4),
+e3 AS (
+  SELECT s.src, s.dst FROM e2 s
+  JOIN keep3 a ON s.src = a.node JOIN keep3 b ON s.dst = b.node
+)
+SELECT 1 AS round, CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_edges FROM e1
+UNION ALL
+SELECT 2, CAST(COUNT(DISTINCT src) AS BIGINT),
+       CAST(COUNT(*) / 2 AS BIGINT) FROM e2
+UNION ALL
+SELECT 3, CAST(COUNT(DISTINCT src) AS BIGINT),
+       CAST(COUNT(*) / 2 AS BIGINT) FROM e3
+"""
+
+
+def anomaly_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-run encoding (gaps-and-islands on a VALUE predicate,
+    not a time gap — the sibling of sessionize_events): per user,
+    maximal runs of consecutive events with value > 80 in
+    (ts, event_id) order, reporting run count, longest run, and
+    total high events. The alerting primitive behind "N anomalous
+    readings in a row".
+
+    Scale shape: two windows over ONE user-keyed shuffle (the
+    row-number difference trick needs no self-join), then a
+    per-user aggregate on the same partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_high = Window.partitionBy("user_id", "is_high").orderBy(
+        "ts", "event_id"
+    )
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("value") > 80).alias("is_high"),
+    ).withColumn("grp", F.row_number().over(w_all) - F.row_number().over(w_high))
+    runs = (
+        marked.filter("is_high")
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.sum("run_len").cast("long").alias("n_high_events"),
+    )
+
+
+ANOMALY_RUNS_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value > 80 AS is_high,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, value > 80
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+), runs AS (
+  SELECT user_id, grp, COUNT(*) AS run_len
+  FROM marked WHERE is_high GROUP BY user_id, grp
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS longest_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_high_events
+FROM runs GROUP BY user_id
+"""
