@@ -3751,3 +3751,118 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
        CAST(SUM(run_len) AS BIGINT) AS n_high_events
 FROM runs GROUP BY user_id
 """
+
+
+def aqe_coalesce_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE partition-coalescing proven from the EXECUTED adaptive
+    plan: a grouped aggregate is configured with 32 shuffle
+    partitions but the post-shuffle data is tiny, so AQE must merge
+    the reads (``AQEShuffleRead coalesced``) — the runtime re-plan
+    that keeps task counts proportional to DATA, not to a static
+    config, which at 100 TB works in both directions (small
+    intermediate -> fewer tasks; the same job at full scale keeps
+    all of them). The boolean is computed GENUINELY from the final
+    adaptive plan AFTER the action runs (AQE plans are only final
+    post-execution); the KPI rows are exact.
+
+    Bounded collect: the per-type rollup (5 rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    rows = agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    coalesced = "AQEShuffleRead coalesced" in plan
+    return spark.createDataFrame(
+        [(r["event_type"], r["n"], r["total_value"], coalesced) for r in rows],
+        "event_type string, n long, total_value double, "
+        "aqe_coalesced boolean",
+    )
+
+
+AQE_COALESCE_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value,
+       TRUE AS aqe_coalesced
+FROM events GROUP BY event_type
+"""
+
+
+def cache_reuse_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist-and-reuse proven in-plan: a per-user aggregate is
+    cached and consumed by TWO downstream reports, and the second
+    consumer's plan must read ``InMemoryTableScan`` instead of
+    recomputing the scan+shuffle — the materialization contract
+    every multi-consumer pipeline in this repo leans on (persisted
+    shingle frames, flagged gram indexes). A dropped cache turns
+    the boolean false and fails the hash. Emits both reports'
+    exact aggregates in one row.
+
+    Bounded collect: two 1-row aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    per_user = per_user.persist()
+    try:
+        hi = per_user.filter(F.col("n_events") > 5)
+        n_active = hi.count()
+        total = per_user.agg(F.sum("n_events")).collect()[0][0]
+        plan = hi._jdf.queryExecution().executedPlan().toString()
+        cached = "InMemoryTableScan" in plan
+        return spark.createDataFrame(
+            [(int(n_active), int(total), cached)],
+            "n_active_users long, n_events_total long, cache_reused boolean",
+        )
+    finally:
+        per_user.unpersist()
+
+
+CACHE_REUSE_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) FILTER (WHERE n_events > 5) AS BIGINT)
+         AS n_active_users,
+       CAST(SUM(n_events) AS BIGINT) AS n_events_total,
+       TRUE AS cache_reused
+FROM per_user
+"""
+
+
+def lateral_column_alias_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases through the SQL front-end (SELECT
+    computes ``n`` then references it in the SAME select list for
+    ``high_share``) — the Spark 3.4+ front-end feature that kills
+    the subquery-wrapping boilerplate of derived-column chains.
+    The oracle repeats the expressions (DuckDB resolves lateral
+    aliases natively too, so the same text shape works there).
+    """
+    import uuid
+
+    view = f"__events_lca_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE value > 50) AS n_high,
+               ROUND(n_high * 1.0 / n, 6) AS high_share
+        FROM {view}
+        GROUP BY event_type
+        """
+    )
+    out.schema
+    return out
+
+
+LATERAL_ALIAS_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+       ROUND(COUNT(*) FILTER (WHERE value > 50) * 1.0 / COUNT(*), 6)
+         AS high_share
+FROM events
+GROUP BY event_type
+"""
