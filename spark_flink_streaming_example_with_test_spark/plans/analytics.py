@@ -3269,13 +3269,18 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE way to intersect sketches at 100 TB, where the exact
     distinct-intersection needs a full user-keyed shuffle). The
     exact counts are computed alongside; the driver-checkable
-    columns are the exact values plus `estimate_within_5pct`, the
-    property boolean that pins the sketch error (HLL at Spark's
-    default rsd=0.05 must land inside ±5%% of truth on this corpus —
-    a sketch-config regression flips it). The oracle recomputes the
-    exact columns and emits the boolean as a literal (sanctioned
-    property-boolean shape: the estimate itself is
-    engine-specific).
+    columns are the exact values plus `estimate_within_hll_bound`,
+    the property boolean that pins the sketch error. The bound is
+    the compounded three-sketch budget 3 * rsd * |union| (rsd=0.05,
+    Spark's approx_count_distinct default): inclusion-exclusion
+    subtracts three estimates whose ABSOLUTE errors each scale with
+    the union, so a per-sketch 5%% rsd legitimately reaches ~8-9%%
+    of the intersection when intersection ~ union (measured 6.7%%
+    at sf0.1 — a naive 5%%-of-intersection bound is wrong, not
+    strict). A sketch-config regression (rsd loosened) flips the
+    boolean. The oracle recomputes the exact columns and emits the
+    boolean as a literal (sanctioned property-boolean shape: the
+    estimate itself is engine-specific).
 
     Scale shape: the sketch leg is three map-side-combinable
     aggregates over one scan (no user-keyed shuffle); only the
@@ -3305,8 +3310,8 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_inter.cast("long").alias("exact_overlap"),
         (
             F.abs(est_inter - exact_inter)
-            <= F.greatest(0.05 * exact_inter, F.lit(5.0))
-        ).alias("estimate_within_5pct"),
+            <= F.greatest(3 * 0.05 * F.col("exact_union"), F.lit(5.0))
+        ).alias("estimate_within_hll_bound"),
     )
 
 
@@ -3323,7 +3328,7 @@ SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
             - COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
                                   THEN user_id END) AS BIGINT)
          AS exact_overlap,
-       TRUE AS estimate_within_5pct
+       TRUE AS estimate_within_hll_bound
 FROM events
 """
 
