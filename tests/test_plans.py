@@ -172,6 +172,12 @@ _EXECUTING = {
         "global_sorted_export",      # collects partition bounds at build time
         "parquet_merge_schema_evolution",  # writes temp generations at build time
         "community_label_propagation",  # per-round eager checkpoints
+        "orc_format_roundtrip",      # ORC round-trip at build time
+        "dpp_partition_pruning_join",  # temp partitioned layout at build time
+        "bloom_filter_join_proof",   # session-conf probe + bounded collect
+        "aqe_coalesce_proof",        # needs the executed adaptive plan
+        "cache_reuse_proof",         # persists + two bounded actions
+        "kcore_decomposition",       # per-round eager checkpoints
     }
 }
 
@@ -351,3 +357,23 @@ def test_quantile_normalize_no_single_task_source_sort(spark):
     # the source-only window input is the (source, raw) aggregate,
     # not the doc-level frame
     assert re.search(r"HashAggregate\(keys=\[source#\d+, raw#\d+\]", plan)
+
+
+def test_ngram_jaccard_df_cap_guard_in_plan(spark):
+    """The exact-dedup df cap (round-8, the stop-gram twin of the
+    LSH bucket cap) must stay in the plan: a gram-partitioned count
+    window flags document frequency, and the flagged index is
+    persisted so all four consumers (both join sides + both hot-set
+    lookups) ride one materialization. Removing either silently
+    restores the k^2 hot-gram hazard / the 2x recompute cost."""
+    import re
+
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    # df window partitioned by gram
+    assert re.search(
+        r"windowspecdefinition\(gram#\d+, specifiedwindowframe", plan
+    ), "gram-df window missing — the df cap was removed"
+    # persisted flagged index feeding the self-join
+    assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, (
+        "flagged gram index no longer persisted"
+    )
