@@ -3813,7 +3813,9 @@ def cache_reuse_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         hi = per_user.filter(F.col("n_events") > 5)
         n_active = hi.count()
-        total = per_user.agg(F.sum("n_events")).collect()[0][0]
+        # SUM over zero rows is NULL on both engines (the empty-input
+        # sweep's degenerate case) — normalize before int().
+        total = per_user.agg(F.sum("n_events")).collect()[0][0] or 0
         plan = hi._jdf.queryExecution().executedPlan().toString()
         cached = "InMemoryTableScan" in plan
         return spark.createDataFrame(
