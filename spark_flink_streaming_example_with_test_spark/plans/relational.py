@@ -1399,3 +1399,199 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
+
+
+def percentile_disc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI inverse-distribution aggregates through the SQL
+    front-end: PERCENTILE_DISC and PERCENTILE_CONT WITHIN GROUP
+    (ORDER BY ...) — the standard's ordered-set aggregate syntax
+    (discrete picks an actual data value; continuous interpolates),
+    completing the percentile family next to the expression-form
+    `percentile_event_values`. One grouped pass, map-side partials.
+    """
+    import uuid
+
+    view = f"__events_pdisc_{uuid.uuid4().hex}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    out = spark.sql(
+        f"""
+        SELECT event_type,
+               ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY value), 4)
+                 AS p50_disc,
+               ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY value), 4)
+                 AS p50_cont,
+               ROUND(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY value), 4)
+                 AS p90_disc
+        FROM {view}
+        GROUP BY event_type
+        """
+    )
+    out.schema
+    return out
+
+
+PERCENTILE_DISC_ORACLE = """
+-- PERCENTILE_DISC per the ANSI definition (first value whose
+-- cumulative fraction >= p, i.e. the CEIL(p*n)-th ordered value)
+-- spelled out explicitly rather than via QUANTILE_DISC, whose
+-- positioning convention need not match across engines.
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), disc AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                  THEN value END) AS d50,
+         MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                  THEN value END) AS d90
+  FROM ranked GROUP BY event_type
+), cont AS (
+  SELECT event_type, QUANTILE_CONT(value, 0.5) AS c50
+  FROM events GROUP BY event_type
+)
+SELECT d.event_type,
+       ROUND(d.d50, 4) AS p50_disc,
+       ROUND(c.c50, 4) AS p50_cont,
+       ROUND(d.d90, 4) AS p90_disc
+FROM disc d JOIN cont c ON d.event_type = c.event_type
+"""
+
+
+def window_keep_last_k_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention compaction: keep the LATEST 3 versions per key
+    (user_id, ordered by ts then event_id) and drop the rest — the
+    time-travel/rollback retention policy sitting between
+    cdc_compact_latest's keep-1 and keeping everything. Emits
+    per-user kept/dropped counts and the kept-window value sum so
+    the cut itself is hash-checked.
+
+    Scale shape: one user-keyed window (WindowGroupLimit applies —
+    only k rows per key per mapper survive the shuffle when the
+    filter is on row_number), then a per-user aggregate on the same
+    partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("rn") <= 3)
+    totals = ev.groupBy("user_id").agg(F.count("*").alias("n_total"))
+    return (
+        kept.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.round(F.sum("value"), 4).alias("kept_value_sum"),
+        )
+        .join(totals, "user_id")
+        .select(
+            "user_id",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).cast("long").alias(
+                "n_dropped"
+            ),
+            "kept_value_sum",
+        )
+    )
+
+
+KEEP_LAST_K_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), totals AS (
+  SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id
+)
+SELECT r.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(t.n_total - COUNT(*) AS BIGINT) AS n_dropped,
+       ROUND(SUM(r.value), 4) AS kept_value_sum
+FROM ranked r JOIN totals t ON r.user_id = t.user_id
+WHERE r.rn <= 3
+GROUP BY r.user_id, t.n_total
+"""
+
+
+def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions (the map half of the lambda-HOF
+    surface `higher_order_array_functions` covers for arrays):
+    per-user event-type count maps built with map_from_entries,
+    thresholded with map_filter, rescaled with transform_values,
+    and merged with map_zip_with — all JVM-side lambdas, zero
+    explode after the initial aggregate. Output flattens the final
+    map to a sorted `k:v` string (driver flat-schema convention);
+    the oracle recomputes the same string from plain aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s")
+    )
+    entries = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "c")))
+        ).alias("counts"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+        ).alias("sums"),
+    )
+    # busy types only (count > 2), counts scaled x10, then fused
+    # with the value sums as INTEGER CENTS (c*10*100 + round(s*100)):
+    # exact integer arithmetic stringifies identically on both
+    # engines, where a formatted float would hit rounding-mode
+    # divergence (Spark format_number is HALF_EVEN).
+    busy = F.map_filter("counts", lambda k, v: v > 2)
+    scaled = F.transform_values(busy, lambda k, v: v * 10)
+    fused = F.map_zip_with(
+        scaled,
+        F.map_filter("sums", lambda k, v: F.lit(True)),
+        lambda k, c10, s: F.when(
+            c10.isNotNull(),
+            (c10 * 100 + F.round(s * 100, 0)).cast("long"),
+        ),
+    )
+    flat = F.array_join(
+        F.transform(
+            F.sort_array(F.map_keys(fused)),
+            lambda k: F.concat_ws(
+                ":",
+                k,
+                F.coalesce(
+                    F.element_at(fused, k).cast("string"),
+                    F.lit("<dropped>"),
+                ),
+            ),
+        ),
+        ",",
+    )
+    return entries.select(
+        "user_id",
+        F.size("counts").cast("int").alias("n_types"),
+        F.size(busy).cast("int").alias("n_busy_types"),
+        flat.alias("busy_fused"),
+    )
+
+
+MAP_HOF_ORACLE = """
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+  FROM events GROUP BY user_id, event_type
+), fused AS (
+  SELECT user_id, event_type,
+         CASE WHEN c > 2
+              THEN CAST(CAST(c * 10 * 100
+                   + ROUND(s * 100, 0) AS BIGINT) AS VARCHAR)
+              ELSE '<dropped>' END AS val,
+         c > 2 AS busy
+  FROM per
+)
+SELECT user_id,
+       CAST(COUNT(*) AS INTEGER) AS n_types,
+       CAST(COUNT(*) FILTER (WHERE busy) AS INTEGER) AS n_busy_types,
+       ARRAY_TO_STRING(LIST(event_type || ':' || val
+                            ORDER BY event_type), ',') AS busy_fused
+FROM fused GROUP BY user_id
+"""
