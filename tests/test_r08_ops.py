@@ -145,3 +145,63 @@ def test_flesch_monotone_in_sentence_length(spark, tmp_path):
     )
     rows = {r.source: r.avg_flesch for r in flesch_reading_ease(spark, sf).collect()}
     assert rows["choppy"] > rows["runon"]
+
+
+def test_kcore_matches_bruteforce_peeling(spark):
+    """The 3-round unrolled k=4 peeling must match a driver-side
+    brute-force peel of the same ring+chord graph (independent
+    reimplementation, no SQL)."""
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import kcore_decomposition
+    from tests.conftest import SF_DIR
+
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM read_parquet('{SF_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    edges = set()
+    for i in range(n):
+        for mult, add in ((1, 1), (1, 2), (3, 7)):
+            a, b = i, (i * mult + add) % n
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    expected = []
+    cur = set(edges)
+    for _ in range(3):
+        deg = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 4}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        nodes = {v for e in cur for v in e}
+        expected.append((len(nodes), len(cur)))
+    got = {
+        r["round"]: (r.n_nodes, r.n_edges)
+        for r in kcore_decomposition(spark, SF_DIR).collect()
+    }
+    assert [got[1], got[2], got[3]] == expected
+
+
+def test_ks_statistic_matches_bruteforce(spark, tmp_path):
+    """KS over crafted distributions must equal the brute-force
+    sup-norm of empirical CDF differences computed driver-side."""
+    from spark_flink_streaming_example_with_test_spark.plans.llm import ks_drift_between_sources
+
+    a_lens = [2, 2, 3, 5, 8]
+    b_lens = [3, 5, 5, 9]
+    # exact-token strings ("w " * k would split to k+1 tokens via
+    # the trailing space -> empty token)
+    texts = [" ".join(["w"] * k) for k in a_lens + b_lens]
+    _write_docs(
+        tmp_path, texts, sources=["src0"] * len(a_lens) + ["src1"] * len(b_lens)
+    )
+    r = ks_drift_between_sources(spark, str(tmp_path)).collect()[0]
+
+    def cdf(vals, x):
+        return sum(1 for v in vals if v <= x) / len(vals)
+
+    pooled = sorted(set(a_lens + b_lens))
+    expected = max(abs(cdf(a_lens, x) - cdf(b_lens, x)) for x in pooled)
+    assert r.n_src0 == len(a_lens) and r.n_src1 == len(b_lens)
+    assert abs(r.ks_stat - round(expected, 6)) < 1e-9
