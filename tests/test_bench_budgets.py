@@ -45,6 +45,12 @@ BUDGETS = [
     # well under 2 s; same catastrophic-only altitude.
     ("range_join_bucketed", 15.0),
     ("hybrid_search_rrf", 15.0),
+    # Round-8: the exact gram family's cost profile changed with the
+    # df-cap guard (window + persisted flagged index) — pin the two
+    # direct family members so a cap-related blowup is attributable.
+    ("dedup_ngram_jaccard", 20.0),
+    ("dedup_containment_ngrams", 20.0),
+    ("kcore_decomposition", 15.0),
 ]
 
 

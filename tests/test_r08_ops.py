@@ -205,3 +205,27 @@ def test_ks_statistic_matches_bruteforce(spark, tmp_path):
     expected = max(abs(cdf(a_lens, x) - cdf(b_lens, x)) for x in pooled)
     assert r.n_src0 == len(a_lens) and r.n_src1 == len(b_lens)
     assert abs(r.ks_stat - round(expected, 6)) < 1e-9
+
+
+def test_new_text_queries_tolerate_null_text(spark, tmp_path):
+    """NULL text rows must not crash (or poison) the round-8 text
+    queries — NULL-scored docs drop out of aggregates naturally."""
+    from spark_flink_streaming_example_with_test_spark.plans.llm import (
+        flesch_reading_ease,
+        ks_drift_between_sources,
+        tokenizer_fertility_by_lang,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma", None, "delta epsilon", None],
+            "lang": ["en", "en", "de", "de"],
+            "source": ["src0", "src0", "src1", "src1"],
+            "n_chars": [16, 0, 13, 0],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    assert flesch_reading_ease(spark, sf).count() >= 1
+    assert tokenizer_fertility_by_lang(spark, sf).count() >= 1
+    assert ks_drift_between_sources(spark, sf).count() >= 0
