@@ -37,7 +37,10 @@ BUDGETS = [
     # Round-7 additions: the heaviest new gate-window queries (the
     # inverted-index + connected-components composites). Warm sf0.01
     # times are ~1-3 s; caps at the same catastrophic-only altitude.
-    ("dedup_method_comparison", 30.0),
+    # (raised 30 -> 60 in round 8: the df-cap guard moved the warm
+    # sf0.01 time to ~8-11 s across the six-detector ladder; the cap
+    # stays catastrophic-only, not drift-sensitive)
+    ("dedup_method_comparison", 60.0),
     ("curation_pipeline_capstone", 30.0),
     ("dedup_keep_best_canonical", 30.0),
     # Round-8 additions (verdict r07 item #6): the two newly-headlined
