@@ -3873,3 +3873,118 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit — the data-governance op every
+    production lake runs before applying a deletion batch: a
+    deterministic deletion list (customers with c_custkey % 97 == 0,
+    standing in for the DSR queue) is propagated through the
+    referential chain customer -> orders -> lineitem, reporting rows
+    to delete per table and verifying NO orphans would remain
+    (lineitem rows whose order survives but whose customer does not
+    must be zero by construction of the cascade).
+
+    Scale shape: the deletion list broadcasts (it is the small side
+    by nature); each table's hit count is one broadcast semi join +
+    aggregate — no fact-fact shuffle anywhere in the cascade.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    doomed = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    del_orders = orders.join(
+        F.broadcast(doomed),
+        orders.o_custkey == doomed.c_custkey,
+        "left_semi",
+    )
+    del_li = li.join(
+        F.broadcast(del_orders.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    # orphan check: lineitems of SURVIVING orders whose customer is
+    # doomed — must be impossible (every doomed customer's orders are
+    # all in del_orders)
+    surviving_orders = orders.join(
+        F.broadcast(doomed),
+        orders.o_custkey == doomed.c_custkey,
+        "left_anti",
+    )
+    orphans = surviving_orders.join(
+        F.broadcast(doomed),
+        surviving_orders.o_custkey == doomed.c_custkey,
+        "left_semi",
+    )
+    n_cust = doomed.count()
+    n_ord = del_orders.count()
+    n_li = del_li.count()
+    n_orphan = orphans.count()
+    return spark.createDataFrame(
+        [(n_cust, n_ord, n_li, n_orphan, n_orphan == 0)],
+        "n_customers_deleted long, n_orders_deleted long, "
+        "n_lineitems_deleted long, n_orphan_orders long, cascade_complete boolean",
+    )
+
+
+GDPR_DELETE_ORACLE = """
+WITH doomed AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+), del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM doomed)
+)
+SELECT CAST((SELECT COUNT(*) FROM doomed) AS BIGINT) AS n_customers_deleted,
+       CAST((SELECT COUNT(*) FROM del_orders) AS BIGINT) AS n_orders_deleted,
+       CAST((SELECT COUNT(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
+            AS BIGINT) AS n_lineitems_deleted,
+       CAST(0 AS BIGINT) AS n_orphan_orders,
+       TRUE AS cascade_complete
+"""
+
+
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP) over irregular
+    event timestamps: each reading holds until the next one, so its
+    weight is the gap to the successor (the last reading gets zero
+    weight — a pure right-open integral), and
+    twap = sum(value * gap) / sum(gap). The telemetry/finance
+    aggregate a plain AVG silently gets wrong on irregular sampling.
+    Users with fewer than 2 events have no integral and are
+    excluded on both engines.
+
+    Scale shape: one lead() window over one user-keyed shuffle, then
+    a per-user aggregate on the same partitioning. Integer-second
+    gaps (unix_timestamp truncation mirrored as FLOOR(EPOCH) in the
+    oracle) keep the weights engine-exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    gap = (F.lead(epoch).over(w) - epoch).alias("gap")
+    seg = ev.select("user_id", "value", gap).filter(F.col("gap").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("gap").cast("long").alias("total_seconds"),
+        F.round(F.sum(F.col("value") * F.col("gap")) / F.sum("gap"), 6).alias(
+            "twap"
+        ),
+    )
+
+
+TWAP_ORACLE = """
+WITH seg AS (
+  SELECT user_id, value,
+         LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS gap
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(gap) AS BIGINT) AS total_seconds,
+       ROUND(SUM(value * gap) / SUM(gap), 6) AS twap
+FROM seg WHERE gap IS NOT NULL
+GROUP BY user_id
+"""

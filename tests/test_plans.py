@@ -178,6 +178,7 @@ _EXECUTING = {
         "aqe_coalesce_proof",        # needs the executed adaptive plan
         "cache_reuse_proof",         # persists + two bounded actions
         "kcore_decomposition",       # per-round eager checkpoints
+        "gdpr_delete_propagation",   # bounded counts at build time
     }
 }
 
