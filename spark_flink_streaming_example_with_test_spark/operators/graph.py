@@ -289,11 +289,15 @@ def label_propagation_communities(
         labels = winner.localCheckpoint(eager=True)
     # Self-loop-only nodes never entered sym (no neighbor to vote):
     # re-attach them with their own label so the output covers the
-    # full input node set. Anti-join on the tiny label frame — no
-    # extra full-edge shuffle.
+    # full input node set. A node can be missing from `labels` ONLY
+    # if it appears in `edges` exclusively as self-loops, so the
+    # recovery scans just the self-loop rows (a tiny filtered
+    # subset) — never a distinct over the full endpoint set, which
+    # would re-shuffle the whole 100 TB edge list to recover a
+    # handful of nodes.
     isolated = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
         .distinct()
         .join(labels, "node", "left_anti")
         .withColumn("label", F.col("node"))

@@ -3137,6 +3137,12 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort anywhere in the plan (pinned by tests/test_plans.py).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # NULL-raw rows (NULL text) are excluded EXPLICITLY on both
+    # engines: the equi-join on raw below would drop them silently
+    # on the Spark side (NULL != NULL) while the oracle's
+    # ROW_NUMBER would keep them — and with engine-divergent NULL
+    # ordering (Spark NULLS FIRST vs DuckDB NULLS LAST) there is no
+    # consistent rank to give them anyway.
     scored = docs.select(
         "source",
         "doc_id",
@@ -3144,7 +3150,7 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(F.split(F.lower("text"), " ")))
             / F.size(F.split(F.lower("text"), " "))
         ).alias("raw"),
-    )
+    ).filter(F.col("raw").isNotNull())
     vc = scored.groupBy("source", "raw").agg(F.count("*").alias("cnt"))
     w_vals = Window.partitionBy("source").orderBy("raw")
     cum = vc.select(
@@ -3179,6 +3185,7 @@ WITH scored AS (
          LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) * 1.0
            / LEN(STRING_SPLIT(LOWER(text), ' ')) AS raw
   FROM documents
+  WHERE text IS NOT NULL
 ), normed AS (
   SELECT source, raw,
          CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
@@ -3368,12 +3375,9 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _an_md5_nibble(h, i: int):
-    """i-th hex char of md5 string decoded to 0-15 (twin of
-    plans/llm.py _md5_nibble, local to avoid a cross-module import
-    for two call sites)."""
-    a = F.ascii(F.substring(h, i, 1))
-    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
+from spark_flink_streaming_example_with_test_spark.functions.hashing import (  # noqa: E402
+    md5_nibble as _an_md5_nibble,
+)
 
 
 SHARD_BALANCE_ORACLE = """
@@ -3768,23 +3772,45 @@ def aqe_coalesce_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate -> fewer tasks; the same job at full scale keeps
     all of them). The boolean is computed GENUINELY from the final
     adaptive plan AFTER the action runs (AQE plans are only final
-    post-execution); the KPI rows are exact.
+    post-execution); the KPI rows are exact. The shuffle-partition
+    and coalesce confs are SET AND RESTORED here (like the bloom /
+    DPP proof siblings) so the pinned property never depends on
+    ambient session config — a 1-partition session default would
+    otherwise leave nothing to coalesce and flip the boolean for
+    reasons unrelated to the property.
 
     Bounded collect: the per-type rollup (5 rows).
     """
-    ev = load_table(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
-        F.count("*").cast("long").alias("n"),
-        F.round(F.sum("value"), 2).alias("total_value"),
-    )
-    rows = agg.collect()
-    plan = agg._jdf.queryExecution().executedPlan().toString()
-    coalesced = "AQEShuffleRead coalesced" in plan
-    return spark.createDataFrame(
-        [(r["event_type"], r["n"], r["total_value"], coalesced) for r in rows],
-        "event_type string, n long, total_value double, "
-        "aqe_coalesced boolean",
-    )
+    confs = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = load_table(spark, sf_dir, "events")
+        agg = ev.groupBy("event_type").agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        coalesced = "AQEShuffleRead coalesced" in plan
+        return spark.createDataFrame(
+            [
+                (r["event_type"], r["n"], r["total_value"], coalesced)
+                for r in rows
+            ],
+            "event_type string, n long, total_value double, "
+            "aqe_coalesced boolean",
+        )
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 AQE_COALESCE_ORACLE = """
@@ -3881,13 +3907,19 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic deletion list (customers with c_custkey % 97 == 0,
     standing in for the DSR queue) is propagated through the
     referential chain customer -> orders -> lineitem, reporting rows
-    to delete per table and verifying NO orphans would remain
-    (lineitem rows whose order survives but whose customer does not
-    must be zero by construction of the cascade).
+    to delete per table. ``cascade_complete`` is a genuine
+    cross-derivation check, not a tautology: the lineitem deletion
+    set is derived a SECOND, independent way (one two-hop
+    lineitem -> orders -> doomed join, never touching the cascade's
+    own ``del_orders`` intermediate), and the two counts must agree
+    — a wrong join key or a missed hop in either path flips the
+    boolean.
 
     Scale shape: the deletion list broadcasts (it is the small side
     by nature); each table's hit count is one broadcast semi join +
-    aggregate — no fact-fact shuffle anywhere in the cascade.
+    aggregate — no fact-fact shuffle anywhere in the cascade (the
+    verification path joins lineitem to the orders KEY PAIRS, a
+    2-column projection, not the fact rows).
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -3903,27 +3935,28 @@ def gdpr_delete_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.l_orderkey == F.col("o_orderkey"),
         "left_semi",
     )
-    # orphan check: lineitems of SURVIVING orders whose customer is
-    # doomed — must be impossible (every doomed customer's orders are
-    # all in del_orders)
-    surviving_orders = orders.join(
-        F.broadcast(doomed),
-        orders.o_custkey == doomed.c_custkey,
-        "left_anti",
-    )
-    orphans = surviving_orders.join(
-        F.broadcast(doomed),
-        surviving_orders.o_custkey == doomed.c_custkey,
-        "left_semi",
+    # Independent second derivation of the lineitem deletion set:
+    # lineitem -> (o_orderkey, o_custkey) pairs -> doomed, without
+    # going through del_orders.
+    doomed_li_direct = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(doomed), F.col("o_custkey") == doomed.c_custkey, "left_semi"
+        )
     )
     n_cust = doomed.count()
     n_ord = del_orders.count()
     n_li = del_li.count()
-    n_orphan = orphans.count()
+    n_li_direct = doomed_li_direct.count()
     return spark.createDataFrame(
-        [(n_cust, n_ord, n_li, n_orphan, n_orphan == 0)],
+        [(n_cust, n_ord, n_li, n_li_direct, n_li == n_li_direct)],
         "n_customers_deleted long, n_orders_deleted long, "
-        "n_lineitems_deleted long, n_orphan_orders long, cascade_complete boolean",
+        "n_lineitems_deleted long, n_lineitems_direct long, "
+        "cascade_complete boolean",
     )
 
 
@@ -3939,7 +3972,10 @@ SELECT CAST((SELECT COUNT(*) FROM doomed) AS BIGINT) AS n_customers_deleted,
        CAST((SELECT COUNT(*) FROM lineitem
              WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders))
             AS BIGINT) AS n_lineitems_deleted,
-       CAST(0 AS BIGINT) AS n_orphan_orders,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_custkey IN (SELECT c_custkey FROM doomed))
+            AS BIGINT) AS n_lineitems_direct,
        TRUE AS cascade_complete
 """
 
@@ -3952,7 +3988,11 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     twap = sum(value * gap) / sum(gap). The telemetry/finance
     aggregate a plain AVG silently gets wrong on irregular sampling.
     Users with fewer than 2 events have no integral and are
-    excluded on both engines.
+    excluded on both engines — as are users whose events all share
+    one truncated epoch second (total gap 0): their 0/0 would be
+    NULL on Spark but NaN on DuckDB (the same divergence
+    quantile_normalize_scores guards), so the zero-integral case is
+    filtered identically on both sides.
 
     Scale shape: one lead() window over one user-keyed shuffle, then
     a per-user aggregate on the same partitioning. Integer-second
@@ -3964,12 +4004,16 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch = F.unix_timestamp("ts")
     gap = (F.lead(epoch).over(w) - epoch).alias("gap")
     seg = ev.select("user_id", "value", gap).filter(F.col("gap").isNotNull())
-    return seg.groupBy("user_id").agg(
-        F.count("*").cast("long").alias("n_segments"),
-        F.sum("gap").cast("long").alias("total_seconds"),
-        F.round(F.sum(F.col("value") * F.col("gap")) / F.sum("gap"), 6).alias(
-            "twap"
-        ),
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_segments"),
+            F.sum("gap").cast("long").alias("total_seconds"),
+            F.round(
+                F.sum(F.col("value") * F.col("gap")) / F.sum("gap"), 6
+            ).alias("twap"),
+        )
+        .filter(F.col("total_seconds") > 0)
     )
 
 
@@ -3987,4 +4031,5 @@ SELECT user_id,
        ROUND(SUM(value * gap) / SUM(gap), 6) AS twap
 FROM seg WHERE gap IS NOT NULL
 GROUP BY user_id
+HAVING SUM(gap) > 0
 """

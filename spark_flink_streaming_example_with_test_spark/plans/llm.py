@@ -22,20 +22,12 @@ from spark_flink_streaming_example_with_test_spark.sources.tables import load_ta
 HOT_GRAM_DF_CAP = dd.DEFAULT_MAX_GRAM_DF
 
 
-def _md5_nibble(h, i: int):
-    """Spark column: i-th hex char of md5 string ``h`` decoded to its
-    0-15 value (digit -> ascii-48, a-f -> ascii-87). Raw-ascii
-    arithmetic like (a1*256+a2) % 2^k annihilates the leading chars
-    (256 % 2^k == 0 for k <= 8) — always decode nibbles before
-    combining them into bucket or uniform values."""
-    a = F.ascii(F.substring(h, i, 1))
-    return a - F.when(a >= 97, F.lit(87)).otherwise(F.lit(48))
-
-
-def _md5_nibble_sql(h_expr: str, i: int) -> str:
-    """DuckDB twin of _md5_nibble (identical arithmetic)."""
-    c = f"ASCII(SUBSTR({h_expr}, {i}, 1))"
-    return f"({c} - CASE WHEN {c} >= 97 THEN 87 ELSE 48 END)"
+# md5-nibble decode lives in functions/hashing.py (shared with
+# plans/analytics.py); kept under the historical private aliases.
+from spark_flink_streaming_example_with_test_spark.functions.hashing import (  # noqa: E402
+    md5_nibble as _md5_nibble,
+    md5_nibble_sql as _md5_nibble_sql,
+)
 
 
 # --- Deduplication ----------------------------------------------------
@@ -4906,26 +4898,36 @@ FROM lists
 def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar-quantization error audit — the accept/reject
     measurement before shipping a 4x-smaller quantized index:
-    per-dimension symmetric scales s_d = max|x_d| / 127 from one
-    corpus pass, every component quantized to round(x/s_d) clamped
-    to [-127, 127] and dequantized, then per-label reconstruction
-    stats (MSE, max absolute error, share of clamped components).
+    per-dimension symmetric scales s_d = max|x_d| / 127 derived
+    from a CALIBRATION SAMPLE (even vec_ids — the production shape,
+    where scales are fit once on a sample and applied to the full,
+    still-growing corpus), every component quantized to
+    round(x/s_d) clamped to [-127, 127] and dequantized, then
+    per-label reconstruction stats (MSE, max absolute error,
+    clamped-component count). Deriving scales from the full data
+    would make clamping impossible by construction (nothing exceeds
+    its own max) and the clamp column a dead diagnostic; the
+    held-out split is what makes out-of-range saturation a real,
+    measurable event.
 
     Scale shape: the scale table is one 64-row
-    map-side-combinable aggregate broadcast back; the error pass is
-    posexplode + per-label aggregate — two narrow shuffles, nothing
-    quadratic. Zero-scale (dead) dimensions quantize to 0 exactly
-    and contribute zero error by construction.
+    map-side-combinable aggregate over the sample, broadcast back;
+    the error pass is posexplode + per-label aggregate — two narrow
+    shuffles, nothing quadratic. Zero-scale (dead-in-sample)
+    dimensions quantize to 0 exactly.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     pos = emb.select(
+        "vec_id",
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "pos", "x"
         ),
     )
-    scales = pos.groupBy("pos").agg(
-        (F.max(F.abs(F.col("x"))) / 127.0).alias("s")
+    scales = (
+        pos.filter(F.col("vec_id") % 2 == 0)
+        .groupBy("pos")
+        .agg((F.max(F.abs(F.col("x"))) / 127.0).alias("s"))
     )
     q = F.when(
         F.col("s") > 0,
@@ -4954,11 +4956,12 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_INT8_QUANT_ORACLE = """
 WITH pos AS (
-  SELECT label, i - 1 AS pos, v[i] AS x FROM (
-    SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id, label, i - 1 AS pos, v[i] AS x FROM (
+    SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
   ), (SELECT UNNEST(RANGE(1, 65)) AS i)
 ), scales AS (
-  SELECT pos, MAX(ABS(x)) / 127.0 AS s FROM pos GROUP BY pos
+  SELECT pos, MAX(ABS(x)) / 127.0 AS s FROM pos
+  WHERE vec_id % 2 = 0 GROUP BY pos
 ), joined AS (
   SELECT p.label, p.x,
          CASE WHEN sc.s > 0
@@ -4992,8 +4995,14 @@ def ks_drift_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    two = docs.filter(F.col("source").isin("src0", "src1")).select(
-        "source", F.size(F.split(F.lower("text"), " ")).alias("v")
+    # NULL lengths (NULL text) are excluded on BOTH engines: the
+    # cumulative window's NULL placement differs (Spark ASC = NULLS
+    # FIRST, DuckDB = NULLS LAST), which would shift the two CDFs
+    # differently — and a NULL length is not a sample point anyway.
+    two = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.size(F.split(F.lower("text"), " ")).alias("v"))
+        .filter(F.col("v").isNotNull())
     )
     per_val = two.groupBy("v").agg(
         F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
@@ -5025,7 +5034,8 @@ def ks_drift_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 KS_DRIFT_ORACLE = """
 WITH two AS (
   SELECT source, LEN(STRING_SPLIT(LOWER(text), ' ')) AS v
-  FROM documents WHERE source IN ('src0', 'src1')
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL
 ), per_val AS (
   SELECT v,
          COUNT(*) FILTER (WHERE source = 'src0') AS c0,

@@ -66,14 +66,18 @@ def test_anomaly_run_lengths_hand_example(spark, tmp_path):
     assert out[7].n_high_events == 3
 
 
-def test_int8_quant_zero_scale_dimension_no_nan(spark, tmp_path):
-    """A dimension that is 0 everywhere has scale 0: quantized
-    output must be exactly 0 with zero error — never NaN from 0/0."""
+def test_int8_quant_zero_scale_and_out_of_sample_clamp(spark, tmp_path):
+    """Calibration-sample scales (even vec_ids) applied to held-out
+    vectors: a zero-in-calibration dimension quantizes to exactly 0
+    (never NaN from 0/0), and a held-out component EXCEEDING the
+    calibration max must clamp to the int8 ceiling — the genuine
+    out-of-range saturation the audit exists to count (with
+    full-data scales, clamping is impossible by construction)."""
     from spark_flink_streaming_example_with_test_spark.plans.llm import embedding_int8_quant_error
 
     vecs = [
-        [0.0, 1.0, -2.0] + [0.5] * 61,
-        [0.0, -1.0, 2.0] + [0.25] * 61,
+        [0.0, 1.0, -2.0] + [0.5] * 61,   # vec 0: the calibration sample
+        [0.0, 3.0, 2.0] + [0.25] * 61,   # vec 1: held out; dim1=3 > cal max 1
     ]
     pd.DataFrame(
         {"vec_id": [0, 1], "embedding": vecs, "label": [0, 0]}
@@ -82,9 +86,10 @@ def test_int8_quant_zero_scale_dimension_no_nan(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r.n_components == 128
-    assert r.mse == r.mse  # not NaN
-    assert r.mse < 1e-3  # int8 on [-2, 2] has tiny reconstruction error
-    assert r.n_clamped == 0
+    assert r.mse == r.mse  # not NaN (dim0 scale is 0)
+    assert r.n_clamped == 1  # exactly the planted out-of-range dim
+    # the clamped component saturates at the calibration max: 3.0 -> 1.0
+    assert abs(r.max_abs_err - 2.0) < 1e-9
 
 
 def test_ks_drift_identical_distributions_zero(spark, tmp_path):
