@@ -2126,36 +2126,52 @@ def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map-side-combinable per-order aggregate over
     lineitem, then a key-partitioned left join against the header —
-    never a row-level fact-to-fact comparison."""
+    never a row-level fact-to-fact comparison.
+
+    Numeric posture (round-8 fix, found by the sf0.1 parity hunt):
+    the band-level delta total accumulates as EXACT INTEGER CENTS
+    (per-order |header - calc| is a 2-decimal double, so x100
+    rounds to an exact long) — a plain double SUM over ~10^5 orders
+    at ~2x10^10 total magnitude carries order-of-association FP
+    error past the 2-decimal output precision and diverges between
+    Spark's partial sums and DuckDB's sequential sum (observed:
+    ...124.78 vs ...124.76 at sf0.1)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Exact integer line amounts (the q1 pattern): the fixture's
+    # price/discount/tax/header columns are all 2-decimal, so
+    # cents x pct x pct is an exact long in 1e-6-dollar units and
+    # EVERY comparison below is pure integer arithmetic — the
+    # original double-product sums and the inner ROUND(x, 2) both
+    # diverged between Spark and DuckDB at sf0.1 (order-dependent
+    # partial sums; shortest-string vs binary half-cent rounding).
+    # The per-order delta rounds to cents via integer half-up
+    # ((micro + 5000) -> floor / 10000), identical on both engines
+    # by construction.
+    price_cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100, 0).cast("long")
+    line_micro = price_cents * (100 - disc_pct) * (100 + tax_pct)
     calc = li.groupBy("l_orderkey").agg(
-        F.round(
-            F.sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ),
-            2,
-        ).alias("calc_total")
+        F.sum(line_micro).alias("calc_micro")
     )
-    rel_dev = F.abs(F.col("o_totalprice") - F.col("calc_total")) / F.col(
-        "o_totalprice"
+    o_micro = (
+        F.round(F.col("o_totalprice") * 100, 0).cast("long") * 10000
     )
+    delta_micro = F.abs(o_micro - F.coalesce("calc_micro", F.lit(0)))
+    rel_dev = delta_micro / o_micro
     status = (
-        F.when(F.col("calc_total").isNull(), "no_lineitems")
+        F.when(F.col("calc_micro").isNull(), "no_lineitems")
         .when(rel_dev <= 0.25, "within_25pct")
         .otherwise("beyond_25pct")
     )
+    delta_cents = F.floor((delta_micro + 5000) / 10000).cast("long")
     return (
         orders.join(calc, orders.o_orderkey == calc.l_orderkey, "left")
         .groupBy(status.alias("status"))
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(
-                F.sum(F.abs(F.col("o_totalprice") - F.coalesce("calc_total", F.lit(0.0)))),
-                2,
-            ).alias("total_abs_delta"),
+            (F.sum(delta_cents) / 100.0).alias("total_abs_delta"),
         )
     )
 
@@ -2163,19 +2179,26 @@ def dq_reconcile_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_RECONCILE_ORACLE = """
 WITH calc AS (
   SELECT l_orderkey,
-         ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-           AS calc_total
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100, 0) AS BIGINT))
+             * (100 + CAST(ROUND(l_tax * 100, 0) AS BIGINT))) AS calc_micro
   FROM lineitem GROUP BY l_orderkey
+), d AS (
+  SELECT CASE WHEN calc_micro IS NULL THEN 'no_lineitems'
+              WHEN ABS(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000
+                       - COALESCE(calc_micro, 0)) * 1.0
+                   / (CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000)
+                   <= 0.25
+                   THEN 'within_25pct'
+              ELSE 'beyond_25pct' END AS status,
+         CAST(FLOOR((ABS(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 10000
+                         - COALESCE(calc_micro, 0)) + 5000) / 10000.0)
+              AS BIGINT) AS delta_cents
+  FROM orders LEFT JOIN calc ON orders.o_orderkey = calc.l_orderkey
 )
-SELECT CASE WHEN calc_total IS NULL THEN 'no_lineitems'
-            WHEN ABS(o_totalprice - calc_total) / o_totalprice <= 0.25
-                 THEN 'within_25pct'
-            ELSE 'beyond_25pct' END AS status,
-       COUNT(*) AS n_orders,
-       ROUND(SUM(ABS(o_totalprice - COALESCE(calc_total, 0.0))), 2)
-         AS total_abs_delta
-FROM orders LEFT JOIN calc ON orders.o_orderkey = calc.l_orderkey
-GROUP BY 1
+SELECT status, COUNT(*) AS n_orders,
+       SUM(delta_cents) / 100.0 AS total_abs_delta
+FROM d GROUP BY status
 """
 
 
