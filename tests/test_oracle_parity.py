@@ -20,11 +20,17 @@ ROWS_ONLY_NAMES = [n for n, s in QUERIES.items() if not s.oracle]
 
 @pytest.fixture(scope="module")
 def duck():
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
+        path = f"{SF_DIR}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # replica-scale fixtures); the driver fixtures are single
+        # files — glob accordingly so the same sweep runs on both.
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     yield con
     con.close()
 
