@@ -3376,6 +3376,12 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pure per-row expression + one 32-row map-side
     combinable aggregate; the imbalance window runs over 32 rows.
+    Share and imbalance round via PURE INTEGER half-up arithmetic
+    ((2p + q) div 2q at the target scale): ROUND(n/total, 6) of
+    small-integer ratios lands EXACTLY on decimal half boundaries
+    (found by the x4-replica parity hunt: 77706/2400000 =
+    0.0323775), where Spark's shortest-decimal-string rounding and
+    DuckDB's binary rounding disagree by one ulp of the last digit.
     """
     ev = load_table(spark, sf_dir, "events")
     h = F.md5(F.col("user_id").cast("string"))
@@ -3386,15 +3392,18 @@ def shard_assignment_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ev.select(bucket).groupBy("bucket").agg(
         F.count("*").alias("n_rows")
     )
-    return per.select(
-        F.col("bucket").cast("int").alias("bucket"),
-        F.col("n_rows").cast("long").alias("n_rows"),
-        F.round(F.col("n_rows") / F.sum("n_rows").over(total), 6).alias(
-            "share"
-        ),
-        F.round(
-            F.max("n_rows").over(total) / F.avg("n_rows").over(total), 4
-        ).alias("imbalance_factor"),
+    withtot = per.select(
+        "bucket",
+        "n_rows",
+        F.sum("n_rows").over(total).alias("tot"),
+        F.max("n_rows").over(total).alias("mx"),
+        F.count("*").over(total).alias("nb"),
+    )
+    return withtot.selectExpr(
+        "CAST(bucket AS INT) AS bucket",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "((n_rows * 2000000 + tot) div (2 * tot)) / 1e6 AS share",
+        "((mx * nb * 20000 + tot) div (2 * tot)) / 1e4 AS imbalance_factor",
     )
 
 
@@ -3414,13 +3423,18 @@ WITH b AS (
   FROM events
 ), per AS (
   SELECT bucket, COUNT(*) AS n_rows FROM b GROUP BY bucket
+), w AS (
+  SELECT bucket, n_rows,
+         CAST(SUM(n_rows) OVER () AS BIGINT) AS tot,
+         CAST(MAX(n_rows) OVER () AS BIGINT) AS mx,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nb
+  FROM per
 )
 SELECT CAST(bucket AS INTEGER) AS bucket,
        CAST(n_rows AS BIGINT) AS n_rows,
-       ROUND(n_rows * 1.0 / SUM(n_rows) OVER (), 6) AS share,
-       ROUND(MAX(n_rows) OVER () * 1.0 / AVG(n_rows) OVER (), 4)
-         AS imbalance_factor
-FROM per
+       ((n_rows * 2000000 + tot) // (2 * tot)) / 1e6 AS share,
+       ((mx * nb * 20000 + tot) // (2 * tot)) / 1e4 AS imbalance_factor
+FROM w
 """
 
 

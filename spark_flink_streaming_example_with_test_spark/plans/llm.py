@@ -1956,6 +1956,14 @@ def quality_prune_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one window over the per-source frame (single
     hash-partitioned shuffle on source) plus a map-side-combinable
     final aggregate; no corpus-sized join anywhere.
+
+    Numeric posture (round-8, found by the x4-replica parity hunt):
+    ``avg_kept_q`` averages 4-decimal scores, so the mean over k
+    docs can land EXACTLY on a 7th-decimal half boundary where
+    Spark's shortest-string ROUND and DuckDB's binary ROUND
+    disagree. The scores are exact at 1e-4, so the average rounds
+    via PURE INTEGER half-up arithmetic instead ((2p + q) div 2q at
+    1e-6 scale) — identical on both engines at any corpus size.
     """
     docs = load_table(spark, sf_dir, "documents")
     scored = docs.select(
@@ -1967,11 +1975,25 @@ def quality_prune_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = scored.withColumn("pr", F.percent_rank().over(w)).withColumn(
         "kept", F.col("pr") >= 0.2
     )
-    return pruned.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(F.col("kept").cast("long")).alias("kept_docs"),
-        F.min(F.when(F.col("kept"), F.col("n_tokens"))).alias("min_kept_tokens"),
-        F.round(F.avg(F.when(F.col("kept"), F.col("q"))), 6).alias("avg_kept_q"),
+    q4 = F.round(F.col("q") * 10000, 0).cast("long")
+    return (
+        pruned.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("kept_docs"),
+            F.min(F.when(F.col("kept"), F.col("n_tokens"))).alias(
+                "min_kept_tokens"
+            ),
+            F.sum(F.when(F.col("kept"), q4)).alias("sum_q4"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "kept_docs",
+            "min_kept_tokens",
+            "((sum_q4 * 200 + kept_docs) div (2 * kept_docs)) / 1e6"
+            "  AS avg_kept_q",
+        )
     )
 
 
@@ -1989,7 +2011,12 @@ WITH scored AS (
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
        MIN(CASE WHEN kept THEN n_tokens END) AS min_kept_tokens,
-       ROUND(AVG(CASE WHEN kept THEN q END), 6) AS avg_kept_q
+       ((CAST(SUM(CASE WHEN kept
+                       THEN CAST(ROUND(q * 10000, 0) AS BIGINT) END)
+              AS BIGINT) * 200
+         + CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT))
+        // (2 * CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)))
+       / 1e6 AS avg_kept_q
 FROM pruned GROUP BY source
 """
 
