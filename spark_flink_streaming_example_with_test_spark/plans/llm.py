@@ -4879,17 +4879,22 @@ def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists = assigned.groupBy("cent_id").agg(
         F.count("*").alias("n_vectors")
     )
-    return lists.select(
-        F.col("cent_id").cast("int").alias("cent_id"),
-        F.col("n_vectors").cast("long").alias("n_vectors"),
-        F.round(
-            F.col("n_vectors") / F.sum("n_vectors").over(total), 6
-        ).alias("share"),
-        F.round(
-            F.max("n_vectors").over(total)
-            / F.avg("n_vectors").over(total),
-            4,
-        ).alias("imbalance_factor"),
+    # Integer half-up rounding for the small-integer ratios — the
+    # same decimal half-boundary ROUND divergence the x4-replica
+    # hunt caught in shard_assignment_balance's identical
+    # construction (ROUND(n/total, 6) lands exactly on .xxxxxx5).
+    withtot = lists.select(
+        "cent_id",
+        "n_vectors",
+        F.sum("n_vectors").over(total).alias("tot"),
+        F.max("n_vectors").over(total).alias("mx"),
+        F.count("*").over(total).alias("nl"),
+    )
+    return withtot.selectExpr(
+        "CAST(cent_id AS INT) AS cent_id",
+        "CAST(n_vectors AS BIGINT) AS n_vectors",
+        "((n_vectors * 2000000 + tot) div (2 * tot)) / 1e6 AS share",
+        "((mx * nl * 20000 + tot) div (2 * tot)) / 1e4 AS imbalance_factor",
     )
 
 
@@ -4912,13 +4917,18 @@ WITH e AS (
   ) WHERE rn = 1
 ), lists AS (
   SELECT cent_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cent_id
+), w AS (
+  SELECT cent_id, n_vectors,
+         CAST(SUM(n_vectors) OVER () AS BIGINT) AS tot,
+         CAST(MAX(n_vectors) OVER () AS BIGINT) AS mx,
+         CAST(COUNT(*) OVER () AS BIGINT) AS nl
+  FROM lists
 )
 SELECT CAST(cent_id AS INTEGER) AS cent_id,
        CAST(n_vectors AS BIGINT) AS n_vectors,
-       ROUND(n_vectors * 1.0 / SUM(n_vectors) OVER (), 6) AS share,
-       ROUND(MAX(n_vectors) OVER () * 1.0 / AVG(n_vectors) OVER (), 4)
-         AS imbalance_factor
-FROM lists
+       ((n_vectors * 2000000 + tot) // (2 * tot)) / 1e6 AS share,
+       ((mx * nl * 20000 + tot) // (2 * tot)) / 1e4 AS imbalance_factor
+FROM w
 """
 
 
