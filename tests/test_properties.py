@@ -607,3 +607,40 @@ def test_dataset_checksum_detects_single_row_change(spark, tmp_path):
     c2 = dataset_checksum_compare(spark, str(d2)).first()
     assert c1.checksums_match and c2.checksums_match  # self-roundtrip
     assert c1.checksum_orig != c2.checksum_orig      # cross-dataset
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**7),
+            st.integers(min_value=1, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_integer_half_up_rounding_matches_decimal(spark, pairs):
+    """The (2p*10^k + q) div (2q) / 10^k integer rounding used by
+    shard_assignment_balance / ivf_list_balance / quality_prune
+    must equal exact decimal round-half-up of p/q at 6 places for
+    ANY p/q — including the exact half-boundary ratios where
+    Spark's string-based ROUND and DuckDB's binary ROUND diverge
+    (the x4-replica finding this construction exists to kill)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    df = spark.createDataFrame(pairs, "p long, q long")
+    got = {
+        (r.p, r.q): r.share
+        for r in df.selectExpr(
+            "p", "q", "((p * 2000000 + q) div (2 * q)) / 1e6 AS share"
+        ).collect()
+    }
+    for p, q in pairs:
+        expected = float(
+            (Decimal(p) / Decimal(q)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[(p, q)] == expected, (p, q, got[(p, q)], expected)
