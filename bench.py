@@ -54,6 +54,23 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
+    # Round-over-round continuity: the headline set was extended in
+    # round 8 (method comparison, bucketed range join, hybrid RRF),
+    # so the grand total is not comparable to rounds 1-7 on its
+    # face. legacy16_total re-sums exactly the original 16-query
+    # set for direct comparison against BENCH_r01..r07.
+    legacy16 = (
+        "dedup_minhash_lsh", "q1_pricing_summary", "dedup_exact_docs",
+        "similarity_topk_cosine", "text_quality_scores", "token_counts_top",
+        "sessionize_events", "activity_windowed_count", "events_json_kpi",
+        "session_windows_per_user", "q3_shipping_priority",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "topk_orders_per_customer", "asof_last_click_before_purchase",
+        "q9_product_type_profit",
+    )
+    legacy16_total = round(
+        sum(timings[q] for q in legacy16 if q in timings), 3
+    )
     print(
         json.dumps(
             {
@@ -61,6 +78,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "legacy16_total": legacy16_total,
                 "sf": sf,
             }
         )
