@@ -4437,13 +4437,18 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs")
     )
     w = Window.partitionBy("true_lang")
+    # Integer half-up rounding of the count ratio (the x4-replica
+    # half-boundary class — see shard_assignment_balance).
     return cells.select(
         "true_lang",
         "predicted_lang",
         "n_docs",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias(
-            "share_of_true"
-        ),
+        F.sum("n_docs").over(w).alias("tot"),
+    ).selectExpr(
+        "true_lang",
+        "predicted_lang",
+        "n_docs",
+        "((n_docs * 20000 + tot) div (2 * tot)) / 1e4 AS share_of_true",
     )
 
 
@@ -4464,7 +4469,8 @@ WITH pred AS (
   FROM pred GROUP BY 1, 2
 )
 SELECT true_lang, predicted_lang, n_docs,
-       ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY true_lang), 4)
+       ((n_docs * 20000 + SUM(n_docs) OVER (PARTITION BY true_lang))
+        // (2 * SUM(n_docs) OVER (PARTITION BY true_lang))) / 1e4
          AS share_of_true
 FROM cells
 """
@@ -4824,14 +4830,15 @@ def padding_waste_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "padded_tokens"
             ),
         )
-        .select(
+        .selectExpr(
             "band_max",
             "n_docs",
             "real_tokens",
             "padded_tokens",
-            F.round(
-                1.0 - F.col("real_tokens") / F.col("padded_tokens"), 6
-            ).alias("waste_frac"),
+            # integer half-up of (padded-real)/padded at 1e-6 (the
+            # x4-replica ROUND half-boundary class)
+            "((padded_tokens - real_tokens) * 2000000 + padded_tokens)"
+            " div (2 * padded_tokens) / 1e6 AS waste_frac",
         )
     )
 
@@ -4847,8 +4854,9 @@ WITH banded AS (
 SELECT band_max, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS real_tokens,
        CAST(COUNT(*) * band_max AS BIGINT) AS padded_tokens,
-       ROUND(1.0 - SUM(n_tokens) * 1.0 / (COUNT(*) * band_max), 6)
-         AS waste_frac
+       ((COUNT(*) * band_max - SUM(n_tokens)) * 2000000
+        + COUNT(*) * band_max)
+       // (2 * COUNT(*) * band_max) / 1e6 AS waste_frac
 FROM banded GROUP BY band_max
 """
 
@@ -5047,24 +5055,35 @@ def ks_drift_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
+    # The KS sup-norm is computed as an EXACT integer numerator
+    # (|cum0*n1 - cum1*n0| over the common denominator n0*n1) and
+    # rounded via integer half-up arithmetic — |f0 - f1| is a
+    # rational of small integers, the x4-replica half-boundary
+    # class. The drift comparison uses the unrounded rational.
     cdf = per_val.select(
         "v",
-        (F.sum("c0").over(w) / F.sum("c0").over(tot)).alias("f0"),
-        (F.sum("c1").over(w) / F.sum("c1").over(tot)).alias("f1"),
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
         F.sum("c0").over(tot).alias("n0"),
         F.sum("c1").over(tot).alias("n1"),
     )
-    return cdf.groupBy("n0", "n1").agg(
-        F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 6).alias("ks_stat")
-    ).select(
-        F.col("n0").cast("long").alias("n_src0"),
-        F.col("n1").cast("long").alias("n_src1"),
-        "ks_stat",
-        (
-            F.col("ks_stat")
-            > 1.358
-            * F.sqrt((F.col("n0") + F.col("n1")) / (F.col("n0") * F.col("n1")))
-        ).alias("drift_detected"),
+    return (
+        cdf.groupBy("n0", "n1")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                )
+            ).alias("dnum")
+        )
+        .selectExpr(
+            "CAST(n0 AS BIGINT) AS n_src0",
+            "CAST(n1 AS BIGINT) AS n_src1",
+            "((dnum * 2000000 + n0 * n1) div (2 * n0 * n1)) / 1e6"
+            "  AS ks_stat",
+            "(dnum / (n0 * n1)) >"
+            "  1.358 * SQRT((n0 + n1) / (n0 * n1 * 1.0)) AS drift_detected",
+        )
     )
 
 
@@ -5080,18 +5099,21 @@ WITH two AS (
   FROM two GROUP BY v
 ), cdf AS (
   SELECT v,
-         SUM(c0) OVER (ORDER BY v) * 1.0 / SUM(c0) OVER () AS f0,
-         SUM(c1) OVER (ORDER BY v) * 1.0 / SUM(c1) OVER () AS f1,
-         SUM(c0) OVER () AS n0,
-         SUM(c1) OVER () AS n1
+         CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS cum0,
+         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+         CAST(SUM(c0) OVER () AS BIGINT) AS n0,
+         CAST(SUM(c1) OVER () AS BIGINT) AS n1
   FROM per_val
+), agg AS (
+  SELECT n0, n1, MAX(ABS(cum0 * n1 - cum1 * n0)) AS dnum
+  FROM cdf GROUP BY n0, n1
 )
 SELECT CAST(n0 AS BIGINT) AS n_src0,
        CAST(n1 AS BIGINT) AS n_src1,
-       ROUND(MAX(ABS(f0 - f1)), 6) AS ks_stat,
-       ROUND(MAX(ABS(f0 - f1)), 6)
+       ((dnum * 2000000 + n0 * n1) // (2 * n0 * n1)) / 1e6 AS ks_stat,
+       (dnum * 1.0 / (n0 * n1))
          > 1.358 * SQRT((n0 + n1) * 1.0 / (n0 * n1)) AS drift_detected
-FROM cdf GROUP BY n0, n1
+FROM agg
 """
 
 
@@ -5167,15 +5189,24 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.octet_length("text").alias("n_bytes"),
     )
-    return per.groupBy("lang").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
-            "chars_per_token"
-        ),
-        F.round(F.sum("n_bytes") / F.sum("n_tokens"), 4).alias(
-            "bytes_per_token"
-        ),
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            # integer half-up ratios (x4-replica half-boundary class)
+            "((total_chars * 20000 + total_tokens)"
+            " div (2 * total_tokens)) / 1e4 AS chars_per_token",
+            "((total_bytes * 20000 + total_tokens)"
+            " div (2 * total_tokens)) / 1e4 AS bytes_per_token",
+        )
     )
 
 
@@ -5184,11 +5215,13 @@ SELECT lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT)
          AS total_tokens,
-       ROUND(SUM(LEN(text)) * 1.0
-             / SUM(LEN(STRING_SPLIT(LOWER(text), ' '))), 4)
-         AS chars_per_token,
-       ROUND(SUM(OCTET_LENGTH(ENCODE(text))) * 1.0
-             / SUM(LEN(STRING_SPLIT(LOWER(text), ' '))), 4)
-         AS bytes_per_token
+       ((CAST(SUM(LEN(text)) AS BIGINT) * 20000
+         + CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT))
+        // (2 * CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT)))
+       / 1e4 AS chars_per_token,
+       ((CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) * 20000
+         + CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT))
+        // (2 * CAST(SUM(LEN(STRING_SPLIT(LOWER(text), ' '))) AS BIGINT)))
+       / 1e4 AS bytes_per_token
 FROM documents GROUP BY lang
 """
