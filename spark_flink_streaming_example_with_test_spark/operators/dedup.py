@@ -356,6 +356,15 @@ def _gram_pair_intersections(
     # cost at sf0.1). MEMORY_AND_DISK: the exploded index spills
     # rather than OOMs at scale, and one materialization still beats
     # four recomputes.
+    # No explicit unpersist (deliberate): callers compose this frame
+    # lazily into larger plans, so there is no safe point inside this
+    # function to release it — the same LRU reliance as the shingled
+    # persist above. Spark's block manager evicts persisted blocks
+    # LRU under memory pressure, and catalog-wide sweeps (250+ query
+    # fns per session, ~6 users of this family) stay bounded because
+    # each sweep runs one query per fresh plan; long-lived sessions
+    # that call this repeatedly can reclaim eagerly via
+    # spark.catalog.clearCache() between queries.
     w_gram = Window.partitionBy("gram")
     inv_f = inv.withColumn("df", F.count("*").over(w_gram)).persist(
         StorageLevel.MEMORY_AND_DISK

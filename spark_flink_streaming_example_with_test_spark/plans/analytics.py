@@ -3908,6 +3908,17 @@ def lateral_column_alias_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     the subquery-wrapping boilerplate of derived-column chains.
     The oracle repeats the expressions (DuckDB resolves lateral
     aliases natively too, so the same text shape works there).
+
+    ``high_share`` is emitted via the repo's exact-integer half-up
+    construction ``(2·num·10^6 + den) div (2·den) / 1e6`` rather than
+    ``ROUND(num * 1.0 / n, 6)``: the latter makes Spark's SQL front-end
+    emit ``decimal(29,6)`` (the only decimal-emitting query in the
+    catalog, and the round-8 driver's only hash mismatch — the DuckDB
+    oracle emits DOUBLE, values equal, strings differ). The integer
+    form stays in BIGINT until the final ``/1e6`` so both engines emit
+    bit-identical DOUBLE and no half-boundary ROUND divergence exists.
+    The lateral references (``n_high``, ``n``) are preserved — they are
+    the feature under test.
     """
     import uuid
 
@@ -3918,7 +3929,7 @@ def lateral_column_alias_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                COUNT(*) AS n,
                COUNT(*) FILTER (WHERE value > 50) AS n_high,
-               ROUND(n_high * 1.0 / n, 6) AS high_share
+               ((n_high * 2000000 + n) DIV (2 * n)) / 1e6 AS high_share
         FROM {view}
         GROUP BY event_type
         """
@@ -3931,8 +3942,8 @@ LATERAL_ALIAS_ORACLE = """
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
-       ROUND(COUNT(*) FILTER (WHERE value > 50) * 1.0 / COUNT(*), 6)
-         AS high_share
+       ((COUNT(*) FILTER (WHERE value > 50) * 2000000 + COUNT(*))
+          // (2 * COUNT(*))) / 1e6 AS high_share
 FROM events
 GROUP BY event_type
 """

@@ -4981,11 +4981,19 @@ def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(127.0), F.round(F.col("x") / F.col("s"), 0)),
         ),
     ).otherwise(F.lit(0.0))
+    # `clamped` = the PRE-clamp quantized value ROUND(x/s) lies
+    # outside [-127, 127] (ADVICE r08): the earlier |x| > 127*s test
+    # overcounted — values in (127s, 127.5s] round to exactly 127
+    # without the clamp altering anything, so they are not saturated.
+    clamped = F.when(
+        F.col("s") > 0,
+        F.abs(F.round(F.col("x") / F.col("s"), 0)) > 127.0,
+    ).otherwise(F.lit(False))
     joined = pos.join(F.broadcast(scales), "pos").select(
         "label",
         "x",
         (q * F.col("s")).alias("xq"),
-        (F.abs(F.col("x")) > F.lit(127.0) * F.col("s")).alias("clamped"),
+        clamped.alias("clamped"),
     )
     return joined.groupBy("label").agg(
         F.count("*").cast("long").alias("n_components"),
@@ -5012,7 +5020,9 @@ WITH pos AS (
          CASE WHEN sc.s > 0
               THEN GREATEST(-127.0, LEAST(127.0, ROUND(p.x / sc.s, 0))) * sc.s
               ELSE 0.0 END AS xq,
-         ABS(p.x) > 127.0 * sc.s AS clamped
+         CASE WHEN sc.s > 0
+              THEN ABS(ROUND(p.x / sc.s, 0)) > 127.0
+              ELSE FALSE END AS clamped
   FROM pos p JOIN scales sc ON p.pos = sc.pos
 )
 SELECT label,
@@ -5060,12 +5070,22 @@ def ks_drift_between_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounded via integer half-up arithmetic — |f0 - f1| is a
     # rational of small integers, the x4-replica half-boundary
     # class. The drift comparison uses the unrounded rational.
+    #
+    # The cross-products accumulate in DECIMAL(19,0)-seeded decimal
+    # arithmetic (ADVICE r08, medium): cum*n and dnum*2e6 overflow
+    # int64 once each source passes ~2.1M rows — Spark (non-ANSI)
+    # would wrap silently while DuckDB promotes to HUGEINT, so the
+    # engines would diverge exactly where the 100 TB posture matters.
+    # DECIMAL(19,0)×DECIMAL(19,0)→DECIMAL(38,0) keeps both engines
+    # exact up to ~1e15 rows per source; `div` on decimals returns
+    # BIGINT (quotient ≤ 1e6) and `/1e6` emits DOUBLE, so the output
+    # schema is unchanged. The oracle mirrors with explicit HUGEINT.
     cdf = per_val.select(
         "v",
-        F.sum("c0").over(w).alias("cum0"),
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c0").over(tot).alias("n0"),
-        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c0").over(w).cast("decimal(19,0)").alias("cum0"),
+        F.sum("c1").over(w).cast("decimal(19,0)").alias("cum1"),
+        F.sum("c0").over(tot).cast("decimal(19,0)").alias("n0"),
+        F.sum("c1").over(tot).cast("decimal(19,0)").alias("n1"),
     )
     return (
         cdf.groupBy("n0", "n1")
@@ -5099,10 +5119,10 @@ WITH two AS (
   FROM two GROUP BY v
 ), cdf AS (
   SELECT v,
-         CAST(SUM(c0) OVER (ORDER BY v) AS BIGINT) AS cum0,
-         CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
-         CAST(SUM(c0) OVER () AS BIGINT) AS n0,
-         CAST(SUM(c1) OVER () AS BIGINT) AS n1
+         CAST(SUM(c0) OVER (ORDER BY v) AS HUGEINT) AS cum0,
+         CAST(SUM(c1) OVER (ORDER BY v) AS HUGEINT) AS cum1,
+         CAST(SUM(c0) OVER () AS HUGEINT) AS n0,
+         CAST(SUM(c1) OVER () AS HUGEINT) AS n1
   FROM per_val
 ), agg AS (
   SELECT n0, n1, MAX(ABS(cum0 * n1 - cum1 * n0)) AS dnum
@@ -5141,16 +5161,47 @@ def flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 1.015 * (words / sentences)
         - 84.6 * (syllables / words)
     )
-    scored = docs.select("source", flesch.alias("flesch"))
-    return scored.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.round(F.avg("flesch"), 4).alias("avg_flesch"),
-        F.sum(F.when(F.col("flesch") >= 60, 1).otherwise(0))
-        .cast("long")
-        .alias("n_easy"),
-        F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
-        .cast("long")
-        .alias("n_hard"),
+    # avg_flesch is the mean of per-doc scores QUANTIZED to 1e-4
+    # (floor, after a +/-10000 sanity clamp), summed as exact
+    # integers and rounded once half-up (ADVICE r08): a bare
+    # ROUND(AVG(flesch), 4) re-enters the order-of-association
+    # partial-sum class (double sums commute differently across
+    # partitions/engines) that bit this repo four times at replica
+    # scales. The per-doc score is a fixed IEEE expression tree —
+    # bit-identical on both engines — so flooring it to an int is
+    # deterministic; integer sums are order-independent; the offset
+    # (+10000, i.e. +1e8 at 1e-4 scale) keeps the quantized value
+    # non-negative so Spark `div` (trunc) and DuckDB `//` (floor)
+    # agree. Decimal/HUGEINT accumulation keeps the sum exact past
+    # int64 (~4.6e10 docs at the 2e8/doc ceiling).
+    q = F.floor(
+        (
+            F.least(F.greatest(flesch, F.lit(-10000.0)), F.lit(10000.0))
+            + 10000.0
+        )
+        * 10000.0
+    )
+    scored = docs.select("source", flesch.alias("flesch"), q.alias("q"))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("q").cast("decimal(28,0)")).alias("sq"),
+            F.sum(F.when(F.col("flesch") >= 60, 1).otherwise(0))
+            .cast("long")
+            .alias("n_easy"),
+            F.sum(F.when(F.col("flesch") < 30, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hard"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "(((2 * sq + n_docs) div (2 * n_docs)) - 100000000) / 1e4"
+            "  AS avg_flesch",
+            "n_easy",
+            "n_hard",
+        )
     )
 
 
@@ -5166,7 +5217,10 @@ WITH scored AS (
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(AVG(flesch), 4) AS avg_flesch,
+       (((2 * SUM(CAST(FLOOR(
+             (LEAST(GREATEST(flesch, -10000.0), 10000.0) + 10000.0)
+             * 10000.0) AS HUGEINT))
+          + COUNT(*)) // (2 * COUNT(*))) - 100000000) / 1e4 AS avg_flesch,
        CAST(COUNT(*) FILTER (WHERE flesch >= 60) AS BIGINT) AS n_easy,
        CAST(COUNT(*) FILTER (WHERE flesch < 30) AS BIGINT) AS n_hard
 FROM scored GROUP BY source

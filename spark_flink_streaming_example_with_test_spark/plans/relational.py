@@ -1435,11 +1435,16 @@ PERCENTILE_DISC_ORACLE = """
 -- cumulative fraction >= p, i.e. the CEIL(p*n)-th ordered value)
 -- spelled out explicitly rather than via QUANTILE_DISC, whose
 -- positioning convention need not match across engines.
+-- NULL values are excluded in BOTH legs (ADVICE r08): Spark's
+-- PERCENTILE_DISC/CONT are NULL-ignoring aggregates, so a NULL row
+-- must not count toward n (it would shift the CEIL(p*n) index) nor
+-- be ranked.
 WITH ranked AS (
   SELECT event_type, value,
          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
          COUNT(*) OVER (PARTITION BY event_type) AS n
   FROM events
+  WHERE value IS NOT NULL
 ), disc AS (
   SELECT event_type,
          MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
@@ -1449,7 +1454,7 @@ WITH ranked AS (
   FROM ranked GROUP BY event_type
 ), cont AS (
   SELECT event_type, QUANTILE_CONT(value, 0.5) AS c50
-  FROM events GROUP BY event_type
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
 )
 SELECT d.event_type,
        ROUND(d.d50, 4) AS p50_disc,

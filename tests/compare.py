@@ -58,7 +58,7 @@ def assert_flat_schema(spark_df, context: str = ""):
     where complex cells are unhashable — `embedding_pq_codes` erred
     on exactly this in round 6. Local normalize() tuple-izes arrays
     and would silently pass, so the class needs its own guard."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
 
     complex_cols = [
         f.name
@@ -68,6 +68,23 @@ def assert_flat_schema(spark_df, context: str = ""):
     assert not complex_cols, (
         f"{context}: top-level complex columns {complex_cols} break the "
         "driver canonicalizer — stringify (array_join/to_json) before return"
+    )
+    # Decimal guard (verdict r08 item #2): the driver hash-compares
+    # STRINGIFIED values, and Spark decimal(p,6) prints trailing zeros
+    # ("0.369890") where the DuckDB oracle's DOUBLE prints "0.36989" —
+    # equal values, different hashes (the round-8 lateral_column_alias_kpi
+    # red row). _norm_cell above deliberately collapses Decimal→float, so
+    # without this schema-level pin the parity suite is blind to the class.
+    decimal_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, DecimalType)
+    ]
+    assert not decimal_cols, (
+        f"{context}: DecimalType output columns {decimal_cols} hash-diverge "
+        "from the DOUBLE-emitting oracle in the driver's stringified compare "
+        "— emit DOUBLE (integer half-up construction: "
+        "(2*num*10^6 + den) DIV (2*den) / 1e6)"
     )
 
 

@@ -28,19 +28,43 @@ REPO_ROOT = Path(__file__).resolve().parents[1]
 GATE_WINDOW = 50
 
 
+def _is_green(row: dict) -> bool:
+    """Green = driver executed it without error, row counts matched,
+    and — when the oracled hash/schema checks ran — those matched too
+    (hash/schema may be absent for the rows-only no-oracle checks;
+    present-but-False is RED: the round-8 ``lateral_column_alias_kpi``
+    row had rows_match=True, hash_match=False)."""
+    if row.get("err") is not None or not row.get("rows_match"):
+        return False
+    return row.get("hash_match", True) is not False and (
+        row.get("schema_match", True) is not False
+    )
+
+
 def _driver_green_names() -> set[str]:
     green: set[str] = set()
     for path in sorted(REPO_ROOT.glob("CORRECTNESS_r*.json")):
         rows = json.loads(path.read_text())
         for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            # Green = driver executed it without error and the row
-            # counts matched (hash/schema may be absent for the
-            # rows-only no-oracle checks).
-            if row.get("err") is None and row.get("rows_match"):
+            if isinstance(row, dict) and _is_green(row):
                 green.add(name)
     return green
+
+
+def _latest_red_names() -> set[str]:
+    """Queries whose MOST RECENT driver row is red (VERDICT r08 item
+    #6): a query can be ever-green yet regress later; the next gate
+    run must re-check it, so it belongs inside the window too."""
+    latest: dict[str, bool] = {}
+    for path in sorted(
+        REPO_ROOT.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(p.stem.split("_r")[1]),
+    ):
+        rows = json.loads(path.read_text())
+        for name, row in rows.items():
+            if isinstance(row, dict):
+                latest[name] = _is_green(row)
+    return {name for name, ok in latest.items() if not ok}
 
 
 def test_correctness_history_exists():
@@ -60,6 +84,25 @@ def test_never_verified_queries_sit_inside_gate_window():
         "catalog entries with no green driver row are parked behind the "
         f"~{GATE_WINDOW}-entry gate window and will miss the next gate: "
         f"{violations}. Move them to the front of _SPECS."
+    )
+
+
+def test_latest_red_queries_sit_inside_gate_window():
+    """A query whose latest driver row is red must be re-gated next
+    round even if it was green in some earlier round — 'never green'
+    and 'latest red' coincide today, but they are different predicates
+    and both must land in the window (VERDICT r08 item #6)."""
+    red = _latest_red_names()
+    pos = {spec.name: idx for idx, spec in enumerate(_SPECS)}
+    violations = [
+        (pos[name], name)
+        for name in sorted(red)
+        if name in pos and pos[name] >= GATE_WINDOW
+    ]
+    assert not violations, (
+        "queries whose latest driver row is RED are parked behind the "
+        f"~{GATE_WINDOW}-entry gate window: {violations}. Move them to "
+        "the front of _SPECS so the next gate re-checks them."
     )
 
 

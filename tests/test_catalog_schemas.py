@@ -34,6 +34,25 @@ def test_catalog_query_schema_is_flat(spark, name):
     assert_flat_schema(df, context=name)
 
 
+def test_lateral_alias_kpi_emits_double_share(spark):
+    """Pin the concrete r08 fix: high_share is DOUBLE via the integer
+    half-up construction, not the decimal(29,6) that ROUND(x*1.0/n, 6)
+    produces through the SQL front-end (the round-8 driver's only hash
+    mismatch — Spark stringifies '0.369890' vs oracle DOUBLE '0.36989')."""
+    df = QUERIES["lateral_column_alias_kpi"].fn(spark, SF_DIR)
+    assert df.schema["high_share"].dataType.simpleString() == "double"
+
+
+def test_decimal_guard_trips_on_decimal_column(spark):
+    """The no-DecimalType guard must FAIL on the reverted form (ROUND of
+    a *1.0 quotient in Spark SQL emits decimal) — proves the guard sees
+    the class the local normalizer deliberately collapses."""
+    df = spark.sql("SELECT ROUND(3 * 1.0 / 7, 6) AS share")
+    assert df.schema["share"].dataType.simpleString().startswith("decimal")
+    with pytest.raises(AssertionError, match="DecimalType"):
+        assert_flat_schema(df, context="decimal-guard-selftest")
+
+
 def test_embedding_pq_codes_emits_string_codes(spark):
     """Pin the concrete r06 fix: codes is array_join-ed to a string
     (fails on revert to the array<bigint> form)."""
