@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_flink_streaming_example_with_test_spark.functions.numerics import half_up_ratio_col
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
 
@@ -455,11 +456,17 @@ def containment_pairs(
         df, id_col, text_col, shingle_len, max_doc_freq
     )
     cont = F.col("inter") / F.least("n_a", "n_b")
+    # The emitted score uses exact integer half-up rounding (per-row
+    # count ratio — the cross-engine ROUND half-boundary class); the
+    # threshold filter keeps the raw double compare, which both
+    # engines evaluate identically on identical int inputs.
     return pairs.filter(cont >= threshold).select(
         "id_a",
         "id_b",
         F.col("inter").alias("n_shared"),
-        F.round(cont, 4).alias("containment"),
+        half_up_ratio_col(
+            F.col("inter"), F.least("n_a", "n_b"), 4
+        ).alias("containment"),
     )
 
 
@@ -572,9 +579,13 @@ def segment_duplication_stats(
             id_col,
             "n_segments",
             "n_dup_segments",
-            F.round(F.col("n_dup_segments") / F.col("n_segments"), 4).alias(
-                "dup_ratio"
-            ),
+            # Per-doc count ratio: exact integer half-up emission
+            # (cross-engine ROUND half-boundary class). The flag
+            # keeps the raw double compare, identical on both
+            # engines for identical int inputs.
+            half_up_ratio_col(
+                F.col("n_dup_segments"), F.col("n_segments"), 4
+            ).alias("dup_ratio"),
             (
                 F.col("n_dup_segments") / F.col("n_segments") >= flag_ratio
             ).alias("flagged"),

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_flink_streaming_example_with_test_spark.functions.numerics import (
+    half_up_duck_sql,
+    half_up_spark_sql,
+)
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
 SESSION_GAP_SEC = 12 * 3600
@@ -48,10 +52,24 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(F.count("*").alias("n_events"))
     )
-    return sessions.groupBy("user_id").agg(
-        F.count("*").alias("n_sessions"),
-        F.max("n_events").alias("max_session_events"),
-        F.round(F.avg("n_events"), 4).alias("avg_session_events"),
+    # avg = sum(events)/sum(sessions), a ratio of counts — emitted
+    # via the exact-integer half-up helper (VERDICT r08 item #3: the
+    # ROUND(count-ratio) class hash-diverges on exact half
+    # boundaries at replica scales).
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum(F.col("n_events").cast("decimal(38,0)")).alias("ne"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_sessions",
+            "max_session_events",
+            half_up_spark_sql("ne", "n_sessions", 4)
+            + " AS avg_session_events",
+        )
     )
 
 
@@ -76,47 +94,76 @@ WITH marked AS (
 )
 SELECT user_id, COUNT(*) AS n_sessions,
        MAX(n_events) AS max_session_events,
-       ROUND(AVG(n_events), 4) AS avg_session_events
+       {half_up_duck_sql("SUM(n_events)", "COUNT(*)", 4)}
+         AS avg_session_events
 FROM per_session GROUP BY user_id
 """
 
 
 def user_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead surface: per-user inter-event gap statistics. The
-    delta is computed on exact epoch doubles so both engines see the
-    identical value; one shuffle on user_id shared by the window and
-    the final aggregate."""
+    delta is computed on INTEGER microseconds (unix_micros /
+    EPOCH_US) so every gap is exact on both engines and the
+    avg/max/min emit through the integer half-up helper — double
+    epoch deltas live on the 1e-6 rational grid, which is precisely
+    the grid that lands ROUND(avg, 4) on half boundaries at scale
+    (VERDICT r08 item #3). One shuffle on user_id shared by the
+    window and the final aggregate."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("double")
-    delta = epoch - F.lag(epoch).over(w)
+    us = F.unix_micros("ts")
+    delta = us - F.lag(us).over(w)
     return (
         e.select("user_id", "ts", "event_id")
-        .withColumn("delta_sec", delta)
-        .filter(F.col("delta_sec").isNotNull())
+        .withColumn("delta_us", delta)
+        .filter(F.col("delta_us").isNotNull())
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_gaps"),
-            F.round(F.avg("delta_sec"), 4).alias("avg_gap_sec"),
-            F.round(F.max("delta_sec"), 4).alias("max_gap_sec"),
-            F.round(F.min("delta_sec"), 4).alias("min_gap_sec"),
+            F.sum(F.col("delta_us").cast("decimal(38,0)")).alias("sum_us"),
+            F.max("delta_us").alias("max_us"),
+            F.min("delta_us").alias("min_us"),
+        )
+        .selectExpr(
+            "user_id",
+            "n_gaps",
+            half_up_spark_sql(
+                "sum_us", "n_gaps * CAST(1000000 AS BIGINT)", 4
+            )
+            + " AS avg_gap_sec",
+            half_up_spark_sql(
+                "CAST(max_us AS DECIMAL(38,0))", "CAST(1000000 AS BIGINT)", 4
+            )
+            + " AS max_gap_sec",
+            half_up_spark_sql(
+                "CAST(min_us AS DECIMAL(38,0))", "CAST(1000000 AS BIGINT)", 4
+            )
+            + " AS min_gap_sec",
         )
     )
 
 
-USER_DELTAS_ORACLE = """
+USER_DELTAS_ORACLE = f"""
 WITH d AS (
   SELECT user_id,
-         EPOCH(ts) - LAG(EPOCH(ts)) OVER
-             (PARTITION BY user_id ORDER BY ts, event_id) AS delta_sec
+         EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS delta_us
   FROM events
+), agg AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         SUM(CAST(delta_us AS HUGEINT)) AS sum_us,
+         MAX(delta_us) AS max_us, MIN(delta_us) AS min_us
+  FROM d WHERE delta_us IS NOT NULL
+  GROUP BY user_id
 )
-SELECT user_id, COUNT(*) AS n_gaps,
-       ROUND(AVG(delta_sec), 4) AS avg_gap_sec,
-       ROUND(MAX(delta_sec), 4) AS max_gap_sec,
-       ROUND(MIN(delta_sec), 4) AS min_gap_sec
-FROM d WHERE delta_sec IS NOT NULL
-GROUP BY user_id
+SELECT user_id, n_gaps,
+       {half_up_duck_sql("sum_us", "n_gaps * CAST(1000000 AS BIGINT)", 4)}
+         AS avg_gap_sec,
+       {half_up_duck_sql("max_us", "CAST(1000000 AS BIGINT)", 4)}
+         AS max_gap_sec,
+       {half_up_duck_sql("min_us", "CAST(1000000 AS BIGINT)", 4)}
+         AS min_gap_sec
+FROM agg
 """
 
 
@@ -1166,15 +1213,18 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(step(p, 3, "purchase_after_click"))
     )
     base = v.agg(F.count("*").alias("n_step1"))
-    return steps.crossJoin(F.broadcast(base)).select(
+    # Conversion rate = ratio of two user counts — exact-integer
+    # half-up emission (VERDICT r08 item #3).
+    return steps.crossJoin(F.broadcast(base)).selectExpr(
         "step",
         "step_name",
         "n_users",
-        F.round(F.col("n_users") / F.col("n_step1"), 4).alias("conv_from_step1"),
+        half_up_spark_sql("CAST(n_users AS DECIMAL(38,0))", "n_step1", 4)
+        + " AS conv_from_step1",
     )
 
 
-FUNNEL_ORACLE = """
+FUNNEL_ORACLE = f"""
 WITH v AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -1196,7 +1246,8 @@ WITH v AS (
   SELECT 3, 'purchase_after_click', COUNT(*) FROM p
 )
 SELECT step, step_name, CAST(n_users AS BIGINT) AS n_users,
-       ROUND(n_users * 1.0 / (SELECT COUNT(*) FROM v), 4) AS conv_from_step1
+       {half_up_duck_sql("n_users", "(SELECT COUNT(*) FROM v)", 4)}
+         AS conv_from_step1
 FROM steps
 """
 
@@ -1540,16 +1591,19 @@ def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_if(F.col("l_shipdate") < F.col("o_orderdate")).alias("v"))
     )
     def rule(name, viol_df, viol_col, n_df):
+        # violation_rate = ratio of two counts — exact-integer
+        # half-up emission (VERDICT r08 item #3).
         return (
             viol_df.select(F.col(viol_col).alias("n_violations"))
             .crossJoin(F.broadcast(n_df.select(F.col("n").alias("n_checked"))))
-            .select(
-                F.lit(name).alias("rule"),
+            .selectExpr(
+                f"'{name}' AS rule",
                 "n_checked",
                 "n_violations",
-                F.round(F.col("n_violations") / F.col("n_checked"), 6).alias(
-                    "violation_rate"
-                ),
+                half_up_spark_sql(
+                    "CAST(n_violations AS DECIMAL(38,0))", "n_checked", 6
+                )
+                + " AS violation_rate",
             )
         )
 
@@ -1583,23 +1637,23 @@ WITH o AS (
 )
 SELECT 'orders_customer_fk' AS rule, o.n AS n_checked,
        orphans.v AS n_violations,
-       ROUND(orphans.v * 1.0 / o.n, 6) AS violation_rate
+       ((CAST(orphans.v AS HUGEINT) * 2000000 + (o.n)) // (2 * (o.n))) / 1e6 AS violation_rate
 FROM o, orphans
 UNION ALL
 SELECT 'order_totalprice_positive', n, bad_price,
-       ROUND(bad_price * 1.0 / n, 6) FROM o
+       ((CAST(bad_price AS HUGEINT) * 2000000 + (n)) // (2 * (n))) / 1e6 FROM o
 UNION ALL
 SELECT 'order_date_not_null', n, null_date,
-       ROUND(null_date * 1.0 / n, 6) FROM o
+       ((CAST(null_date AS HUGEINT) * 2000000 + (n)) // (2 * (n))) / 1e6 FROM o
 UNION ALL
 SELECT 'lineitem_quantity_range', n, bad_qty,
-       ROUND(bad_qty * 1.0 / n, 6) FROM l
+       ((CAST(bad_qty AS HUGEINT) * 2000000 + (n)) // (2 * (n))) / 1e6 FROM l
 UNION ALL
 SELECT 'lineitem_discount_range', n, bad_disc,
-       ROUND(bad_disc * 1.0 / n, 6) FROM l
+       ((CAST(bad_disc AS HUGEINT) * 2000000 + (n)) // (2 * (n))) / 1e6 FROM l
 UNION ALL
 SELECT 'ship_not_before_order', l.n, early.v,
-       ROUND(early.v * 1.0 / l.n, 6) FROM l, early
+       ((CAST(early.v AS HUGEINT) * 2000000 + (l.n)) // (2 * (l.n))) / 1e6 FROM l, early
 """
 
 
@@ -1846,11 +1900,13 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     tot = Window.partitionBy("from_type")
-    return pairs.select(
+    # Transition probability = ratio of two pair counts — exact
+    # integer half-up emission (VERDICT r08 item #3).
+    return pairs.withColumn("tot_n", F.sum("n").over(tot)).selectExpr(
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+        '(((CAST(n AS DECIMAL(38,0))) * 20000 + (tot_n)) div (2 * (tot_n))) / 1e4' + " AS p",
     )
 
 
@@ -1866,7 +1922,7 @@ WITH pairs AS (
   GROUP BY from_type, to_type
 )
 SELECT from_type, to_type, n,
-       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+       ((CAST(n AS HUGEINT) * 20000 + (SUM(n) OVER (PARTITION BY from_type))) // (2 * (SUM(n) OVER (PARTITION BY from_type)))) / 1e4 AS p
 FROM counted
 """
 
@@ -2216,11 +2272,13 @@ def seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour"),
     ).agg(F.count("*").alias("n"))
     total = Window.partitionBy()
-    return cells.select(
+    # share = cell count / total count — exact integer half-up
+    # emission (VERDICT r08 item #3).
+    return cells.withColumn("tot_n", F.sum("n").over(total)).selectExpr(
         "iso_dow",
         "hour",
         "n",
-        F.round(F.col("n") / F.sum("n").over(total), 6).alias("share"),
+        '(((CAST(n AS DECIMAL(38,0))) * 2000000 + (tot_n)) div (2 * (tot_n))) / 1e6' + " AS share",
     )
 
 
@@ -2230,7 +2288,7 @@ WITH cells AS (
   FROM events GROUP BY 1, 2
 )
 SELECT iso_dow, hour, n,
-       ROUND(n * 1.0 / SUM(n) OVER (), 6) AS share
+       ((CAST(n AS HUGEINT) * 2000000 + (SUM(n) OVER ())) // (2 * (SUM(n) OVER ()))) / 1e6 AS share
 FROM cells
 """
 
@@ -3070,12 +3128,22 @@ def timezone_conversion_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     local = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    # avg over fixed-4-decimal values: accumulate exact integer
+    # "cents" (round(value*1e4) is never near a .5 boundary for a
+    # 4-decimal input) and divide once half-up — retiring the
+    # order-dependent double sum (VERDICT r08 item #3).
+    cents = F.round(F.col("value") * 10000, 0).cast("long")
     return (
-        ev.select(F.hour(local).alias("ny_hour"), "value")
+        ev.select(F.hour(local).alias("ny_hour"), cents.alias("cents"))
         .groupBy("ny_hour")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).alias("sc"),
+        )
+        .selectExpr(
+            "ny_hour",
+            "n",
+            '(((sc) * 20000 + (n * CAST(10000 AS BIGINT))) div (2 * (n * CAST(10000 AS BIGINT)))) / 1e4' + " AS avg_value",
         )
     )
 
@@ -3084,7 +3152,7 @@ TIMEZONE_KPI_ORACLE = """
 SELECT EXTRACT(hour FROM timezone('America/New_York',
            CAST(ts AS TIMESTAMP) AT TIME ZONE 'UTC')) AS ny_hour,
        COUNT(*) AS n,
-       ROUND(AVG(value), 4) AS avg_value
+       ((CAST(SUM(CAST(ROUND(value * 10000, 0) AS BIGINT)) AS HUGEINT) * 20000 + (COUNT(*) * CAST(10000 AS BIGINT))) // (2 * (COUNT(*) * CAST(10000 AS BIGINT)))) / 1e4 AS avg_value
 FROM events GROUP BY 1
 """
 
@@ -3188,21 +3256,57 @@ def quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cum, ["source", "raw"])
         .join(F.broadcast(sizes), "source")
     )
-    q = F.when(
-        F.col("n") > 1,
-        (F.col("below") + F.col("tie") - 1) / (F.col("n") - 1),
-    ).otherwise(F.lit(0.5))
-    normed = ranked.select("source", "raw", q.alias("q"))
-    return normed.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.round(F.avg("raw"), 6).alias("mean_raw"),
-        F.round(F.avg("q"), 6).alias("mean_quantile"),
-        F.round(F.min("q"), 6).alias("min_quantile"),
-        F.round(F.max("q"), 6).alias("max_quantile"),
+    # The four emitted statistics are computed from EXACT integers
+    # (VERDICT r08 item #3 — retiring the ROUND(double-quotient)
+    # class instead of re-finding it at 16x):
+    #   * every quantile q_i = k_i/(n-1) shares ONE denominator per
+    #     source, so avg/min/max reduce to integer sum/min/max of
+    #     k_i = below+tie-1 divided once;
+    #   * mean_raw floor-quantizes the per-doc rational raw (distinct
+    #     tokens / total tokens, a bit-identical double on both
+    #     engines) at 1e-9 and integer-sums — the flesch scheme.
+    # Decimal accumulation keeps sums exact past int64; the shared
+    # half_up helpers emit DOUBLE, so the output schema is unchanged.
+    normed = ranked.select(
+        "source",
+        "raw",
+        (F.col("below") + F.col("tie") - 1).alias("k"),
+        "n",
+    )
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.floor(F.col("raw") * 1e9).cast("decimal(38,0)")
+            ).alias("sqr"),
+            F.sum(F.col("k").cast("decimal(38,0)")).alias("sk"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .selectExpr(
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            half_up_spark_sql("sqr", "n_docs * CAST(1000000000 AS BIGINT)", 6)
+            + " AS mean_raw",
+            "CASE WHEN n_docs > 1 THEN "
+            + half_up_spark_sql("sk", "n_docs * (n_docs - 1)", 6)
+            + " ELSE 0.5 END AS mean_quantile",
+            "CASE WHEN n_docs > 1 THEN "
+            + half_up_spark_sql(
+                "CAST(min_k AS DECIMAL(38,0))", "n_docs - 1", 6
+            )
+            + " ELSE 0.5 END AS min_quantile",
+            "CASE WHEN n_docs > 1 THEN "
+            + half_up_spark_sql(
+                "CAST(max_k AS DECIMAL(38,0))", "n_docs - 1", 6
+            )
+            + " ELSE 0.5 END AS max_quantile",
+        )
     )
 
 
-QUANTILE_NORMALIZE_ORACLE = """
+QUANTILE_NORMALIZE_ORACLE = f"""
 WITH scored AS (
   SELECT source, doc_id,
          LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) * 1.0
@@ -3211,19 +3315,31 @@ WITH scored AS (
   WHERE text IS NOT NULL
 ), normed AS (
   SELECT source, raw,
-         CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1
-              THEN (ROW_NUMBER() OVER (PARTITION BY source
-                                       ORDER BY raw, doc_id) - 1)
-                   * 1.0 / (COUNT(*) OVER (PARTITION BY source) - 1)
-              ELSE 0.5 END AS q
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY raw, doc_id) - 1 AS k
   FROM scored
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         SUM(CAST(FLOOR(raw * 1e9) AS HUGEINT)) AS sqr,
+         SUM(CAST(k AS HUGEINT)) AS sk,
+         CAST(MIN(k) AS BIGINT) AS min_k,
+         CAST(MAX(k) AS BIGINT) AS max_k
+  FROM normed GROUP BY source
 )
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(AVG(raw), 6) AS mean_raw,
-       ROUND(AVG(q), 6) AS mean_quantile,
-       ROUND(MIN(q), 6) AS min_quantile,
-       ROUND(MAX(q), 6) AS max_quantile
-FROM normed GROUP BY source
+SELECT source, n_docs,
+       {half_up_duck_sql("sqr", "n_docs * CAST(1000000000 AS BIGINT)", 6)}
+         AS mean_raw,
+       CASE WHEN n_docs > 1 THEN
+         {half_up_duck_sql("sk", "n_docs * (n_docs - 1)", 6)}
+       ELSE 0.5 END AS mean_quantile,
+       CASE WHEN n_docs > 1 THEN
+         {half_up_duck_sql("min_k", "n_docs - 1", 6)}
+       ELSE 0.5 END AS min_quantile,
+       CASE WHEN n_docs > 1 THEN
+         {half_up_duck_sql("max_k", "n_docs - 1", 6)}
+       ELSE 0.5 END AS max_quantile
+FROM agg
 """
 
 
@@ -4051,33 +4167,61 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_timestamp("ts")
     gap = (F.lead(epoch).over(w) - epoch).alias("gap")
-    seg = ev.select("user_id", "value", gap).filter(F.col("gap").isNotNull())
+    # The weighted sum accumulates in EXACT integers (VERDICT r08
+    # item #3): value is a fixed-4-decimal quantity, so
+    # round(value*1e4) is an exact per-row integer on both engines
+    # (never near a .5 boundary — the input is within ~1e-6 of an
+    # integer), cents*gap is an integer product, and the decimal sum
+    # is order-independent. twap = half-up(sum(cents*gap) /
+    # (1e4*sum(gap)), 6) — retiring both the order-of-association
+    # partial-sum class and the ROUND half-boundary class in one
+    # move. Fixture values are positive, so the non-negative
+    # precondition of the half_up helper holds by construction.
+    cents = F.round(F.col("value") * 10000, 0).cast("long")
+    seg = ev.select("user_id", cents.alias("cents"), gap).filter(
+        F.col("gap").isNotNull()
+    )
     return (
         seg.groupBy("user_id")
         .agg(
             F.count("*").cast("long").alias("n_segments"),
             F.sum("gap").cast("long").alias("total_seconds"),
-            F.round(
-                F.sum(F.col("value") * F.col("gap")) / F.sum("gap"), 6
-            ).alias("twap"),
+            F.sum(
+                (F.col("cents") * F.col("gap")).cast("decimal(38,0)")
+            ).alias("wsum"),
         )
         .filter(F.col("total_seconds") > 0)
+        .selectExpr(
+            "user_id",
+            "n_segments",
+            "total_seconds",
+            half_up_spark_sql(
+                "wsum", "total_seconds * CAST(10000 AS BIGINT)", 6
+            )
+            + " AS twap",
+        )
     )
 
 
-TWAP_ORACLE = """
+TWAP_ORACLE = f"""
 WITH seg AS (
-  SELECT user_id, value,
+  SELECT user_id,
+         CAST(ROUND(value * 10000, 0) AS BIGINT) AS cents,
          LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts, event_id)
          - CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS gap
   FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_segments,
+         CAST(SUM(gap) AS BIGINT) AS total_seconds,
+         SUM(CAST(cents AS HUGEINT) * gap) AS wsum
+  FROM seg WHERE gap IS NOT NULL
+  GROUP BY user_id
+  HAVING SUM(gap) > 0
 )
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_segments,
-       CAST(SUM(gap) AS BIGINT) AS total_seconds,
-       ROUND(SUM(value * gap) / SUM(gap), 6) AS twap
-FROM seg WHERE gap IS NOT NULL
-GROUP BY user_id
-HAVING SUM(gap) > 0
+SELECT user_id, n_segments, total_seconds,
+       {half_up_duck_sql("wsum", "total_seconds * CAST(10000 AS BIGINT)", 6)}
+         AS twap
+FROM agg
 """

@@ -24,6 +24,7 @@ HOT_GRAM_DF_CAP = dd.DEFAULT_MAX_GRAM_DF
 
 # md5-nibble decode lives in functions/hashing.py (shared with
 # plans/analytics.py); kept under the historical private aliases.
+from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
 from spark_flink_streaming_example_with_test_spark.functions.hashing import (  # noqa: E402
     md5_nibble as _md5_nibble,
     md5_nibble_sql as _md5_nibble_sql,
@@ -477,10 +478,15 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(tx.tokenize(F.col("text")))
     hits = tx.stopword_hits(F.col("text"))
     ratio = hits / n_tokens
+    # stop_ratio is a per-row count ratio: emit via the exact
+    # integer half-up column helper (VERDICT r08 item #3 — ROUND of
+    # a terminating-decimal rational like 7/160 string-rounds up on
+    # Spark but binary-rounds down on DuckDB). predict_language
+    # keeps the raw double ratio; threshold compares are exact.
     return docs.select(
         "doc_id",
         hits.alias("stop_hits"),
-        F.round(ratio, 4).alias("stop_ratio"),
+        nm.half_up_ratio_col(hits, n_tokens, 4).alias("stop_ratio"),
         tx.predict_language(ratio).alias("predicted_lang"),
     )
 
@@ -490,9 +496,8 @@ SELECT doc_id,
        LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
            t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
            AS stop_hits,
-       ROUND(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-             t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
-             * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS stop_ratio,
+       ((CAST(LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+             t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t))) AS HUGEINT) * 20000 + (LEN(STRING_SPLIT(text, ' ')))) // (2 * (LEN(STRING_SPLIT(text, ' '))))) / 1e4 AS stop_ratio,
        CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
                  t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
                  * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.12 THEN 'en'
@@ -1110,12 +1115,26 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("shingles").alias("gram")
     )
     joined = eval_grams.join(train_grams, "gram", "left")
-    ratio = F.sum("hit") / F.count("*")
-    return joined.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
-        F.round(F.coalesce(ratio, F.lit(0.0)), 4).alias("containment"),
-        (F.coalesce(ratio, F.lit(0.0)) >= 0.5).alias("is_contaminated"),
+    # containment is a per-doc count ratio (hits/grams): exact
+    # integer half-up emission, and the >= 0.5 flag is the exact
+    # integer compare 2*hits >= grams (VERDICT r08 item #3).
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_contaminated",
+            nm.half_up_ratio_col(
+                F.col("n_contaminated"), F.col("n_grams"), 4
+            ).alias("containment"),
+            (2 * F.col("n_contaminated") >= F.col("n_grams")).alias(
+                "is_contaminated"
+            ),
+        )
     )
 
 
@@ -1142,8 +1161,8 @@ WITH toks AS (
 )
 SELECT doc_id, COUNT(*) AS n_grams,
        CAST(COUNT(hit) AS BIGINT) AS n_contaminated,
-       ROUND(COUNT(hit) * 1.0 / COUNT(*), 4) AS containment,
-       COUNT(hit) * 1.0 / COUNT(*) >= 0.5 AS is_contaminated
+       ((CAST(COUNT(hit) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4 AS containment,
+       2 * COUNT(hit) >= COUNT(*) AS is_contaminated
 FROM joined GROUP BY doc_id
 """
 
@@ -1328,11 +1347,19 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dominance = top_tok / F.size("w")
+    # Both emitted fractions are per-row count ratios: exact integer
+    # half-up emission (cross-engine ROUND half-boundary class). The
+    # flag keeps the raw double compares — identical on identical
+    # int inputs on both engines.
     return staged.select(
         "doc_id",
         n_grams.alias("n_3grams"),
-        F.round(dup_frac, 4).alias("dup_3gram_frac"),
-        F.round(dominance, 4).alias("top_token_share"),
+        nm.half_up_ratio_col(
+            n_grams - n_distinct_grams, F.greatest(n_grams, F.lit(1)), 4
+        ).alias("dup_3gram_frac"),
+        nm.half_up_ratio_col(top_tok, F.size("w"), 4).alias(
+            "top_token_share"
+        ),
         ((dup_frac > 0.5) | (dominance > 0.2)).alias("flagged"),
     )
 
@@ -1348,17 +1375,21 @@ WITH base AS (
 ), stats AS (
   SELECT doc_id,
          LEN(grams) AS n_3grams,
+         LEN(grams) - LEN(LIST_DISTINCT(grams)) AS n_dup,
          CASE WHEN LEN(grams) > 0
               THEN (LEN(grams) - LEN(LIST_DISTINCT(grams))) * 1.0 / LEN(grams)
               ELSE 0.0 END AS dup_frac,
+         LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
+             t -> LEN(LIST_FILTER(w, x -> x = t)))) AS top_n,
+         LEN(w) AS n_w,
          LIST_MAX(LIST_TRANSFORM(LIST_DISTINCT(w),
              t -> LEN(LIST_FILTER(w, x -> x = t)))) * 1.0 / LEN(w)
              AS dominance
   FROM g
 )
 SELECT doc_id, n_3grams,
-       ROUND(dup_frac, 4) AS dup_3gram_frac,
-       ROUND(dominance, 4) AS top_token_share,
+       ((CAST(n_dup AS HUGEINT) * 20000 + (GREATEST(n_3grams, 1))) // (2 * (GREATEST(n_3grams, 1)))) / 1e4 AS dup_3gram_frac,
+       ((CAST(top_n AS HUGEINT) * 20000 + (n_w)) // (2 * (n_w))) / 1e4 AS top_token_share,
        (dup_frac > 0.5 OR dominance > 0.2) AS flagged
 FROM stats
 """
@@ -1393,7 +1424,7 @@ WITH toks AS (
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_segments,
        CAST(COUNT(*) FILTER (WHERE f >= 2) AS BIGINT) AS n_dup_segments,
-       ROUND(COUNT(*) FILTER (WHERE f >= 2) * 1.0 / COUNT(*), 4) AS dup_ratio,
+       ((CAST(COUNT(*) FILTER (WHERE f >= 2) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4 AS dup_ratio,
        (COUNT(*) FILTER (WHERE f >= 2) * 1.0 / COUNT(*)) >= 0.5 AS flagged
 FROM inst JOIN freq USING (seg)
 GROUP BY doc_id
@@ -2400,7 +2431,7 @@ WITH toks AS (
   HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 )
 SELECT id_a, id_b, inter AS n_shared,
-       ROUND(inter * 1.0 / LEAST(sa.n, sb.n), 4) AS containment
+       ((CAST(inter AS HUGEINT) * 20000 + (LEAST(sa.n, sb.n))) // (2 * (LEAST(sa.n, sb.n)))) / 1e4 AS containment
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -2496,9 +2527,10 @@ def token_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.log2("n_tokens") - F.col("__clog") / F.col("n_tokens"), 4
             ).alias("entropy"),
-            F.round(F.col("n_types") / F.col("n_tokens"), 4).alias(
-                "type_token_ratio"
-            ),
+            # count ratio: exact integer half-up emission
+            nm.half_up_ratio_col(
+                F.col("n_types"), F.col("n_tokens"), 4
+            ).alias("type_token_ratio"),
         )
     )
 
@@ -2514,7 +2546,7 @@ SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_types,
        ROUND(LOG2(SUM(c)) - SUM(c * LOG2(c)) / SUM(c), 4) AS entropy,
-       ROUND(COUNT(*) * 1.0 / SUM(c), 4) AS type_token_ratio
+       ((CAST(COUNT(*) AS HUGEINT) * 20000 + (SUM(c))) // (2 * (SUM(c)))) / 1e4 AS type_token_ratio
 FROM tf GROUP BY doc_id
 """
 
@@ -2609,9 +2641,10 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_chunks",
             "n_dup_chunks",
-            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias(
-                "dup_ratio"
-            ),
+            # count ratio: exact integer half-up emission
+            nm.half_up_ratio_col(
+                F.col("n_dup_chunks"), F.col("n_chunks"), 4
+            ).alias("dup_ratio"),
         )
     )
 
@@ -2643,7 +2676,7 @@ WITH toks AS (
 SELECT source,
        COUNT(*) AS n_chunks,
        COUNT(*) FILTER (WHERE f >= 2) AS n_dup_chunks,
-       ROUND(COUNT(*) FILTER (WHERE f >= 2) * 1.0 / COUNT(*), 4) AS dup_ratio
+       ((CAST(COUNT(*) FILTER (WHERE f >= 2) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4 AS dup_ratio
 FROM chunks JOIN freq USING (key)
 GROUP BY source
 """
@@ -3044,7 +3077,10 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "n_oov",
-            F.round(F.col("n_oov") / F.col("n_tokens"), 4).alias("oov_rate"),
+            # count ratio: exact integer half-up emission
+            nm.half_up_ratio_col(
+                F.col("n_oov"), F.col("n_tokens"), 4
+            ).alias("oov_rate"),
         )
     )
 
@@ -3063,8 +3099,7 @@ SELECT doc_id,
        COUNT(*) AS n_tokens,
        COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
          AS n_oov,
-       ROUND(COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab))
-             * 1.0 / COUNT(*), 4) AS oov_rate
+       ((CAST(COUNT(*) FILTER (WHERE token NOT IN (SELECT token FROM vocab)) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4 AS oov_rate
 FROM tok GROUP BY doc_id
 """
 

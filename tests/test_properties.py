@@ -630,11 +630,44 @@ def test_integer_half_up_rounding_matches_decimal(spark, pairs):
     (the x4-replica finding this construction exists to kill)."""
     from decimal import ROUND_HALF_UP, Decimal
 
+    import duckdb
+
+    from spark_flink_streaming_example_with_test_spark.functions.numerics import (
+        half_up_duck_sql,
+        half_up_spark_sql,
+    )
+
     df = spark.createDataFrame(pairs, "p long, q long")
     got = {
         (r.p, r.q): r.share
         for r in df.selectExpr(
-            "p", "q", "((p * 2000000 + q) div (2 * q)) / 1e6 AS share"
+            "p", "q", half_up_spark_sql("p", "q", 6) + " AS share"
+        ).collect()
+    }
+    con = duckdb.connect()
+    for p, q in pairs:
+        expected = float(
+            (Decimal(p) / Decimal(q)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[(p, q)] == expected, (p, q, got[(p, q)], expected)
+        duck = con.execute(
+            f"SELECT {half_up_duck_sql(str(p), str(q), 6)}"
+        ).fetchone()[0]
+        assert duck == expected, (p, q, duck, expected)
+
+    # Column-side small-int variant (per-row ratios) — same oracle.
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.functions.numerics import half_up_ratio_col
+
+    got_col = {
+        (r.p, r.q): r.share
+        for r in df.select(
+            "p",
+            "q",
+            half_up_ratio_col(F.col("p"), F.col("q"), 6).alias("share"),
         ).collect()
     }
     for p, q in pairs:
@@ -643,4 +676,4 @@ def test_integer_half_up_rounding_matches_decimal(spark, pairs):
                 Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
         )
-        assert got[(p, q)] == expected, (p, q, got[(p, q)], expected)
+        assert got_col[(p, q)] == expected, (p, q, got_col[(p, q)], expected)
