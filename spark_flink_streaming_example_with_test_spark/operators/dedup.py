@@ -256,13 +256,17 @@ def verify_jaccard(
     sh_b = shingled.select(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / uni
+    # Per-row count ratio: exact integer half-up emission (the
+    # cross-engine ROUND half-boundary class); the threshold filter
+    # keeps the raw double compare — identical on both engines for
+    # identical int inputs.
     return (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("jaccard", F.round(jac, 4))
+        .withColumn("jaccard", half_up_ratio_col(inter, uni, 4))
         .filter(jac >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -432,8 +436,16 @@ def ngram_jaccard_pairs(
         df, id_col, text_col, shingle_len, max_doc_freq
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    # Exact integer half-up emission; raw-double threshold compare
+    # (see exact_jaccard_on_pairs).
     return pairs.filter(jac >= threshold).select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        "id_a",
+        "id_b",
+        half_up_ratio_col(
+            F.col("inter"),
+            F.col("n_a") + F.col("n_b") - F.col("inter"),
+            4,
+        ).alias("jaccard"),
     )
 
 
@@ -704,13 +716,21 @@ def incremental_shard_dedup(
             F.first("n_b").alias("n_b"),
         )
     )
-    jac = F.col("inter") / (F.col("n_s") + F.col("n_b") - F.col("inter"))
+    # Exact half-up-rounded score BEFORE the threshold compare and
+    # the max — this keeps the boundary semantics ("rounded score
+    # >= threshold") while removing the double-ROUND divergence;
+    # max-of-exactly-rounded needs no outer re-round.
+    jr = half_up_ratio_col(
+        F.col("inter"),
+        F.col("n_s") + F.col("n_b") - F.col("inter"),
+        4,
+    )
     near = (
-        inter.filter(F.round(jac, 4) >= threshold)
+        inter.filter(jr >= threshold)
         .groupBy("shard_id")
         .agg(
             F.min("base_id").alias("near_dup_of"),
-            F.round(F.max(F.round(jac, 4)), 4).alias("near_jaccard"),
+            F.max(jr).alias("near_jaccard"),
         )
     )
     return (

@@ -15,6 +15,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from spark_flink_streaming_example_with_test_spark.functions.numerics import half_up_ratio_col
+
 #: Minimal English stop-list used by the language-ID heuristic.
 EN_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
 
@@ -28,12 +30,18 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach n_tokens / n_chars / avg_token_len / type-token ratio."""
     toks = tokenize(F.col(text_col))
     n_tokens = F.size(toks)
+    # Both ratios are per-row count ratios: exact integer half-up
+    # emission (the cross-engine ROUND half-boundary class).
     return df.withColumns(
         {
             "n_tokens": n_tokens,
             "n_chars": F.length(text_col),
-            "avg_token_len": F.round(F.length(text_col) / n_tokens, 4),
-            "ttr": F.round(F.size(F.array_distinct(toks)) / n_tokens, 4),
+            "avg_token_len": half_up_ratio_col(
+                F.length(text_col), n_tokens, 4
+            ),
+            "ttr": half_up_ratio_col(
+                F.size(F.array_distinct(toks)), n_tokens, 4
+            ),
         }
     )
 

@@ -116,7 +116,7 @@ WITH toks AS (
   HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 )
 SELECT id_a, id_b,
-       ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard,
+       ((CAST(inter AS HUGEINT) * 20000 + (sa.n + sb.n - inter)) // (2 * (sa.n + sb.n - inter))) / 1e4 AS jaccard,
        TRUE AS verified_in_exact
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
@@ -158,7 +158,7 @@ WITH toks AS (
   HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
 )
 SELECT id_a, id_b,
-       ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+       ((CAST(inter AS HUGEINT) * 20000 + (sa.n + sb.n - inter)) // (2 * (sa.n + sb.n - inter))) / 1e4 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
@@ -464,9 +464,8 @@ TEXT_QUALITY_ORACLE = """
 SELECT doc_id,
        LEN(STRING_SPLIT(text, ' '))  AS n_tokens,
        LENGTH(text)                  AS n_chars,
-       ROUND(LENGTH(text) * 1.0 / LEN(STRING_SPLIT(text, ' ')), 4) AS avg_token_len,
-       ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) * 1.0
-             / LEN(STRING_SPLIT(text, ' ')), 4) AS ttr,
+       ((CAST(LENGTH(text) AS HUGEINT) * 20000 + (LEN(STRING_SPLIT(text, ' ')))) // (2 * (LEN(STRING_SPLIT(text, ' '))))) / 1e4 AS avg_token_len,
+       ((CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS HUGEINT) * 20000 + (LEN(STRING_SPLIT(text, ' ')))) // (2 * (LEN(STRING_SPLIT(text, ' '))))) / 1e4 AS ttr,
        ROUND(1.0 / (1.0 + EXP(-(LEN(STRING_SPLIT(text, ' ')) / 100.0 - 1.0))), 4)
            AS quality
 FROM documents
@@ -2379,10 +2378,10 @@ WITH base AS (
   GROUP BY 1, 2
 ), near AS (
   SELECT shard_id, MIN(base_id) AS near_dup_of,
-         ROUND(MAX(ROUND(inter * 1.0 / (n_s + n_b - inter), 4)), 4)
+         MAX(((CAST(inter AS HUGEINT) * 20000 + (n_s + n_b - inter)) // (2 * (n_s + n_b - inter))) / 1e4)
            AS near_jaccard
   FROM inter
-  WHERE ROUND(inter * 1.0 / (n_s + n_b - inter), 4) >= 0.5
+  WHERE ((CAST(inter AS HUGEINT) * 20000 + (n_s + n_b - inter)) // (2 * (n_s + n_b - inter))) / 1e4 >= 0.5
   GROUP BY shard_id
 )
 SELECT s.doc_id,
@@ -2821,16 +2820,16 @@ def token_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t_a", "t_b", "df_a", "df_b")
         .agg(F.count("*").alias("support"))
     )
+    # lift = n*support/(df_a*df_b), an integer rational: exact
+    # half-up emission with DECIMAL products (n*support can pass
+    # 2^53 at corpus scale, outside the Column helper's bound).
     return (
         pairs.crossJoin(F.broadcast(n))
-        .select(
+        .selectExpr(
             "t_a",
             "t_b",
             "support",
-            F.round(
-                F.col("n") * F.col("support") / (F.col("df_a") * F.col("df_b")),
-                4,
-            ).alias("lift"),
+            '(((CAST(n AS DECIMAL(38,0)) * support) * 20000 + (CAST(df_a AS DECIMAL(38,0)) * df_b)) div (2 * (CAST(df_a AS DECIMAL(38,0)) * df_b))) / 1e4' + " AS lift",
         )
         .orderBy(F.desc("support"), "t_a", "t_b")
         .limit(25)
@@ -2855,7 +2854,7 @@ dfreq AS (
   GROUP BY 1, 2, 3, 4
 )
 SELECT t_a, t_b, support,
-       ROUND(n.n * support * 1.0 / (df_a * df_b), 4) AS lift
+       ((CAST(CAST(n.n AS HUGEINT) * support AS HUGEINT) * 20000 + (CAST(df_a AS HUGEINT) * df_b)) // (2 * (CAST(df_a AS HUGEINT) * df_b))) / 1e4 AS lift
 FROM pairs CROSS JOIN n
 ORDER BY support DESC, t_a, t_b LIMIT 25
 """
@@ -2885,9 +2884,15 @@ def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.count_if(F.col("u") < F.col("rate")).alias("n_sampled"),
             F.round(F.first("rate"), 6).alias("planned_rate"),
-            F.round(
-                F.count_if(F.col("u") < F.col("rate")) / F.count("*"), 4
-            ).alias("realized_rate"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_sampled",
+            "planned_rate",
+            # count ratio: exact integer half-up emission
+            "(((CAST(n_sampled AS DECIMAL(38,0))) * 20000 + (n_docs))"
+            " div (2 * (n_docs))) / 1e4 AS realized_rate",
         )
     )
 
@@ -2917,7 +2922,7 @@ WITH per AS (
 SELECT source, COUNT(*) AS n_docs,
        COUNT(*) FILTER (WHERE u < rate) AS n_sampled,
        ROUND(MIN(rate), 6) AS planned_rate,
-       ROUND(COUNT(*) FILTER (WHERE u < rate) * 1.0 / COUNT(*), 4)
+       ((CAST(COUNT(*) FILTER (WHERE u < rate) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4
          AS realized_rate
 FROM drawn GROUP BY source
 """

@@ -87,7 +87,16 @@ def events_json_kpi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("props_s.k").alias("sum_k"),
             F.count("*").alias("n"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # 4-dec values: exact integer average (VERDICT r08 #3).
+            F.sum(
+                F.round(F.col("value") * 10000).cast("decimal(38,0)")
+            ).alias("__vu"),
+        )
+        .selectExpr(
+            "event_type",
+            "sum_k",
+            "n",
+            '(((__vu) * 20000 + (n * CAST(10000 AS BIGINT))) div (2 * (n * CAST(10000 AS BIGINT)))) / 1e4' + " AS avg_value",
         )
     )
 
@@ -96,7 +105,7 @@ EVENTS_JSON_ORACLE = """
 SELECT event_type,
        CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
        COUNT(*) AS n,
-       ROUND(AVG(value), 4) AS avg_value
+       ((CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS HUGEINT) * 20000 + (COUNT(*) * CAST(10000 AS BIGINT))) // (2 * (COUNT(*) * CAST(10000 AS BIGINT)))) / 1e4 AS avg_value
 FROM events GROUP BY event_type
 """
 

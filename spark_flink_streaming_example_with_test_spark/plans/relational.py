@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.plans.tpch_more import _money_sum
+from spark_flink_streaming_example_with_test_spark.functions.numerics import (
+    half_up_duck_sql,
+    half_up_ratio_col,
+    half_up_spark_sql,
+)
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
 
@@ -62,6 +67,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("bp_u"),
         F.round(disc_price * 10_000).cast("long").alias("dp_u"),
         F.round(charge * 1_000_000).cast("long").alias("ch_u"),
+        # Integer twins for the three averages (VERDICT r08 item #3):
+        # quantity is integral and discount 2-dec, so the averages
+        # reduce to exact integer ratios emitted half-up — retiring
+        # ROUND(AVG(double)) (order-dependent partial sums + decimal
+        # half-boundary divergence) from the flagship query.
+        F.round(F.col("l_quantity")).cast("long").alias("qty_u"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("ds_u"),
     )
     return (
         prepped.groupBy("l_returnflag", "l_linestatus")
@@ -70,21 +82,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bp_u").alias("__bp"),
             F.sum("dp_u").alias("__dp"),
             F.sum("ch_u").alias("__ch"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(F.col("qty_u").cast("decimal(38,0)")).alias("__q"),
+            F.sum(F.col("ds_u").cast("decimal(38,0)")).alias("__ds"),
             F.count("*").alias("count_order"),
         )
-        .select(
+        .selectExpr(
             "l_returnflag",
             "l_linestatus",
             "sum_qty",
-            (F.col("__bp") / 100.0).alias("sum_base_price"),
-            (F.expr("(__dp + 50) DIV 100") / 100.0).alias("sum_disc_price"),
-            (F.expr("(__ch + 5000) DIV 10000") / 100.0).alias("sum_charge"),
-            "avg_qty",
-            "avg_price",
-            "avg_disc",
+            "__bp / 100e0 AS sum_base_price",
+            "((__dp + 50) DIV 100) / 100e0 AS sum_disc_price",
+            "((__ch + 5000) DIV 10000) / 100e0 AS sum_charge",
+            '(((__q) * 20000 + (count_order)) div (2 * (count_order))) / 1e4' + " AS avg_qty",
+            '(((CAST(__bp AS DECIMAL(38,0))) * 20000 + (count_order * CAST(100 AS BIGINT))) div (2 * (count_order * CAST(100 AS BIGINT)))) / 1e4' + " AS avg_price",
+            '(((__ds) * 20000 + (count_order * CAST(100 AS BIGINT))) div (2 * (count_order * CAST(100 AS BIGINT)))) / 1e4' + " AS avg_disc",
             "count_order",
         )
     )
@@ -106,9 +117,9 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(bp_u) AS BIGINT) / 100.0 AS sum_base_price,
        ((CAST(SUM(dp_u) AS BIGINT) + 50) // 100) / 100.0 AS sum_disc_price,
        ((CAST(SUM(ch_u) AS BIGINT) + 5000) // 10000) / 100.0 AS sum_charge,
-       ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
-       ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+       ((CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4 AS avg_qty,
+       ((CAST(SUM(bp_u) AS HUGEINT) * 20000 + (COUNT(*) * CAST(100 AS BIGINT))) // (2 * (COUNT(*) * CAST(100 AS BIGINT)))) / 1e4 AS avg_price,
+       ((CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS HUGEINT) * 20000 + (COUNT(*) * CAST(100 AS BIGINT))) // (2 * (COUNT(*) * CAST(100 AS BIGINT)))) / 1e4 AS avg_disc,
        COUNT(*)                                                     AS count_order
 FROM u
 GROUP BY l_returnflag, l_linestatus
@@ -326,7 +337,16 @@ def join_range_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            # 2-dec money: exact integer-cent average, half-up
+            # emission (VERDICT r08 item #3).
+            F.sum(
+                F.round(F.col("p_retailprice") * 100).cast("decimal(38,0)")
+            ).alias("__pc"),
+        )
+        .selectExpr(
+            "band",
+            "n_parts",
+            '(((__pc) * 20000 + (n_parts * CAST(100 AS BIGINT))) div (2 * (n_parts * CAST(100 AS BIGINT)))) / 1e4' + " AS avg_price",
         )
     )
 
@@ -335,7 +355,8 @@ JOIN_RANGE_ORACLE = """
 WITH bands(band, lo, hi) AS (
   VALUES ('budget', 0.0, 500.0), ('mid', 500.0, 1200.0), ('premium', 1200.0, 1e9)
 )
-SELECT band, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+SELECT band, COUNT(*) AS n_parts,
+       ((CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS HUGEINT) * 20000 + (COUNT(*) * CAST(100 AS BIGINT))) // (2 * (COUNT(*) * CAST(100 AS BIGINT)))) / 1e4 AS avg_price
 FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
 GROUP BY band
 """
@@ -1187,10 +1208,15 @@ def edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lev = F.levenshtein("pa", "pb")
     denom = F.greatest(F.length("pa"), F.length("pb"))
+    # prefix_sim = (denom - lev)/denom, a per-row count ratio:
+    # exact integer half-up emission; zero-length pairs keep the
+    # NULL the double division produced (mirrored in the oracle).
     return a.join(b, "doc_id").select(
         "doc_id",
         lev.alias("lev"),
-        F.round(1.0 - lev / denom, 6).alias("prefix_sim"),
+        F.when(
+            denom > 0, half_up_ratio_col(denom - lev, denom, 6)
+        ).alias("prefix_sim"),
     )
 
 
@@ -1199,8 +1225,9 @@ WITH a AS (SELECT doc_id, SUBSTRING(text, 1, 40) AS pa FROM documents),
 b AS (SELECT doc_id - 1 AS doc_id, SUBSTRING(text, 1, 40) AS pb
       FROM documents)
 SELECT doc_id, LEVENSHTEIN(pa, pb) AS lev,
-       ROUND(1.0 - LEVENSHTEIN(pa, pb)
-             / GREATEST(LENGTH(pa), LENGTH(pb)), 6) AS prefix_sim
+       CASE WHEN GREATEST(LENGTH(pa), LENGTH(pb)) > 0 THEN
+         ((CAST(GREATEST(LENGTH(pa), LENGTH(pb)) - LEVENSHTEIN(pa, pb) AS HUGEINT) * 2000000 + (GREATEST(LENGTH(pa), LENGTH(pb)))) // (2 * (GREATEST(LENGTH(pa), LENGTH(pb))))) / 1e6
+       END AS prefix_sim
 FROM a JOIN b USING (doc_id)
 """
 

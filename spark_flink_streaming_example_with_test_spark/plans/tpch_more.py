@@ -112,21 +112,29 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, l.l_orderkey == o.o_orderkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
-                6,
-            ).alias("mkt_share")
+            # Exact-integer share (VERDICT r08 item #3): volume is a
+            # 4-dec rational (2-dec price x 2-dec (1-discount)), so
+            # round(vol*1e4) is an exact per-row integer and the
+            # share emits via the half-up helper instead of the
+            # order-dependent double-sum ratio.
+            F.sum(
+                F.when(
+                    F.col("n_name") == "NATION_3",
+                    F.round(vol * 10000).cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("__nv"),
+            F.sum(F.round(vol * 10000).cast("decimal(38,0)")).alias("__tv"),
+        )
+        .selectExpr(
+            "o_year",
+            '(((__nv) * 2000000 + (__tv)) div (2 * (__tv))) / 1e6' + " AS mkt_share",
         )
     )
 
 
 Q8_ORACLE = """
 SELECT YEAR(o_orderdate) AS o_year,
-       ROUND(SUM(CASE WHEN n_name = 'NATION_3'
-                      THEN l_extendedprice * (1 - l_discount)
-                      ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+       ((CAST(SUM(CASE WHEN n_name = 'NATION_3' THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT) ELSE 0 END) AS HUGEINT) * 2000000 + (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT)))) // (2 * (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT))))) / 1e6 AS mkt_share
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -312,23 +320,25 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(0.0)
-                )
-                / F.sum(_disc_price()),
-                4,
-            ).alias("promo_revenue_pct")
+            # Exact-integer promo share x100 (VERDICT r08 item #3).
+            F.sum(
+                F.when(
+                    F.col("p_type") == "PROMO",
+                    F.round(_disc_price() * 10000).cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("__pv"),
+            F.sum(
+                F.round(_disc_price() * 10000).cast("decimal(38,0)")
+            ).alias("__tv"),
+        )
+        .selectExpr(
+            '(((__pv * 100) * 20000 + (__tv)) div (2 * (__tv))) / 1e4' + " AS promo_revenue_pct",
         )
     )
 
 
 Q14_ORACLE = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+SELECT ((CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT) ELSE 0 END) * 100 AS HUGEINT) * 20000 + (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT)))) // (2 * (SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS HUGEINT))))) / 1e4 AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01'
   AND l_shipdate <  TIMESTAMP '1996-10-01'
@@ -389,12 +399,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li_b.join(F.broadcast(thresh), li_b.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
-                .cast("double")
-                / 7.0,
-                2,
-            ).alias("avg_yearly")
+            # Exact-integer yearly average (VERDICT r08 item #3):
+            # sum 2-dec prices as integer cents, divide once.
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("decimal(38,0)")
+            ).alias("__pc")
+        )
+        .selectExpr(
+            '(((__pc) * 200 + (CAST(700 AS BIGINT))) div (2 * (CAST(700 AS BIGINT)))) / 1e2' + " AS avg_yearly",
         )
     )
 
@@ -407,7 +419,7 @@ WITH li_b AS (
   SELECT l_partkey AS t_partkey, 0.5 * AVG(l_quantity) AS qty_thresh
   FROM li_b GROUP BY l_partkey
 )
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2) AS avg_yearly
+SELECT ((CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT) * 200 + (CAST(700 AS BIGINT))) // (2 * (CAST(700 AS BIGINT)))) / 1e2 AS avg_yearly
 FROM li_b JOIN thresh ON l_partkey = t_partkey
 WHERE l_quantity < qty_thresh
 """

@@ -205,7 +205,8 @@ def test_tws_running_stats_matches_batch(spark, tmp_path):
     """transformWithStateInPandas twin of the running-totals
     operator, checked against batch aggregation. Skips where the TWS
     streaming runner's protobuf dependency is absent (this sandbox);
-    runs for real in a full deployment."""
+    runs for real in a full deployment. Env re-probed at round starts
+    (r7: absent; r8: absent; r9 2026-08-14: absent)."""
     import pytest
 
     if not _protobuf_available():

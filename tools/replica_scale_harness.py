@@ -84,9 +84,23 @@ def build_replicas(spark, mult: int) -> str:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("ops", nargs="+", help="catalog query names")
+    ap.add_argument("ops", nargs="*", help="catalog query names")
     ap.add_argument("--mults", nargs="+", type=int, default=[1, 2, 4])
+    ap.add_argument(
+        "--build-only",
+        action="store_true",
+        help="build the replica dirs and exit (for pointing "
+        "SPARK_GRAFT_TEST_SF_DIR at /tmp/engine_scale_harness/xN "
+        "to run the FULL oracle-parity sweep at replica scale)",
+    )
+    ap.add_argument(
+        "--keep",
+        action="store_true",
+        help="keep the replica dirs on exit instead of deleting them",
+    )
     args = ap.parse_args()
+    if not args.ops and not args.build_only:
+        ap.error("ops required unless --build-only")
 
     from pyspark.sql import SparkSession
 
@@ -107,6 +121,12 @@ def main() -> None:
         raise SystemExit(f"unknown catalog queries: {unknown}")
     shutil.rmtree(BASE, ignore_errors=True)
     results: dict[str, list[float]] = {}
+    if args.build_only:
+        for mult in args.mults:
+            d = build_replicas(spark, mult)
+            print(f"built {d}", flush=True)
+        spark.stop()
+        return
     try:
         for mult in args.mults:
             d = build_replicas(spark, mult)
@@ -123,7 +143,8 @@ def main() -> None:
         for op, ts in results.items():
             print("| " + op + " | " + " | ".join(f"{t:.2f} s" for t in ts) + " |")
     finally:
-        shutil.rmtree(BASE, ignore_errors=True)
+        if not args.keep:
+            shutil.rmtree(BASE, ignore_errors=True)
         spark.stop()
 
 
