@@ -605,10 +605,18 @@ def sessionize_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth is bounded by the longest session (`<= events per user),
     not corpus size. The level limit is raised explicitly — the
     default 100 sits exactly at this fixture's max per-user event
-    count."""
+    count — and so is the cumulative ROW limit: the recursion emits
+    one row per event overall, so the default
+    ``spark.sql.cteRecursionRowLimit`` of 1e6 caps the query at a
+    1M-event corpus (found by the 16x-replica sweep: 2.4M events →
+    RECURSION_ROW_LIMIT_EXCEEDED). 1e9 covers every replica scale
+    this harness reaches; at true 100 TB the non-recursive twin
+    (``sessionize_events``) is the production form and this query is
+    the SQL-surface demonstration."""
     import uuid
 
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "1000")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(1_000_000_000))
     view = f"__events_rcte_{uuid.uuid4().hex}"
     load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts"
