@@ -1576,12 +1576,26 @@ def _mixture_rate_frame(docs: DataFrame) -> DataFrame:
     share = F.col("w") / F.sum("w").over(full)
     per = per.withColumn("target_share", share)
     cap = F.min(F.col("avail_tokens") / F.col("target_share")).over(full)
+    # Exact-rational twins: the binding (argmin avail/share) source m
+    # makes every rate an INTEGER rational — rate_s = (w_s*avail_m) /
+    # (w_m*avail_s), sampled_s = w_s*avail_m/w_m — so the consumers
+    # can emit via the half-up helpers. Identified by ordering the
+    # |domains|-row frame on the same double ratio both engines
+    # compute, source tiebreak; `rate`/`sampled_tokens_raw` keep the
+    # double forms for threshold filters.
+    bind = Window.orderBy(
+        F.col("avail_tokens") / F.col("w"), F.col("source")
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return per.select(
         "source",
         "avail_tokens",
         "target_share",
         (F.col("target_share") * cap / F.col("avail_tokens")).alias("rate"),
         (F.col("target_share") * cap).alias("sampled_tokens_raw"),
+        "w",
+        F.sum("w").over(full).alias("sw"),
+        F.first("w").over(bind).alias("w_m"),
+        F.first("avail_tokens").over(bind).alias("avail_m"),
     )
 
 
@@ -1603,14 +1617,16 @@ def mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     per = _mixture_rate_frame(docs)
-    return per.select(
+    # All three emissions are integer rationals via the binding
+    # source m (see _mixture_rate_frame): exact half-up, no double
+    # ROUND (VERDICT r08 item #3).
+    return per.selectExpr(
         "source",
         "avail_tokens",
-        F.round("target_share", 6).alias("target_share"),
-        F.round("rate", 6).alias("sampling_rate"),
-        F.floor(F.col("sampled_tokens_raw") + 0.5).cast("long").alias(
-            "sampled_tokens"
-        ),
+        '(((CAST(w AS DECIMAL(38,0))) * 2000000 + (sw)) div (2 * (sw))) / 1e6' + " AS target_share",
+        '(((CAST(w AS DECIMAL(38,0)) * avail_m) * 2000000 + (CAST(w_m AS DECIMAL(38,0)) * avail_tokens)) div (2 * (CAST(w_m AS DECIMAL(38,0)) * avail_tokens))) / 1e6' + " AS sampling_rate",
+        "CAST((2 * CAST(w AS DECIMAL(38,0)) * avail_m + w_m)"
+        " div (2 * w_m) AS BIGINT) AS sampled_tokens",
     )
 
 
@@ -1620,16 +1636,22 @@ WITH per AS (
          CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS avail_tokens,
          CAST(SUBSTR(source, 4) AS INT) + 1 AS w
   FROM documents GROUP BY source
-), shares AS (
-  SELECT *, w * 1.0 / SUM(w) OVER () AS target_share FROM per
 ), t AS (
-  SELECT *, MIN(avail_tokens / target_share) OVER () AS corpus_cap
-  FROM shares
+  SELECT *,
+         SUM(w) OVER () AS sw,
+         FIRST_VALUE(w) OVER (ORDER BY avail_tokens * 1.0 / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_m,
+         FIRST_VALUE(avail_tokens) OVER (ORDER BY avail_tokens * 1.0 / w,
+           source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS avail_m
+  FROM per
 )
 SELECT source, avail_tokens,
-       ROUND(target_share, 6) AS target_share,
-       ROUND(target_share * corpus_cap / avail_tokens, 6) AS sampling_rate,
-       CAST(FLOOR(target_share * corpus_cap + 0.5) AS BIGINT) AS sampled_tokens
+       ((CAST(w AS HUGEINT) * 2000000 + (sw)) // (2 * (sw))) / 1e6 AS target_share,
+       ((CAST(CAST(w AS HUGEINT) * avail_m AS HUGEINT) * 2000000 + (CAST(w_m AS HUGEINT) * avail_tokens)) // (2 * (CAST(w_m AS HUGEINT) * avail_tokens))) / 1e6 AS sampling_rate,
+       CAST((2 * CAST(w AS HUGEINT) * avail_m + w_m) // (2 * w_m) AS BIGINT)
+         AS sampled_tokens
 FROM t
 """
 
@@ -1790,10 +1812,37 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     fused = lex.join(vec, ["q_id", "doc_id"], "full_outer")
-    rrf = F.round(
-        F.coalesce(1.0 / (_RRF_K + F.col("lex_rk")), F.lit(0.0))
-        + F.coalesce(1.0 / (_RRF_K + F.col("vec_rk")), F.lit(0.0)),
-        6,
+    # RRF is an exact rational of small integer ranks — 1/(K+a) +
+    # 1/(K+b) = (2K+a+b)/((K+a)(K+b)) — so the score emits via the
+    # integer half-up helper instead of ROUND of the double sum
+    # (terminating-decimal combos like 1/100 + 1/128 = 0.0178125
+    # land exactly on the 1e-6 half boundary and string-round up on
+    # Spark but binary-round down on DuckDB). Both engines also
+    # ORDER BY this same exactly-rounded score, so the top-10 cut
+    # picks identical boundary rows.
+    lex_p = F.col("lex_rk").isNotNull()
+    vec_p = F.col("vec_rk").isNotNull()
+    rrf = (
+        F.when(
+            lex_p & vec_p,
+            nm.half_up_ratio_col(
+                F.lit(2 * _RRF_K) + F.col("lex_rk") + F.col("vec_rk"),
+                (F.lit(_RRF_K) + F.col("lex_rk"))
+                * (F.lit(_RRF_K) + F.col("vec_rk")),
+                6,
+            ),
+        )
+        .when(
+            lex_p,
+            nm.half_up_ratio_col(
+                F.lit(1), F.lit(_RRF_K) + F.col("lex_rk"), 6
+            ),
+        )
+        .otherwise(
+            nm.half_up_ratio_col(
+                F.lit(1), F.lit(_RRF_K) + F.col("vec_rk"), 6
+            )
+        )
     )
     w_fused = Window.partitionBy("q_id").orderBy(
         F.desc("rrf_score"), F.asc("doc_id")
@@ -1858,8 +1907,13 @@ WITH q(q_id, term) AS (
   SELECT COALESCE(l.q_id, v.q_id) AS q_id,
          COALESCE(l.doc_id, v.doc_id) AS doc_id,
          l.lex_rk, v.vec_rk,
-         ROUND(COALESCE(1.0 / (60 + l.lex_rk), 0)
-               + COALESCE(1.0 / (60 + v.vec_rk), 0), 6) AS rrf_score
+         CASE
+           WHEN l.lex_rk IS NOT NULL AND v.vec_rk IS NOT NULL THEN
+             ((CAST(120 + l.lex_rk + v.vec_rk AS HUGEINT) * 2000000 + ((60 + l.lex_rk) * (60 + v.vec_rk))) // (2 * ((60 + l.lex_rk) * (60 + v.vec_rk)))) / 1e6
+           WHEN l.lex_rk IS NOT NULL THEN
+             ((CAST(1 AS HUGEINT) * 2000000 + (60 + l.lex_rk)) // (2 * (60 + l.lex_rk))) / 1e6
+           ELSE ((CAST(1 AS HUGEINT) * 2000000 + (60 + v.vec_rk)) // (2 * (60 + v.vec_rk))) / 1e6
+         END AS rrf_score
   FROM lex l FULL JOIN vec v ON l.q_id = v.q_id AND l.doc_id = v.doc_id
 )
 SELECT q_id, doc_id, lex_rk, vec_rk, rrf_score, rk FROM (
@@ -2870,7 +2924,9 @@ def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     property RNG-based sampling loses on retry). Emits per-source
     planned vs realized rates."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = _mixture_rate_frame(docs).select("source", "rate")
+    rates = _mixture_rate_frame(docs).select(
+        "source", "rate", "w", "w_m", "avail_m", "avail_tokens"
+    )
     h = F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string")))
     v = (
         (_md5_nibble(h, 1) * 16 + _md5_nibble(h, 2)) * 16 + _md5_nibble(h, 3)
@@ -2883,13 +2939,18 @@ def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.count_if(F.col("u") < F.col("rate")).alias("n_sampled"),
-            F.round(F.first("rate"), 6).alias("planned_rate"),
+            # planned rate is the exact binding-source rational
+            # (w*avail_m)/(w_m*avail) — half-up, not ROUND(double)
+            F.first("w").alias("__w"),
+            F.first("w_m").alias("__wm"),
+            F.first("avail_m").alias("__am"),
+            F.first("avail_tokens").alias("__av"),
         )
         .selectExpr(
             "source",
             "n_docs",
             "n_sampled",
-            "planned_rate",
+            '(((CAST(__w AS DECIMAL(38,0)) * __am) * 2000000 + (CAST(__wm AS DECIMAL(38,0)) * __av)) div (2 * (CAST(__wm AS DECIMAL(38,0)) * __av))) / 1e6' + " AS planned_rate",
             # count ratio: exact integer half-up emission
             "(((CAST(n_sampled AS DECIMAL(38,0))) * 20000 + (n_docs))"
             " div (2 * (n_docs))) / 1e4 AS realized_rate",
@@ -2908,10 +2969,18 @@ WITH per AS (
 ), rates AS (
   SELECT source,
          target_share * MIN(avail_tokens / target_share) OVER ()
-           / avail_tokens AS rate
+           / avail_tokens AS rate,
+         w, avail_tokens,
+         FIRST_VALUE(w) OVER (ORDER BY avail_tokens * 1.0 / w, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS w_m,
+         FIRST_VALUE(avail_tokens) OVER (ORDER BY avail_tokens * 1.0 / w,
+           source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS avail_m
   FROM shares
 ), drawn AS (
-  SELECT d.source, rates.rate,
+  SELECT d.source, rates.rate, rates.w, rates.w_m, rates.avail_m,
+         rates.avail_tokens,
          ((((N1 * 16 + N2) * 16 + N3) * 16 + N4) + 1) / 65537.0 AS u
   FROM (SELECT source,
                {_md5_nibble_sql('h', 1)} AS N1, {_md5_nibble_sql('h', 2)} AS N2, {_md5_nibble_sql('h', 3)} AS N3, {_md5_nibble_sql('h', 4)} AS N4
@@ -2921,7 +2990,7 @@ WITH per AS (
 )
 SELECT source, COUNT(*) AS n_docs,
        COUNT(*) FILTER (WHERE u < rate) AS n_sampled,
-       ROUND(MIN(rate), 6) AS planned_rate,
+       ((CAST(MIN(CAST(w AS HUGEINT)) * MIN(avail_m) AS HUGEINT) * 2000000 + (MIN(CAST(w_m AS HUGEINT)) * MIN(avail_tokens))) // (2 * (MIN(CAST(w_m AS HUGEINT)) * MIN(avail_tokens)))) / 1e6 AS planned_rate,
        ((CAST(COUNT(*) FILTER (WHERE u < rate) AS HUGEINT) * 20000 + (COUNT(*))) // (2 * (COUNT(*)))) / 1e4
          AS realized_rate
 FROM drawn GROUP BY source
@@ -3930,12 +3999,21 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.col("n_tokens") / F.sum("n_tokens").over(full)
     per = per.withColumn("raw_share", raw)
     tempered = F.pow("raw_share", 0.3) / F.sum(F.pow("raw_share", 0.3)).over(full)
+    # raw_share is a count ratio -> exact half-up; tempered/upsample
+    # involve pow(., 0.3) (irrational, NUMERICS.md class 2) and keep
+    # the mirrored double ROUND.
     return per.select(
         "source",
         "n_tokens",
-        F.round("raw_share", 6).alias("raw_share"),
+        F.sum("n_tokens").over(full).alias("__tot"),
         F.round(tempered, 6).alias("tempered_share"),
         F.round(tempered / F.col("raw_share"), 4).alias("upsample_factor"),
+    ).selectExpr(
+        "source",
+        "n_tokens",
+        '(((CAST(n_tokens AS DECIMAL(38,0))) * 2000000 + (__tot)) div (2 * (__tot))) / 1e6' + " AS raw_share",
+        "tempered_share",
+        "upsample_factor",
     )
 
 
@@ -3951,7 +4029,7 @@ WITH per AS (
             AS tempered FROM shares
 )
 SELECT source, n_tokens,
-       ROUND(raw_share, 6) AS raw_share,
+       ((CAST(n_tokens AS HUGEINT) * 2000000 + (SUM(n_tokens) OVER ())) // (2 * (SUM(n_tokens) OVER ()))) / 1e6 AS raw_share,
        ROUND(tempered, 6) AS tempered_share,
        ROUND(tempered / raw_share, 4) AS upsample_factor
 FROM t
@@ -3979,12 +4057,15 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(edges).select(
         F.col("node").alias("doc_id"), "component"
     )
+    # score (distinct/total tokens) is a per-row count ratio AND the
+    # winner-selection key: exact half-up so both engines pick the
+    # same canonical doc at rounding boundaries.
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("w")
     ).select(
         "doc_id",
-        F.round(
-            F.size(F.array_distinct("w")) / F.size("w"), 6
+        nm.half_up_ratio_col(
+            F.size(F.array_distinct("w")), F.size("w"), 6
         ).alias("score"),
     )
     member = cc.join(toks, "doc_id")
@@ -3998,7 +4079,8 @@ def dedup_keep_best_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         "n_members",
         F.col("b.d").alias("canonical_doc_id"),
-        F.round(-F.col("b.neg"), 6).alias("canonical_score"),
+        # b.neg is already an exactly-6-dec value; no re-round
+        (-F.col("b.neg")).alias("canonical_score"),
     )
 
 
@@ -4044,7 +4126,7 @@ WITH RECURSIVE toks AS (
   SELECT node AS doc_id, MIN(anc) AS component FROM reach GROUP BY node
 ), scored AS (
   SELECT doc_id,
-         ROUND(LEN(LIST_DISTINCT(w)) * 1.0 / LEN(w), 6) AS score
+         ((CAST(LEN(LIST_DISTINCT(w)) AS HUGEINT) * 2000000 + (LEN(w))) // (2 * (LEN(w)))) / 1e6 AS score
   FROM toks
 ), best AS (
   SELECT c.component, COUNT(*) AS n_members,
@@ -4054,7 +4136,7 @@ WITH RECURSIVE toks AS (
 )
 SELECT component, n_members,
        b.d AS canonical_doc_id,
-       ROUND(-b.neg, 6) AS canonical_score
+       -b.neg AS canonical_score
 FROM best WHERE n_members >= 2
 """
 
@@ -4191,9 +4273,11 @@ def curation_pipeline_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     member_score = cc.join(
         toks.select(
             "doc_id",
-            F.round(F.size(F.array_distinct("w")) / F.size("w"), 6).alias(
-                "score"
-            ),
+            # winner-selection key: exact half-up count ratio (same
+            # construction as dedup_keep_best_canonical)
+            nm.half_up_ratio_col(
+                F.size(F.array_distinct("w")), F.size("w"), 6
+            ).alias("score"),
         ),
         "doc_id",
     )
@@ -4328,7 +4412,7 @@ WITH RECURSIVE toks AS (
   SELECT node AS doc_id, MIN(anc) AS component FROM reach GROUP BY node
 ), mscore AS (
   SELECT c.component, c.doc_id,
-         ROUND(LEN(LIST_DISTINCT(t.w)) * 1.0 / LEN(t.w), 6) AS score
+         ((CAST(LEN(LIST_DISTINCT(t.w)) AS HUGEINT) * 2000000 + (LEN(t.w))) // (2 * (LEN(t.w)))) / 1e6 AS score
   FROM comp c JOIN toks t ON c.doc_id = t.doc_id
 ), winners AS (
   SELECT component, MIN(STRUCT_PACK(neg := -score, d := doc_id)).d AS win

@@ -1559,19 +1559,35 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the same string from plain aggregates.
     """
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("c"), F.round(F.sum("value"), 2).alias("s")
+    # s is integer CENTS from the start (half-up of the exact
+    # ten-thousandths sum): the earlier ROUND(SUM(value), 2) of a
+    # 4-decimal sum is the half-boundary class (a group landing on
+    # x.xx50 rounds differently across engines), and the fused
+    # integer below consumed it at full weight.
+    q4 = F.round(F.col("value") * 10000).cast("long")
+    per = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("c"),
+            F.sum(q4.cast("decimal(38,0)")).alias("__q4"),
+        )
+        .selectExpr(
+            "user_id",
+            "event_type",
+            "c",
+            "CAST((__q4 * 2 + 100) div 200 AS BIGINT) AS s_cents",
+        )
     )
     entries = per.groupBy("user_id").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("event_type", "c")))
         ).alias("counts"),
         F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("event_type", "s")))
+            F.sort_array(F.collect_list(F.struct("event_type", "s_cents")))
         ).alias("sums"),
     )
     # busy types only (count > 2), counts scaled x10, then fused
-    # with the value sums as INTEGER CENTS (c*10*100 + round(s*100)):
+    # with the value sums as INTEGER CENTS (c*10*100 + s_cents):
     # exact integer arithmetic stringifies identically on both
     # engines, where a formatted float would hit rounding-mode
     # divergence (Spark format_number is HALF_EVEN).
@@ -1582,7 +1598,7 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_filter("sums", lambda k, v: F.lit(True)),
         lambda k, c10, s: F.when(
             c10.isNotNull(),
-            (c10 * 100 + F.round(s * 100, 0)).cast("long"),
+            (c10 * 100 + s).cast("long"),
         ),
     )
     flat = F.array_join(
@@ -1609,13 +1625,15 @@ def map_higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAP_HOF_ORACLE = """
 WITH per AS (
-  SELECT user_id, event_type, COUNT(*) AS c, ROUND(SUM(value), 2) AS s
+  SELECT user_id, event_type, COUNT(*) AS c,
+         (SUM(CAST(ROUND(value * 10000) AS HUGEINT)) * 2 + 100) // 200
+           AS s_cents
   FROM events GROUP BY user_id, event_type
 ), fused AS (
   SELECT user_id, event_type,
          CASE WHEN c > 2
               THEN CAST(CAST(c * 10 * 100
-                   + ROUND(s * 100, 0) AS BIGINT) AS VARCHAR)
+                   + s_cents AS BIGINT) AS VARCHAR)
               ELSE '<dropped>' END AS val,
          c > 2 AS busy
   FROM per
