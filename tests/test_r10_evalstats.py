@@ -1,0 +1,224 @@
+"""Round-10 batch-2 semantic pins for the evaluation & statistics
+queries (plans/evalstats.py) — invariants the DuckDB-parity hash
+can't express: the AUC against a brute-force O(n_pos*n_neg) pair
+count, the budget selection against a brute-force greedy replay,
+link prediction against a networkx-free Python recomputation, grid
+completeness for the chi-square (zero cells MUST be present), and
+bound/consistency checks for calibration and NDCG.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from spark_flink_streaming_example_with_test_spark.plans import evalstats as ev
+from tests.conftest import SF_DIR
+
+
+def _half_up(num: int, den: int, k: int) -> float:
+    scale = 10**k
+    return ((2 * num * scale + den) // (2 * den)) / scale
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.functions.hashing import md5_nibble
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.select(
+        "doc_id", "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    h = F.md5("term")
+    w = ((md5_nibble(h, 1) * 16 + md5_nibble(h, 2)) * 37) % 101
+    perdoc = (
+        tok.groupBy("doc_id", "lang").agg(F.sum(w).alias("s")).collect()
+    )
+    pos = sorted(r["s"] for r in perdoc if r["lang"] == "en")
+    neg = sorted(r["s"] for r in perdoc if r["lang"] != "en")
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+
+    row = ev.auc_mannwhitney_quality(spark, SF_DIR).collect()[0]
+    assert row["n_pos"] == len(pos)
+    assert row["n_neg"] == len(neg)
+    assert row["n_wins"] == wins
+    assert row["n_ties"] == ties
+    assert row["auc"] == _half_up(
+        2 * wins + ties, 2 * len(pos) * len(neg), 6
+    )
+
+
+def test_chi_square_full_grid_including_zero_cells(spark):
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_src = docs.select("source").distinct().count()
+    n_lang = docs.select("lang").distinct().count()
+    n_docs = docs.count()
+
+    out = ev.chi_square_source_lang(spark, SF_DIR).collect()
+    assert len(out) == n_src * n_lang, "zero cells must be emitted"
+    assert sum(r["observed"] for r in out) == n_docs
+    for r in out:
+        assert r["chi2_contrib"] >= 0.0
+        assert r["expected"] > 0.0
+        # independence identity: over_represented iff obs > expected
+        # (modulo the 6-dp rounding of the emitted expected).
+        if abs(r["observed"] - r["expected"]) > 1e-5:
+            assert r["over_represented"] == (
+                r["observed"] > r["expected"]
+            )
+
+
+def test_calibration_bins_partition_and_gap_identity(spark):
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    out = ev.calibration_reliability_bins(spark, SF_DIR).collect()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    for r in out:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["mean_phat"] < 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        # each of the three is independently half-up rounded from
+        # the same integer sums, so the identity holds to 2 ulp of
+        # the 6-dp grid.
+        assert abs(r["abs_gap"] - abs(r["mean_phat"] - r["frac_pos"])) <= 2e-6
+
+
+def test_knn_disagreement_vote_bounds(spark):
+    out = ev.knn_label_disagreement(spark, SF_DIR).collect()
+    assert len(out) == 32  # all probes present (no zero-norm probes
+    # in the fixture; with_unit_prep would drop them)
+    for r in out:
+        assert 1 <= r["n_majority"] <= 5
+        assert r["mislabel"] == (r["majority_label"] != r["own_label"])
+
+
+def test_token_budget_selection_matches_greedy_replay(spark):
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.functions.hashing import md5_nibble
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    h = F.md5("term")
+    w = ((md5_nibble(h, 1) * 16 + md5_nibble(h, 2)) * 37) % 101
+    perdoc = (
+        tok.groupBy("doc_id", "source")
+        .agg(F.sum(w).alias("s"), F.count("*").alias("n_tok"))
+        .collect()
+    )
+    total = sum(r["n_tok"] for r in perdoc)
+    budget = total // 5
+    # Replay the query's documented PREFIX semantics: whole density
+    # groups admitted while they fit; the first partially-fitting
+    # group contributes its doc_id-ordered prefix; everything after
+    # is out (no skip-and-continue knapsack behavior — selection is
+    # a deterministic prefix of the (density DESC, doc_id) order).
+    groups: dict[int, list] = {}
+    for r in perdoc:
+        groups.setdefault((r["s"] * 1000) // r["n_tok"], []).append(r)
+    spent = 0
+    sel: dict[str, list[int]] = {}
+    for dens in sorted(groups, reverse=True):
+        g = sorted(groups[dens], key=lambda r: r["doc_id"])
+        g_tok = sum(r["n_tok"] for r in g)
+        if spent + g_tok <= budget:
+            for r in g:
+                sel.setdefault(r["source"], []).append(r["n_tok"])
+            spent += g_tok
+        else:
+            remaining = budget - spent
+            cum = 0
+            for r in g:
+                cum += r["n_tok"]
+                if cum > remaining:
+                    break
+                sel.setdefault(r["source"], []).append(r["n_tok"])
+            break
+
+    out = {
+        r["source"]: r
+        for r in ev.token_budget_selection(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(sel)
+    for src, toks in sel.items():
+        assert out[src]["n_selected"] == len(toks)
+        assert out[src]["tokens_selected"] == sum(toks)
+        assert out[src]["budget_share"] == _half_up(
+            sum(toks), budget, 6
+        )
+    assert sum(r["tokens_selected"] for r in out.values()) <= budget
+
+
+def test_dup_weighted_share_conservation(spark):
+    out = ev.dup_weighted_source_share(spark, SF_DIR).collect()
+    assert len(out) > 0
+    total_canon = sum(r["n_canonical"] for r in out)
+    total_docs = sum(r["n_docs"] for r in out)
+    assert 0 < total_canon <= total_docs
+    for r in out:
+        assert r["n_canonical"] <= r["n_docs"]
+        assert r["tokens_canonical"] <= r["tokens_raw"]
+    # shares each half-up rounded at 6 dp: sums land within
+    # n_sources half-ulps of 1.
+    for col in ("share_raw", "share_canonical"):
+        s = sum(Fraction(str(r[col])) for r in out)
+        assert abs(s - 1) <= Fraction(len(out), 10**6)
+
+
+def test_link_prediction_matches_bruteforce(spark):
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    n = load_table(spark, SF_DIR, "documents").count()
+    und = set()
+    for i in range(n):
+        for m, a in ((1, 1), (1, 2), (3, 7)):
+            j = (i * m + a) % n
+            if i != j:
+                und.add((min(i, j), max(i, j)))
+    adj: dict[int, set[int]] = {}
+    for u, v in und:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    cand: dict[tuple[int, int], int] = {}
+    for x, nbrs in adj.items():
+        ns = sorted(nbrs)
+        for i, u in enumerate(ns):
+            for v in ns[i + 1:]:
+                if (u, v) not in und:
+                    cand[(u, v)] = cand.get((u, v), 0) + 1
+    expect = sorted(
+        ((c, u, v) for (u, v), c in cand.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:20]
+
+    out = ev.link_prediction_common_neighbors(spark, SF_DIR).collect()
+    assert [(r["common_neighbors"], r["u"], r["v"]) for r in out] == expect
+    for r in out:
+        denom = r["deg_u"] + r["deg_v"] - r["common_neighbors"]
+        assert r["jaccard"] == _half_up(r["common_neighbors"], denom, 6)
+        assert (r["u"], r["v"]) not in und
+
+
+def test_ndcg_bounds_and_perfect_ranking_identity(spark):
+    out = ev.retrieval_eval_ndcg(spark, SF_DIR).collect()
+    assert len(out) == 8
+    for r in out:
+        assert 0.0 <= r["precision_at_10"] <= 1.0
+        assert 0.0 <= r["ndcg_at_10"] <= 1.0
+        if r["n_rel"] == 10:
+            # all retrieved relevant -> ranking is trivially ideal
+            assert r["ndcg_at_10"] == 1.0
+        if r["n_rel"] == 0:
+            assert r["ndcg_at_10"] == 0.0
