@@ -922,3 +922,465 @@ SELECT q_id, q_label, n_rel,
   ELSE 0.0 END AS ndcg_at_10
 FROM agg ORDER BY q_id
 """
+
+# ---------------------------------------------------------------------
+# 9. Lexical diversity: type-token ratio per source
+# ---------------------------------------------------------------------
+
+def type_token_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level lexical-diversity profile per source: vocabulary
+    size, hapax-legomena count (terms seen exactly once), total
+    tokens, type-token ratio, and hapax share — the screen that
+    separates template-generated sources (tiny vocab, low hapax)
+    from organic text before mixture weighting. Per-document TTR
+    exists in text_quality_scores; this is the corpus-level twin
+    whose vocabulary does NOT decompose doc-by-doc.
+
+    Scale shape: one (source, term) aggregation (the wordcount
+    shuffle), one source-level rollup. Exact integers; two half-up
+    emissions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    freq = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    agg = freq.groupBy("source").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum("c").alias("n_tokens"),
+    )
+    return agg.selectExpr(
+        "source",
+        "n_tokens",
+        "vocab_size",
+        "n_hapax",
+        nm.half_up_spark_sql("vocab_size", "n_tokens", 6) + " AS ttr",
+        nm.half_up_spark_sql("n_hapax", "vocab_size", 6)
+        + " AS hapax_share",
+    ).orderBy("source")
+
+
+TYPE_TOKEN_RATIO_ORACLE = f"""
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+agg AS (
+  SELECT source, COUNT(*) AS vocab_size,
+         COUNT(*) FILTER (c = 1) AS n_hapax,
+         CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM freq GROUP BY 1
+)
+SELECT source, n_tokens, vocab_size, n_hapax,
+  {nm.half_up_duck_sql("vocab_size", "n_tokens", 6)} AS ttr,
+  {nm.half_up_duck_sql("n_hapax", "vocab_size", 6)} AS hapax_share
+FROM agg ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 10. Nucleus (top-p) vocabulary coverage
+# ---------------------------------------------------------------------
+
+def nucleus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) vocabulary audit per source: the minimal
+    number of highest-frequency terms whose cumulative count covers
+    >= 90% of the source's token mass — the number that sizes a
+    domain tokenizer and flags heavy-tail sources whose text a
+    shared vocab will shatter. Exact integer comparison
+    (10 * cum >= 9 * total) — no float threshold.
+
+    Scale shape: the (source, term) wordcount shuffle, then an
+    ordered window over the per-source VOCABULARY frame (bounded by
+    vocab size, not corpus size — the sanctioned distinct-value
+    decomposition), then a two-value min/arg-min rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    freq = tok.groupBy("source", "term").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("source").agg(
+        F.sum("c").alias("total_tokens"), F.count("*").alias("vocab_size")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("c"), "term")
+    ranked = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .join(tot, "source")
+        .filter(F.col("cum") * 10 >= F.col("total_tokens") * 9)
+    )
+    hit = ranked.groupBy("source").agg(
+        F.min("rn").alias("v90_terms"),
+        F.min_by("cum", "rn").alias("cum_at_v90"),
+        F.max("total_tokens").alias("total_tokens"),
+        F.max("vocab_size").alias("vocab_size"),
+    )
+    return hit.selectExpr(
+        "source",
+        "total_tokens",
+        "vocab_size",
+        "v90_terms",
+        nm.half_up_spark_sql("cum_at_v90", "total_tokens", 6)
+        + " AS coverage_at_v90",
+        nm.half_up_spark_sql("v90_terms", "vocab_size", 6)
+        + " AS v90_vocab_share",
+    ).orderBy("source")
+
+
+NUCLEUS_VOCAB_ORACLE = f"""
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+),
+freq AS (
+  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+),
+tot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS total_tokens,
+         COUNT(*) AS vocab_size
+  FROM freq GROUP BY 1
+),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, term) AS rn,
+         CAST(SUM(c) OVER (PARTITION BY source
+                           ORDER BY c DESC, term
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS cum
+  FROM freq
+),
+hit AS (
+  SELECT r.source, MIN(r.rn) AS v90_terms,
+         ARG_MIN(r.cum, r.rn) AS cum_at_v90,
+         MAX(t.total_tokens) AS total_tokens,
+         MAX(t.vocab_size) AS vocab_size
+  FROM ranked r JOIN tot t USING (source)
+  WHERE r.cum * 10 >= t.total_tokens * 9
+  GROUP BY 1
+)
+SELECT source, total_tokens, vocab_size, v90_terms,
+  {nm.half_up_duck_sql("cum_at_v90", "total_tokens", 6)}
+    AS coverage_at_v90,
+  {nm.half_up_duck_sql("v90_terms", "vocab_size", 6)}
+    AS v90_vocab_share
+FROM hit ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 11. Mutual information: source x lang
+# ---------------------------------------------------------------------
+
+def mutual_information_source_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual information I(source; lang) in nats — the single
+    number summarizing how much source identity predicts language
+    (0 = independent), the companion scalar to the chi-square grid.
+
+    Float posture: each cell's term (obs/N) * ln(obs*N / (rt*ct))
+    has an exact-integer ratio inside the log, so both engines call
+    libm on the SAME double; the cross-cell sum is pinned to one
+    association order via an ordered running window over the
+    (source, lang) cell frame (marginal-sized, never corpus-sized)
+    — the same pinned-order trick the NDCG family avoids needing by
+    integer quantization, used here because MI terms are signed
+    irrationals. Rounded ONCE at 6 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("observed"))
+    rt = docs.groupBy("source").agg(F.count("*").alias("row_tot"))
+    ct = docs.groupBy("lang").agg(F.count("*").alias("col_tot"))
+    tot = docs.agg(F.count("*").alias("n_total"))
+    cells = (
+        obs.join(F.broadcast(rt), "source")
+        .join(F.broadcast(ct), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term",
+            (F.col("observed") / F.col("n_total"))
+            * F.log(
+                (F.col("observed") * F.col("n_total"))
+                / (F.col("row_tot") * F.col("col_tot"))
+            ),
+        )
+    )
+    w = Window.orderBy("source", "lang")
+    cum = cells.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_mi",
+        F.sum("term").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return cum.groupBy().agg(
+        F.count("*").alias("n_cells_nonzero"),
+        F.max_by("cum_mi", "rn").alias("raw"),
+    ).selectExpr(
+        "n_cells_nonzero", "ROUND(raw, 6) AS mi_nats"
+    )
+
+
+MUTUAL_INFORMATION_ORACLE = """
+WITH rt AS (SELECT source, COUNT(*) AS row_tot FROM documents GROUP BY 1),
+ct AS (SELECT lang, COUNT(*) AS col_tot FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM documents),
+obs AS (SELECT source, lang, COUNT(*) AS observed
+        FROM documents GROUP BY 1, 2),
+cells AS (
+  SELECT o.source, o.lang,
+         (o.observed * 1.0 / t.n_total)
+           * LN((o.observed * 1.0 * t.n_total)
+                / (1.0 * rt.row_tot * ct.col_tot)) AS term
+  FROM obs o
+  JOIN rt ON rt.source = o.source
+  JOIN ct ON ct.lang = o.lang
+  CROSS JOIN tot t
+),
+cum AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY source, lang) AS rn,
+         SUM(term) OVER (ORDER BY source, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_mi
+  FROM cells
+)
+SELECT COUNT(*) AS n_cells_nonzero,
+       ROUND(ARG_MAX(cum_mi, rn), 6) AS mi_nats
+FROM cum
+"""
+
+# ---------------------------------------------------------------------
+# 12. Embedding snapshot drift (A/B centroid shift per label)
+# ---------------------------------------------------------------------
+
+def embedding_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift between two corpus snapshots, simulated by
+    the even/odd vec_id halves: per label, the L2 distance between
+    the two halves' centroids — the refresh-monitoring number that
+    flags a label whose representation moved between embedding-model
+    versions or ingest batches.
+
+    Exactness: components are quantized to integer ppm (the
+    repo-wide double-round construction), so per-(label, dim) sums
+    are EXACT integers; the centroid difference per dim is the exact
+    rational (se*no - so*ne) / (ne*no), its square summed as
+    DECIMAL(38,0)/HUGEINT, and only the final sqrt/divide touches
+    doubles (sqrt of the same integer on both engines), rounded
+    once. Scale shape: one posexplode aggregation keyed
+    (label, dim) — dim fan-out is the embedding width, the same
+    shuffle the dim-variance query pays — then a label-sized rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("even"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "x"
+        ),
+    ).withColumn(
+        "ppm",
+        F.round(F.round("x", 6) * 1_000_000.0, 0).cast("long"),
+    )
+    counts = (
+        emb.groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias(
+                "ne"
+            ),
+            F.sum(F.when(F.col("vec_id") % 2 == 0, 0).otherwise(1)).alias(
+                "no"
+            ),
+        )
+    )
+    perdim = ex.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("even"), F.col("ppm")).otherwise(0)).alias("se"),
+        F.sum(F.when(F.col("even"), 0).otherwise(F.col("ppm"))).alias("so"),
+    )
+    sq = (
+        perdim.join(F.broadcast(counts), "label")
+        .selectExpr(
+            "label",
+            "ne",
+            "no",
+            "CAST(se AS DECIMAL(38,0)) * no - CAST(so AS DECIMAL(38,0)) * ne"
+            + " AS dnum",
+        )
+        .groupBy("label", "ne", "no")
+        .agg(F.sum(F.expr("dnum * dnum")).alias("sumsq"))
+    )
+    return sq.selectExpr(
+        "label",
+        "ne",
+        "no",
+        "CASE WHEN ne * no > 0 THEN"
+        " ROUND(SQRT(CAST(sumsq AS DOUBLE)) / (CAST(ne AS DOUBLE) * no), 6)"
+        " ELSE 0.0 END AS drift_ppm_l2",
+    ).orderBy("label")
+
+
+EMBEDDING_DRIFT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+counts AS (
+  SELECT label,
+         COUNT(*) FILTER (vec_id % 2 = 0) AS ne,
+         COUNT(*) FILTER (vec_id % 2 != 0) AS no
+  FROM e GROUP BY 1
+),
+ex AS (
+  SELECT label, vec_id % 2 = 0 AS even, v,
+         UNNEST(RANGE(1, LEN(v) + 1)) AS dim
+  FROM e
+),
+px AS (
+  SELECT label, even, dim,
+         CAST(ROUND(ROUND(v[dim], 6) * 1000000.0, 0) AS BIGINT) AS ppm
+  FROM ex
+),
+perdim AS (
+  SELECT label, dim,
+         CAST(COALESCE(SUM(ppm) FILTER (even), 0) AS HUGEINT) AS se,
+         CAST(COALESCE(SUM(ppm) FILTER (NOT even), 0) AS HUGEINT) AS so
+  FROM px GROUP BY 1, 2
+),
+sq AS (
+  SELECT p.label, c.ne, c.no,
+         SUM((p.se * c.no - p.so * c.ne) * (p.se * c.no - p.so * c.ne))
+           AS sumsq
+  FROM perdim p JOIN counts c USING (label)
+  GROUP BY 1, 2, 3
+)
+SELECT label, ne, no,
+       CASE WHEN ne * no > 0 THEN
+         ROUND(SQRT(CAST(sumsq AS DOUBLE))
+               / (CAST(ne AS DOUBLE) * no), 6)
+       ELSE 0.0 END AS drift_ppm_l2
+FROM sq ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------
+# 13. Cohen's kappa: lang-id heuristic vs ground truth
+# ---------------------------------------------------------------------
+
+def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement (Cohen's kappa) between the
+    stopword-density lang-id heuristic (operators/text.py
+    predict_language; same expression as langid_confusion_matrix)
+    and the ground-truth lang column coarsened to the heuristic's
+    3-class space (en / latin-ish / other) — the one-number summary
+    a labeling-pipeline review starts from, exact where the
+    confusion matrix emits the per-cell breakdown.
+
+    Exactness: kappa = (N*agree - sum_k rt_k*ct_k) /
+    (N^2 - sum_k rt_k*ct_k) is an exact integer rational; the
+    numerator can be NEGATIVE (below-chance agreement), which the
+    half-up helpers exclude (div truncation vs floor divergence), so
+    the sign is split out and the magnitude rounded half-up — both
+    engines spell the same CASE.
+    """
+    from spark_flink_streaming_example_with_test_spark.operators import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tx.tokenize(F.col("text")))
+    ratio = tx.stopword_hits(F.col("text")) / n_tokens
+    coarse = (
+        F.when(F.col("lang") == "en", "en")
+        .when(F.col("lang").isin("de", "es", "fr"), "latin-ish")
+        .otherwise("other")
+    )
+    pred = docs.select(
+        coarse.alias("truth"), tx.predict_language(ratio).alias("pred")
+    )
+    cells = pred.groupBy("truth", "pred").agg(F.count("*").alias("c"))
+    rt = cells.groupBy("truth").agg(F.sum("c").alias("rt"))
+    ct = cells.groupBy("pred").agg(F.sum("c").alias("ct"))
+    chance = (
+        rt.join(ct, rt.truth == ct.pred)
+        .agg(F.sum(F.expr("CAST(rt AS DECIMAL(38,0)) * ct")).alias("pe_num"))
+    )
+    agree = cells.agg(
+        F.sum(F.when(F.col("truth") == F.col("pred"), F.col("c")).otherwise(0)
+              ).alias("n_agree"),
+        F.sum("c").alias("n_docs"),
+    )
+    j = agree.crossJoin(F.broadcast(chance)).withColumn(
+        "knum",
+        F.expr("CAST(n_docs AS DECIMAL(38,0)) * n_agree - pe_num"),
+    ).withColumn(
+        "kden",
+        F.expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs - pe_num"),
+    )
+    return j.selectExpr(
+        "n_docs",
+        "n_agree",
+        nm.half_up_spark_sql("CAST(n_agree AS DECIMAL(38,0)) * 1", "n_docs", 6)
+        + " AS po",
+        nm.half_up_spark_sql(
+            "pe_num", "CAST(n_docs AS DECIMAL(38,0)) * n_docs", 6
+        )
+        + " AS pe",
+        "CASE WHEN knum >= 0 THEN "
+        + nm.half_up_spark_sql("knum", "kden", 6)
+        + " ELSE -(" + nm.half_up_spark_sql("-knum", "kden", 6) + ")"
+        + " END AS kappa",
+    )
+
+
+COHENS_KAPPA_ORACLE = f"""
+WITH pred0 AS (
+  SELECT CASE WHEN lang = 'en' THEN 'en'
+              WHEN lang IN ('de', 'es', 'fr') THEN 'latin-ish'
+              ELSE 'other' END AS truth,
+         CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+                   * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.12 THEN 'en'
+              WHEN LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                   t -> LIST_CONTAINS(['the','a','of','and','is','to','in'], t)))
+                   * 1.0 / LEN(STRING_SPLIT(text, ' ')) >= 0.04
+                   THEN 'latin-ish'
+              ELSE 'other' END AS pred
+  FROM documents
+),
+cells AS (
+  SELECT truth, pred, COUNT(*) AS c FROM pred0 GROUP BY 1, 2
+),
+rt AS (SELECT truth, CAST(SUM(c) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ct AS (SELECT pred, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY 1),
+chance AS (
+  SELECT CAST(SUM(CAST(rt.rt AS HUGEINT) * ct.ct) AS HUGEINT) AS pe_num
+  FROM rt JOIN ct ON rt.truth = ct.pred
+),
+agree AS (
+  SELECT CAST(COALESCE(SUM(c) FILTER (truth = pred), 0) AS BIGINT)
+           AS n_agree,
+         CAST(SUM(c) AS BIGINT) AS n_docs
+  FROM cells
+),
+j AS (
+  SELECT a.n_docs, a.n_agree, ch.pe_num,
+         CAST(a.n_docs AS HUGEINT) * a.n_agree - ch.pe_num AS knum,
+         CAST(a.n_docs AS HUGEINT) * a.n_docs - ch.pe_num AS kden
+  FROM agree a CROSS JOIN chance ch
+)
+SELECT n_docs, n_agree,
+  {nm.half_up_duck_sql("n_agree", "n_docs", 6)} AS po,
+  {nm.half_up_duck_sql("pe_num", "CAST(n_docs AS HUGEINT) * n_docs", 6)}
+    AS pe,
+  CASE WHEN knum >= 0 THEN
+    {nm.half_up_duck_sql("knum", "kden", 6)}
+  ELSE -({nm.half_up_duck_sql("-knum", "kden", 6)})
+  END AS kappa
+FROM j
+"""

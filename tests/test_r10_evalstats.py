@@ -222,3 +222,128 @@ def test_ndcg_bounds_and_perfect_ranking_identity(spark):
             assert r["ndcg_at_10"] == 1.0
         if r["n_rel"] == 0:
             assert r["ndcg_at_10"] == 0.0
+
+
+def test_ttr_and_nucleus_match_bruteforce(spark):
+    from collections import Counter
+
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "text")
+        .collect()
+    )
+    freq: dict[str, Counter] = {}
+    for r in rows:
+        freq.setdefault(r["source"], Counter()).update(
+            r["text"].lower().split(" ")
+        )
+
+    ttr_out = {
+        r["source"]: r
+        for r in ev.type_token_ratio_by_source(spark, SF_DIR).collect()
+    }
+    nuc_out = {
+        r["source"]: r
+        for r in ev.nucleus_vocab_coverage(spark, SF_DIR).collect()
+    }
+    assert set(ttr_out) == set(freq) == set(nuc_out)
+    for src, c in freq.items():
+        total = sum(c.values())
+        vocab = len(c)
+        hapax = sum(1 for v in c.values() if v == 1)
+        t = ttr_out[src]
+        assert (t["n_tokens"], t["vocab_size"], t["n_hapax"]) == (
+            total, vocab, hapax,
+        )
+        assert t["ttr"] == _half_up(vocab, total, 6)
+
+        # nucleus: smallest prefix of (freq desc, term) covering 90%
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum = 0
+        for i, (_, n) in enumerate(ranked, start=1):
+            cum += n
+            if cum * 10 >= total * 9:
+                break
+        nr = nuc_out[src]
+        assert nr["v90_terms"] == i
+        assert nr["coverage_at_v90"] == _half_up(cum, total, 6)
+        # minimality: one fewer term covers < 90%
+        if i > 1:
+            assert (cum - ranked[i - 1][1]) * 10 < total * 9
+
+
+def test_mutual_information_nonnegative_and_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", "lang")
+        .collect()
+    )
+    obs = Counter((r["source"], r["lang"]) for r in rows)
+    rt = Counter(r["source"] for r in rows)
+    ct = Counter(r["lang"] for r in rows)
+    n = len(rows)
+    mi = sum(
+        (o / n) * math.log(o * n / (rt[s] * ct[lg]))
+        for (s, lg), o in obs.items()
+    )
+    out = ev.mutual_information_source_lang(spark, SF_DIR).collect()[0]
+    assert out["n_cells_nonzero"] == len(obs)
+    assert out["mi_nats"] >= 0.0
+    assert abs(out["mi_nats"] - mi) < 1e-5  # association-order slack
+
+
+def test_embedding_drift_matches_exact_integer_replay(spark):
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .selectExpr("vec_id", "label",
+                    "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+        .collect()
+    )
+    by_label: dict[int, dict[bool, list]] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], {}).setdefault(
+            r["vec_id"] % 2 == 0, []
+        ).append(r["v"])
+    out = {r["label"]: r for r in
+           ev.embedding_snapshot_drift(spark, SF_DIR).collect()}
+    assert set(out) == set(by_label)
+    for label, halves in by_label.items():
+        ev_vecs = halves.get(True, [])
+        od_vecs = halves.get(False, [])
+        ne, no = len(ev_vecs), len(od_vecs)
+        assert (out[label]["ne"], out[label]["no"]) == (ne, no)
+        if ne == 0 or no == 0:
+            assert out[label]["drift_ppm_l2"] == 0.0
+            continue
+        dims = len(ev_vecs[0])
+
+        def ppm(x: float) -> int:
+            return int(round(round(x, 6) * 1_000_000.0, 0))
+
+        sumsq = 0
+        for d in range(dims):
+            se = sum(ppm(v[d]) for v in ev_vecs)
+            so = sum(ppm(v[d]) for v in od_vecs)
+            sumsq += (se * no - so * ne) ** 2
+        expect = round((sumsq ** 0.5) / (ne * no), 6)
+        assert abs(out[label]["drift_ppm_l2"] - expect) <= 1e-6
+
+
+def test_cohens_kappa_identity_and_range(spark):
+    out = ev.cohens_kappa_langid(spark, SF_DIR).collect()[0]
+    assert -1.0 <= out["kappa"] <= 1.0
+    assert 0.0 <= out["po"] <= 1.0
+    assert 0.0 < out["pe"] < 1.0
+    assert out["n_agree"] <= out["n_docs"]
+    # kappa sign agrees with po vs pe (chance-corrected direction)
+    if abs(out["po"] - out["pe"]) > 1e-5:
+        assert (out["kappa"] > 0) == (out["po"] > out["pe"])
