@@ -1384,3 +1384,220 @@ SELECT n_docs, n_agree,
   END AS kappa
 FROM j
 """
+
+# ---------------------------------------------------------------------
+# 14. Context-window overflow audit
+# ---------------------------------------------------------------------
+
+CONTEXT_WINDOWS: tuple[int, ...] = (512, 1024, 2048, 4096)
+
+
+def context_window_overflow_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Truncation-loss table for candidate training context windows:
+    for each window size, how many documents exceed it and what
+    share of corpus tokens a truncate-at-window policy would drop —
+    the table that picks the packing window before a 100 TB
+    tokenization run (the complementary decision to
+    pack_token_budget's padding-waste view).
+
+    Scale shape: one per-doc token count, a 4-way literal explode
+    (row growth x|windows|, constant), one 4-row aggregate, one
+    broadcast total. Exact integers and half-up shares throughout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.size(F.split("text", " ")).alias("n_tok"))
+    tot = d.agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.count("*").alias("total_docs"),
+    )
+    arr = ", ".join(str(w) for w in CONTEXT_WINDOWS)
+    per = (
+        d.selectExpr("n_tok", f"explode(array({arr})) AS window_size")
+        .groupBy("window_size")
+        .agg(
+            F.sum(F.when(F.col("n_tok") > F.col("window_size"), 1)
+                  .otherwise(0)).alias("n_docs_over"),
+            F.sum(F.greatest(F.col("n_tok") - F.col("window_size"),
+                             F.lit(0))).alias("tokens_lost"),
+        )
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "window_size",
+            "n_docs_over",
+            "tokens_lost",
+            nm.half_up_spark_sql("n_docs_over", "total_docs", 6)
+            + " AS docs_over_share",
+            nm.half_up_spark_sql("tokens_lost", "total_tokens", 6)
+            + " AS token_loss_share",
+        )
+        .orderBy("window_size")
+    )
+
+
+CONTEXT_WINDOW_ORACLE = f"""
+WITH d AS (
+  SELECT LEN(STRING_SPLIT(text, ' ')) AS n_tok FROM documents
+),
+tot AS (
+  SELECT CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         COUNT(*) AS total_docs
+  FROM d
+),
+per AS (
+  SELECT w.window_size,
+         COUNT(*) FILTER (n_tok > w.window_size) AS n_docs_over,
+         CAST(COALESCE(SUM(GREATEST(n_tok - w.window_size, 0)), 0)
+              AS BIGINT) AS tokens_lost
+  FROM d CROSS JOIN (
+    SELECT UNNEST([{", ".join(str(w) for w in CONTEXT_WINDOWS)}])
+      AS window_size
+  ) w
+  GROUP BY 1
+)
+SELECT window_size, n_docs_over, tokens_lost,
+  {nm.half_up_duck_sql("n_docs_over", "total_docs", 6)}
+    AS docs_over_share,
+  {nm.half_up_duck_sql("tokens_lost", "total_tokens", 6)}
+    AS token_loss_share
+FROM per CROSS JOIN tot ORDER BY window_size
+"""
+
+
+# ---------------------------------------------------------------------
+# 15. Eval-suite capstone report
+# ---------------------------------------------------------------------
+
+def eval_suite_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop corpus evaluation dashboard: the module's headline
+    scalars — exact AUC, Cohen's kappa, mutual information, total
+    chi-square, global type-token ratio, worst per-label embedding
+    drift — as (metric, value) rows. The composite every data-quality
+    review starts from; expensive by composition (it reruns each
+    audited plan), not by anti-pattern — the same sanctioned shape as
+    dedup_method_comparison.
+
+    The chi-square total pins its cross-cell float sum to one
+    association order (the MI trick); every other value is lifted
+    unchanged from its audited single-metric query.
+    """
+    auc = auc_mannwhitney_quality(spark, sf_dir).selectExpr(
+        "'auc_en_vs_rest' AS metric", "auc AS value"
+    )
+    kappa = cohens_kappa_langid(spark, sf_dir).selectExpr(
+        "'cohens_kappa_langid' AS metric", "kappa AS value"
+    )
+    mi = mutual_information_source_lang(spark, sf_dir).selectExpr(
+        "'mi_source_lang_nats' AS metric", "mi_nats AS value"
+    )
+    drift = embedding_snapshot_drift(spark, sf_dir).agg(
+        F.max("drift_ppm_l2").alias("value")
+    ).selectExpr("'max_label_drift' AS metric", "value")
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    ttr = tok.agg(
+        F.countDistinct("term").alias("v"), F.count("*").alias("n")
+    ).selectExpr(
+        "'ttr_global' AS metric",
+        nm.half_up_spark_sql("v", "n", 6) + " AS value",
+    )
+
+    # Full grid including zero cells — they contribute rt*ct/N to the
+    # total (same grid construction as chi_square_source_lang).
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("observed"))
+    rt = docs.groupBy("source").agg(F.count("*").alias("row_tot"))
+    ct = docs.groupBy("lang").agg(F.count("*").alias("col_tot"))
+    tot = docs.agg(F.count("*").alias("n_total"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+    cells = (
+        grid.join(obs, ["source", "lang"], "left")
+        .fillna(0, subset=["observed"])
+        .withColumn(
+            "diff",
+            F.col("observed") * F.col("n_total")
+            - F.col("row_tot") * F.col("col_tot"),
+        )
+        .withColumn(
+            "term",
+            (F.col("diff").cast("double") * F.col("diff"))
+            / (
+                F.col("n_total").cast("double")
+                * F.col("row_tot")
+                * F.col("col_tot")
+            ),
+        )
+    )
+    w = Window.orderBy("source", "lang")
+    chi2 = (
+        cells.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("term").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy()
+        .agg(F.max_by("cum", "rn").alias("raw"))
+        .selectExpr("'chi_square_total' AS metric", "ROUND(raw, 6) AS value")
+    )
+    return (
+        auc.unionByName(kappa)
+        .unionByName(mi)
+        .unionByName(drift)
+        .unionByName(ttr)
+        .unionByName(chi2)
+        .orderBy("metric")
+    )
+
+
+EVAL_SUITE_ORACLE = f"""
+SELECT 'auc_en_vs_rest' AS metric, auc AS value
+FROM ({AUC_MANNWHITNEY_ORACLE})
+UNION ALL
+SELECT 'cohens_kappa_langid', kappa FROM ({COHENS_KAPPA_ORACLE})
+UNION ALL
+SELECT 'mi_source_lang_nats', mi_nats FROM ({MUTUAL_INFORMATION_ORACLE})
+UNION ALL
+SELECT 'max_label_drift', MAX(drift_ppm_l2)
+FROM ({EMBEDDING_DRIFT_ORACLE})
+UNION ALL
+SELECT 'ttr_global',
+       {nm.half_up_duck_sql("COUNT(DISTINCT term)", "COUNT(*)", 6)}
+FROM (SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+      FROM documents)
+UNION ALL
+SELECT 'chi_square_total', ROUND(ARG_MAX(cum, rn), 6) FROM (
+  WITH rt AS (SELECT source, COUNT(*) AS row_tot
+              FROM documents GROUP BY 1),
+  ct AS (SELECT lang, COUNT(*) AS col_tot FROM documents GROUP BY 1),
+  tot AS (SELECT COUNT(*) AS n_total FROM documents),
+  obs AS (SELECT source, lang, COUNT(*) AS observed
+          FROM documents GROUP BY 1, 2),
+  grid AS (
+    SELECT rt.source, ct.lang, rt.row_tot, ct.col_tot, tot.n_total
+    FROM rt CROSS JOIN ct CROSS JOIN tot
+  ),
+  cells AS (
+    SELECT g.source, g.lang,
+           CAST(COALESCE(o.observed, 0) AS HUGEINT) * g.n_total
+             - CAST(g.row_tot AS HUGEINT) * g.col_tot AS diff,
+           g.row_tot, g.col_tot, g.n_total
+    FROM grid g LEFT JOIN obs o
+      ON o.source = g.source AND o.lang = g.lang
+  )
+  SELECT ROW_NUMBER() OVER (ORDER BY source, lang) AS rn,
+         SUM((CAST(diff AS DOUBLE) * diff)
+             / (CAST(n_total AS DOUBLE) * row_tot * col_tot))
+           OVER (ORDER BY source, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM cells
+)
+ORDER BY metric
+"""

@@ -677,3 +677,63 @@ def test_integer_half_up_rounding_matches_decimal(spark, pairs):
             )
         )
         assert got_col[(p, q)] == expected, (p, q, got_col[(p, q)], expected)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.booleans()),
+        min_size=2,
+        max_size=120,
+    ).filter(
+        lambda xs: any(p for _, p in xs) and any(not p for _, p in xs)
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_auc_distinct_score_decomposition_matches_bruteforce(scored):
+    """The Mann-Whitney decomposition auc_mannwhitney_quality runs at
+    scale — group by distinct score, one cumulative window, W =
+    sum(np*cum_neg_below), T = sum(np*nn) — equals the O(n^2)
+    pairwise definition for every input. Pure-Python twin of the
+    Spark/DuckDB plan; the fixture-data brute-force pin lives in
+    tests/test_r10_evalstats.py."""
+    pos = [s for s, p in scored if p]
+    neg = [s for s, p in scored if not p]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+
+    from collections import Counter
+
+    np_c, nn_c = Counter(pos), Counter(neg)
+    cum_w = cum_t = cnb = 0
+    for s in sorted(set(np_c) | set(nn_c)):
+        cum_w += np_c[s] * cnb
+        cum_t += np_c[s] * nn_c[s]
+        cnb += nn_c[s]
+    assert (cum_w, cum_t) == (wins, ties)
+
+
+@given(
+    st.lists(st.integers(1, 50), min_size=1, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_nucleus_prefix_is_minimal_cover(freqs):
+    """nucleus_vocab_coverage's integer threshold (10*cum >= 9*total
+    on the (freq DESC, term) prefix) always yields the MINIMAL
+    covering prefix: the hit row covers >= 90% and the previous
+    prefix covers < 90% — for arbitrary frequency multisets."""
+    total = sum(freqs)
+    ranked = sorted(
+        ((c, f"t{i:03d}") for i, c in enumerate(freqs)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    cum = 0
+    v90 = None
+    for rn, (c, _) in enumerate(ranked, start=1):
+        prev = cum
+        cum += c
+        if cum * 10 >= total * 9:
+            v90 = rn
+            break
+    assert v90 is not None  # full prefix always covers 100%
+    assert cum * 10 >= total * 9
+    assert prev * 10 < total * 9  # minimality

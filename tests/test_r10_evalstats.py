@@ -347,3 +347,48 @@ def test_cohens_kappa_identity_and_range(spark):
     # kappa sign agrees with po vs pe (chance-corrected direction)
     if abs(out["po"] - out["pe"]) > 1e-5:
         assert (out["kappa"] > 0) == (out["po"] > out["pe"])
+
+
+def test_context_window_overflow_monotone_and_bruteforce(spark):
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    lens = [
+        len(r["text"].split(" "))
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("text")
+        .collect()
+    ]
+    out = {
+        r["window_size"]: r
+        for r in ev.context_window_overflow_audit(spark, SF_DIR).collect()
+    }
+    assert sorted(out) == [512, 1024, 2048, 4096]
+    for w, r in out.items():
+        assert r["n_docs_over"] == sum(1 for n in lens if n > w)
+        assert r["tokens_lost"] == sum(max(n - w, 0) for n in lens)
+    for lo, hi in zip([512, 1024, 2048], [1024, 2048, 4096]):
+        assert out[hi]["n_docs_over"] <= out[lo]["n_docs_over"]
+        assert out[hi]["tokens_lost"] <= out[lo]["tokens_lost"]
+
+
+def test_eval_suite_report_consistent_with_components(spark):
+    rep = {
+        r["metric"]: r["value"]
+        for r in ev.eval_suite_report(spark, SF_DIR).collect()
+    }
+    assert set(rep) == {
+        "auc_en_vs_rest", "cohens_kappa_langid", "mi_source_lang_nats",
+        "max_label_drift", "ttr_global", "chi_square_total",
+    }
+    auc = ev.auc_mannwhitney_quality(spark, SF_DIR).collect()[0]["auc"]
+    assert rep["auc_en_vs_rest"] == auc
+    kappa = ev.cohens_kappa_langid(spark, SF_DIR).collect()[0]["kappa"]
+    assert rep["cohens_kappa_langid"] == kappa
+    # chi2 total matches the per-cell grid's sum to pinned-order slack
+    cell_sum = sum(
+        r["chi2_contrib"]
+        for r in ev.chi_square_source_lang(spark, SF_DIR).collect()
+    )
+    assert abs(rep["chi_square_total"] - cell_sum) < 1e-3
+    assert rep["chi_square_total"] >= 0.0
+    assert 0.0 < rep["ttr_global"] < 1.0
