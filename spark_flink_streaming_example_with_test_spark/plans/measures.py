@@ -1,0 +1,1075 @@
+"""Round-10 batch 3: distribution-drift, agreement, and robust
+statistics — the monitoring layer a 100 TB curation pipeline runs
+*between* snapshots and *around* its filters: PSI drift, Fleiss'
+multi-rater agreement, Heaps'-law vocabulary growth, Benford
+first-digit auditing, information-gain feature selection,
+CCNet-style perplexity bucketing, cross-source vocabulary overlap,
+winsorized/trimmed robust means, jackknife shard sensitivity, and
+Spearman rank correlation.
+
+Reference parity note: the reference pipeline
+(spark/spark_practice/main.py, flink/flink-practice/.../DataStreamJob.java)
+has no statistics surface — this module is gap-map §2.6 extension
+surface mandated by SURVEY.md §2's north-star list, not a port.
+
+Numeric-emission posture (NUMERICS.md):
+
+- Every emitted ratio of integer counts goes through the shared
+  exact integer half-up helpers (functions/numerics.py); products
+  that can pass int64 accumulate DECIMAL(38,0) Spark-side / HUGEINT
+  oracle-side.
+- Quantities that are inherently irrational (PSI / information-gain
+  log terms, Spearman's sqrt denominator) follow the MI posture
+  (evalstats.py:mutual_information_source_lang): libm is called on
+  the SAME exact-integer-derived double on both engines, cross-term
+  sums are pinned to ONE association order via an ordered running
+  window over a marginal-sized frame, and rounding happens ONCE.
+- Signed ratios (Fleiss' kappa can be negative) are emitted through
+  the offset construction: half-up((num + den) / den) in integer
+  ppm, minus 1_000_000, divided by 1e6 — the subtraction happens in
+  INTEGER ppm space so no float subtraction touches the emission
+  (flesch_reading_ease's offset rule, NUMERICS.md "negative
+  numerators are NOT supported" note).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
+from spark_flink_streaming_example_with_test_spark.functions.hashing import (
+    md5_nibble,
+    md5_nibble_sql,
+)
+from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------
+# 1. Population Stability Index (PSI) drift between two sources
+# ---------------------------------------------------------------------
+
+def psi_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between src0 (reference snapshot)
+    and src1 (candidate snapshot) over token-length buckets of width
+    16 — the standard pre-mixing drift gate alongside the KS test
+    (ks_drift_between_sources): PSI = sum over buckets of
+    (p0 - p1) * ln(p0 / p1) with add-one (Laplace) smoothing so
+    empty buckets are defined. PSI >= 0.25 is the conventional
+    "major shift" alarm.
+
+    Scale shape: lengths aggregate to per-BUCKET counts first
+    (map-side combinable; the frame is |buckets| rows, bounded by
+    max document length / 16, never |docs|); the totals and the
+    pinned-order cumulative sum all run over that tiny frame.
+
+    Float posture (MI class): each bucket's smoothed shares are
+    exact rationals — (c+1)/(n+B) — so the log argument
+    ((c0+1)(n1+B)) / ((c1+1)(n0+B)) is an exact integer ratio and
+    both engines call libm on the SAME double; cross-bucket
+    summation is pinned to bucket order; rounded ONCE at 6 dp.
+    Cross-products accumulate DECIMAL(38,0)/HUGEINT (the KS overflow
+    posture: int64 wraps silently Spark-side past ~2.1M rows per
+    source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.size(F.split(F.lower("text"), " ")).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    per = two.groupBy(F.expr("v div 16").alias("bucket")).agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    tot = Window.partitionBy()
+    wide = per.select(
+        "bucket",
+        F.col("c0").cast("decimal(38,0)").alias("c0"),
+        F.col("c1").cast("decimal(38,0)").alias("c1"),
+        F.sum("c0").over(tot).cast("decimal(38,0)").alias("n0"),
+        F.sum("c1").over(tot).cast("decimal(38,0)").alias("n1"),
+        F.count("*").over(tot).cast("decimal(38,0)").alias("nb"),
+    )
+    terms = wide.selectExpr(
+        "bucket",
+        "n0",
+        "n1",
+        "nb",
+        # (p0 - p1) as an exact-integer rational cast once to DOUBLE
+        "CAST((c0 + 1) * (n1 + nb) - (c1 + 1) * (n0 + nb) AS DOUBLE)"
+        " / CAST((n0 + nb) * (n1 + nb) AS DOUBLE)"
+        " * LN(CAST((c0 + 1) * (n1 + nb) AS DOUBLE)"
+        "      / CAST((c1 + 1) * (n0 + nb) AS DOUBLE)) AS term",
+    )
+    w = Window.orderBy("bucket")
+    cum = terms.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_psi",
+        F.sum("term").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return cum.groupBy().agg(
+        F.count("*").alias("n_buckets"),
+        F.max(F.col("n0").cast("long")).alias("n_src0"),
+        F.max(F.col("n1").cast("long")).alias("n_src1"),
+        F.max_by("cum_psi", "rn").alias("raw"),
+    ).selectExpr(
+        "n_buckets",
+        "n_src0",
+        "n_src1",
+        "ROUND(raw, 6) AS psi_nats",
+        "raw > 0.25 AS major_shift",
+    )
+
+
+PSI_DRIFT_ORACLE = """
+WITH two AS (
+  SELECT source, LEN(STRING_SPLIT(LOWER(text), ' ')) AS v
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+), per AS (
+  SELECT v // 16 AS bucket,
+         COUNT(*) FILTER (source = 'src0') AS c0,
+         COUNT(*) FILTER (source = 'src1') AS c1
+  FROM two GROUP BY 1
+), wide AS (
+  SELECT bucket,
+         CAST(c0 AS HUGEINT) AS c0, CAST(c1 AS HUGEINT) AS c1,
+         CAST(SUM(c0) OVER () AS HUGEINT) AS n0,
+         CAST(SUM(c1) OVER () AS HUGEINT) AS n1,
+         CAST(COUNT(*) OVER () AS HUGEINT) AS nb
+  FROM per
+), terms AS (
+  SELECT bucket, n0, n1, nb,
+         CAST((c0 + 1) * (n1 + nb) - (c1 + 1) * (n0 + nb) AS DOUBLE)
+           / CAST((n0 + nb) * (n1 + nb) AS DOUBLE)
+           * LN(CAST((c0 + 1) * (n1 + nb) AS DOUBLE)
+                / CAST((c1 + 1) * (n0 + nb) AS DOUBLE)) AS term
+  FROM wide
+), cum AS (
+  SELECT n0, n1,
+         ROW_NUMBER() OVER (ORDER BY bucket) AS rn,
+         SUM(term) OVER (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_psi
+  FROM terms
+)
+SELECT COUNT(*) AS n_buckets,
+       CAST(MAX(n0) AS BIGINT) AS n_src0,
+       CAST(MAX(n1) AS BIGINT) AS n_src1,
+       ROUND(ARG_MAX(cum_psi, rn), 6) AS psi_nats,
+       ARG_MAX(cum_psi, rn) > 0.25 AS major_shift
+FROM cum
+"""
+
+
+# ---------------------------------------------------------------------
+# 2. Fleiss' kappa: multi-rater agreement
+# ---------------------------------------------------------------------
+
+def fleiss_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over three simulated annotators labeling each
+    document "English / not English" — the chance-corrected
+    inter-annotator agreement number a labeling campaign reports
+    before its labels gate a corpus. Rater r agrees with ground
+    truth except on a deterministic 1/16 hash flip (md5 of
+    doc_id:r), so agreement is high but not perfect.
+
+    Exactness: with R = 3 raters and 2 categories, P_o and P_e are
+    exact rationals of integer sums — P_o = Po_num / (6N) with
+    Po_num = sum_i (n_en^2 + (3-n_en)^2 - 3), and P_e = E / (9N^2)
+    with E = T_en^2 + (3N-T_en)^2 — so
+    kappa = (Po_num*9N^2 - E*6N) / (6N*(9N^2 - E)) is an exact
+    integer ratio, accumulated DECIMAL(38,0)/HUGEINT (exact to
+    N ~ 1e11). Kappa can be NEGATIVE, and the `div` spelling
+    diverges on negatives (Spark truncates, DuckDB floors), so the
+    emission uses the offset construction: half-up ppm of
+    (num+den)/den (always >= 0 since kappa >= -1), minus 1e6 in
+    INTEGER space, then one division by 1e6.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def says_en(r: int):
+        h = F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":{r}"))
+        )
+        flip = md5_nibble(h, 1) == 0
+        return ((F.col("lang") == "en") != flip).cast("int")
+
+    per_doc = docs.select(
+        (says_en(1) + says_en(2) + says_en(3)).alias("n_en")
+    ).withColumn(
+        "pi_num",
+        F.col("n_en") * F.col("n_en")
+        + (3 - F.col("n_en")) * (3 - F.col("n_en"))
+        - F.lit(3),
+    )
+    agg = per_doc.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("pi_num").cast("decimal(38,0)").alias("po_num"),
+        F.sum("n_en").cast("decimal(38,0)").alias("t_en"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "3 AS n_raters",
+        "CAST(t_en AS BIGINT) AS total_en_votes",
+        nm.half_up_spark_sql("po_num", "6 * n", 6) + " AS p_observed",
+        nm.half_up_spark_sql(
+            "t_en * t_en + (3 * n - t_en) * (3 * n - t_en)",
+            "9 * n * n",
+            6,
+        )
+        + " AS p_expected",
+        # offset emission: kappa = half_up_ppm((num+den)/den) - 1e6,
+        # all in integer ppm, one final /1e6
+        "CASE WHEN 9 * n * n - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en))"
+        "          = 0 THEN 0.0 ELSE"
+        " ((((po_num * 9 * n * n"
+        "     - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)) * 6 * n)"
+        "    + (6 * n * (9 * n * n"
+        "        - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)))))"
+        "   * 2000000"
+        "   + (6 * n * (9 * n * n"
+        "       - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)))))"
+        "  div (2 * (6 * n * (9 * n * n"
+        "       - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)))))"
+        "  - 1000000) / 1e6 END AS fleiss_kappa",
+    )
+
+
+FLEISS_KAPPA_ORACLE = f"""
+WITH per_doc AS (
+  SELECT (CASE WHEN (lang = 'en')
+                    != ({md5_nibble_sql("MD5(CAST(doc_id AS VARCHAR) || ':1')", 1)} = 0)
+               THEN 1 ELSE 0 END
+        + CASE WHEN (lang = 'en')
+                    != ({md5_nibble_sql("MD5(CAST(doc_id AS VARCHAR) || ':2')", 1)} = 0)
+               THEN 1 ELSE 0 END
+        + CASE WHEN (lang = 'en')
+                    != ({md5_nibble_sql("MD5(CAST(doc_id AS VARCHAR) || ':3')", 1)} = 0)
+               THEN 1 ELSE 0 END) AS n_en
+  FROM documents
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(n_en * n_en + (3 - n_en) * (3 - n_en) - 3) AS HUGEINT)
+           AS po_num,
+         CAST(SUM(n_en) AS HUGEINT) AS t_en
+  FROM per_doc
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       3 AS n_raters,
+       CAST(t_en AS BIGINT) AS total_en_votes,
+       {nm.half_up_duck_sql("po_num", "6 * n", 6)} AS p_observed,
+       {nm.half_up_duck_sql(
+           "t_en * t_en + (3 * n - t_en) * (3 * n - t_en)",
+           "9 * n * n", 6)} AS p_expected,
+       CASE WHEN 9 * n * n
+                 - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)) = 0
+            THEN 0.0 ELSE
+         ((((po_num * 9 * n * n
+             - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)) * 6 * n)
+            + (6 * n * (9 * n * n
+                - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)))))
+           * 2000000
+           + (6 * n * (9 * n * n
+               - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)))))
+          // (2 * (6 * n * (9 * n * n
+               - (t_en * t_en + (3 * n - t_en) * (3 * n - t_en)))))
+          - 1000000) / 1e6 END AS fleiss_kappa
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 3. Heaps'-law vocabulary growth exponent
+# ---------------------------------------------------------------------
+
+def heaps_law_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent estimate ln(V)/ln(N) per source plus the
+    pooled corpus ('_all' row): vocabulary V should grow
+    sublinearly in token count N (exponent well below 1) — the
+    sanity curve a tokenizer-training run checks before committing
+    to a vocab size, and a per-source outlier here (exponent near
+    1) flags machine-generated or ID-heavy shards.
+
+    Scale shape: one exact distinct count per source — the standard
+    two-level (source, token) pre-aggregation then per-source
+    rollup, both map-side combinable; the '_all' leg is the same
+    shape without the source key. Exponent is a per-row libm call
+    on exact integers (same double both engines), rounded once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("vocab"),
+    )
+    overall = toks.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("vocab"),
+    ).select(F.lit("_all").alias("source"), "n_tokens", "vocab")
+    return (
+        per_src.unionByName(overall)
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "vocab",
+            "ROUND(LN(CAST(vocab AS DOUBLE))"
+            " / LN(CAST(n_tokens AS DOUBLE)), 6) AS heaps_exponent",
+        )
+        .orderBy("source")
+    )
+
+
+HEAPS_LAW_ORACLE = """
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+), per_src AS (
+  SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS vocab
+  FROM toks GROUP BY source
+), overall AS (
+  SELECT '_all' AS source, COUNT(*) AS n_tokens,
+         COUNT(DISTINCT token) AS vocab
+  FROM toks
+), u AS (
+  SELECT * FROM per_src UNION ALL SELECT * FROM overall
+)
+SELECT source, n_tokens, vocab,
+       ROUND(LN(CAST(vocab AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)), 6)
+         AS heaps_exponent
+FROM u ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 4. Benford first-digit audit
+# ---------------------------------------------------------------------
+
+# Expected Benford shares log10(1 + 1/d) as integer ppm — generated
+# ONCE here and inlined as literals into BOTH engines' SQL (the NDCG
+# shared-literal pattern), so no libm log10 sits on the parity path.
+_BENFORD_PPM = {d: round(math.log10(1.0 + 1.0 / d) * 1_000_000) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order totals —
+    the classic synthetic-data / fraud / generator-bug screen: real
+    multiplicative amounts follow P(d) = log10(1 + 1/d); uniform
+    generators (like TPC-H's) visibly don't, and this query is the
+    check that SAYS so, per digit, with exact chi-square
+    contributions against baked expected-share literals.
+
+    Exactness: prices become integer cents (exact — the fixture is
+    2-dp), the first digit comes from the integer's decimal string
+    (identical cross-engine), shares are exact half-up ratios, and
+    the chi-square contribution (obs*1e6 - N*e_ppm)^2 /
+    (N*e_ppm*1e6) is all-integer DECIMAL(38,0)/HUGEINT (exact to
+    N ~ 1e9 orders; document-bound, not silent). A 9-row digit
+    spine keeps zero-observed digits present.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+            " AS STRING), 1, 1) AS INT)"
+        ).alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("observed"))
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    tot = Window.partitionBy()
+    j = (
+        spine.join(digits, "digit", "left")
+        .fillna(0, subset=["observed"])
+        .withColumn("n", F.sum("observed").over(tot))
+        .withColumn("e_ppm", F.expr(_BENFORD_CASE))
+    )
+    return j.selectExpr(
+        "digit",
+        "observed",
+        nm.half_up_spark_sql("observed", "n", 6) + " AS obs_share",
+        "e_ppm / 1e6 AS benford_share",
+        nm.half_up_spark_sql(
+            "(CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * e_ppm)"
+            " * (CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(n AS DECIMAL(38,0)) * e_ppm)",
+            "CAST(n AS DECIMAL(38,0)) * e_ppm * 1000000",
+            6,
+        )
+        + " AS chi2_contrib",
+        "CAST(observed AS DECIMAL(38,0)) * 1000000 > CAST(n AS DECIMAL(38,0)) * e_ppm"
+        " AS over_represented",
+    ).orderBy("digit")
+
+
+BENFORD_ORACLE = f"""
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+), obs AS (
+  SELECT digit, COUNT(*) AS observed FROM d GROUP BY digit
+), spine AS (
+  SELECT UNNEST(GENERATE_SERIES(1, 9)) AS digit
+), j AS (
+  SELECT s.digit, COALESCE(o.observed, 0) AS observed,
+         SUM(COALESCE(o.observed, 0)) OVER () AS n,
+         {_BENFORD_CASE.replace("digit", "s.digit")} AS e_ppm
+  FROM spine s LEFT JOIN obs o ON o.digit = s.digit
+)
+SELECT digit, observed,
+       {nm.half_up_duck_sql("observed", "n", 6)} AS obs_share,
+       e_ppm / 1e6 AS benford_share,
+       {nm.half_up_duck_sql(
+           "(CAST(observed AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * e_ppm)"
+           " * (CAST(observed AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * e_ppm)",
+           "CAST(n AS HUGEINT) * e_ppm * 1000000", 6)} AS chi2_contrib,
+       CAST(observed AS HUGEINT) * 1000000 > CAST(n AS HUGEINT) * e_ppm
+         AS over_represented
+FROM j ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------
+# 5. Information gain of candidate quality features
+# ---------------------------------------------------------------------
+
+def info_gain_quality_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Information gain I(feature; lang) of three cheap binary
+    document features (contains-a-digit, length > 300 chars,
+    contains-a-comma) — the feature-selection pass a learned quality
+    filter runs before training: a feature with near-zero gain about
+    the label isn't worth computing at 100 TB.
+
+    Scale shape + float posture: one stacked scan emits (feature,
+    flag, lang) rows; cells, marginals, and totals are all
+    marginal-sized aggregates; IG = MI(feature; lang) uses the MI
+    construction exactly — exact-integer log arguments, per-feature
+    PINNED association order over the (flag, lang) cell frame,
+    rounded once.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    stacked = docs.selectExpr(
+        "lang",
+        "stack(3,"
+        " 'has_digit', CAST(text RLIKE '[0-9]' AS INT),"
+        " 'long_doc',  CAST(n_chars > 300 AS INT),"
+        " 'has_comma', CAST(instr(text, ',') > 0 AS INT)"
+        ") AS (feature, flag)",
+    )
+    obs = stacked.groupBy("feature", "flag", "lang").agg(
+        F.count("*").alias("observed")
+    )
+    rt = stacked.groupBy("feature", "flag").agg(
+        F.count("*").alias("row_tot")
+    )
+    ct = stacked.groupBy("feature", "lang").agg(
+        F.count("*").alias("col_tot")
+    )
+    tot = stacked.groupBy("feature").agg(F.count("*").alias("n_total"))
+    cells = (
+        obs.join(F.broadcast(rt), ["feature", "flag"])
+        .join(F.broadcast(ct), ["feature", "lang"])
+        .join(F.broadcast(tot), "feature")
+        .withColumn(
+            "term",
+            (F.col("observed") / F.col("n_total"))
+            * F.log(
+                (F.col("observed") * F.col("n_total"))
+                / (F.col("row_tot") * F.col("col_tot"))
+            ),
+        )
+    )
+    w = Window.partitionBy("feature").orderBy("flag", "lang")
+    cum = cells.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cum_ig",
+        F.sum("term").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        cum.groupBy("feature")
+        .agg(
+            F.count("*").alias("n_cells_nonzero"),
+            F.max_by("cum_ig", "rn").alias("raw"),
+        )
+        .selectExpr("feature", "n_cells_nonzero", "ROUND(raw, 6) AS ig_nats")
+        .orderBy("feature")
+    )
+
+
+INFO_GAIN_ORACLE = """
+WITH stacked AS (
+  SELECT lang, 'has_digit' AS feature,
+         CASE WHEN REGEXP_MATCHES(text, '[0-9]') THEN 1 ELSE 0 END AS flag
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT lang, 'long_doc',
+         CASE WHEN n_chars > 300 THEN 1 ELSE 0 END
+  FROM documents WHERE text IS NOT NULL
+  UNION ALL
+  SELECT lang, 'has_comma',
+         CASE WHEN POSITION(',' IN text) > 0 THEN 1 ELSE 0 END
+  FROM documents WHERE text IS NOT NULL
+), obs AS (
+  SELECT feature, flag, lang, COUNT(*) AS observed
+  FROM stacked GROUP BY 1, 2, 3
+), rt AS (
+  SELECT feature, flag, COUNT(*) AS row_tot FROM stacked GROUP BY 1, 2
+), ct AS (
+  SELECT feature, lang, COUNT(*) AS col_tot FROM stacked GROUP BY 1, 2
+), tot AS (
+  SELECT feature, COUNT(*) AS n_total FROM stacked GROUP BY 1
+), cells AS (
+  SELECT o.feature, o.flag, o.lang,
+         (o.observed * 1.0 / t.n_total)
+           * LN((o.observed * 1.0 * t.n_total)
+                / (1.0 * r.row_tot * c.col_tot)) AS term
+  FROM obs o
+  JOIN rt r ON r.feature = o.feature AND r.flag = o.flag
+  JOIN ct c ON c.feature = o.feature AND c.lang = o.lang
+  JOIN tot t ON t.feature = o.feature
+), cum AS (
+  SELECT feature,
+         ROW_NUMBER() OVER (PARTITION BY feature
+                            ORDER BY flag, lang) AS rn,
+         SUM(term) OVER (PARTITION BY feature ORDER BY flag, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum_ig
+  FROM cells
+)
+SELECT feature, COUNT(*) AS n_cells_nonzero,
+       ROUND(ARG_MAX(cum_ig, rn), 6) AS ig_nats
+FROM cum GROUP BY feature ORDER BY feature
+"""
+
+
+# ---------------------------------------------------------------------
+# 6. CCNet-style perplexity quintile bucketing
+# ---------------------------------------------------------------------
+
+def perplexity_bucket_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with
+    the mean unigram negative log-probability under the corpus's own
+    LM (the unigram_logprob_scores signal), cut the corpus into five
+    score quintiles, and flag the middle buckets (2-4) as the keep
+    set — the published CCNet recipe drops the lowest-perplexity
+    (boilerplate) and highest-perplexity (noise) tails.
+
+    Exactness: per-token -ln(tf/total) is quantized to integer ppm
+    (the repo-wide double-round construction — libm on the same
+    exact rational both engines, MI-class), so per-doc sums are
+    EXACT integers and the per-doc mean is an exact half-up integer
+    ppm. Bucketing then runs entirely on the aggregated SCORE-VALUE
+    frame (bounded by score cardinality, never |docs|): cumulative
+    counts give each distinct score its quintile via integer
+    arithmetic ((cum - c) * 5 div n + 1; ties share a bucket by
+    first-rank, deterministic on both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    lm = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    total = lm.agg(F.sum("tf").alias("corpus_tokens"))
+    scored = (
+        toks.join(F.broadcast(lm), "token")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "nlp_ppm",
+            F.round(
+                F.round(
+                    -F.log(F.col("tf") / F.col("corpus_tokens")), 6
+                )
+                * 1_000_000.0,
+                0,
+            ).cast("long"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"), F.sum("nlp_ppm").alias("sum_ppm")
+    ).selectExpr(
+        "(2 * sum_ppm + n_tok) div (2 * n_tok) AS score_ppm"
+    )
+    per_val = per_doc.groupBy("score_ppm").agg(F.count("*").alias("c"))
+    w = Window.orderBy("score_ppm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    bucketed = per_val.select(
+        "score_ppm",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tot).alias("n"),
+    ).selectExpr(
+        "score_ppm",
+        "c",
+        "CAST((cum - c) * 5 div n + 1 AS INT) AS bucket",
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.min("score_ppm").alias("lo_ppm"),
+            F.max("score_ppm").alias("hi_ppm"),
+        )
+        .selectExpr(
+            "bucket",
+            "n_docs",
+            "lo_ppm / 1e6 AS min_score",
+            "hi_ppm / 1e6 AS max_score",
+            "bucket BETWEEN 2 AND 4 AS kept",
+        )
+        .orderBy("bucket")
+    )
+
+
+PERPLEXITY_BUCKET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+), lm AS (
+  SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+), total AS (
+  SELECT SUM(tf) AS corpus_tokens FROM lm
+), scored AS (
+  SELECT doc_id,
+         CAST(ROUND(ROUND(-LN(tf * 1.0 / corpus_tokens), 6)
+                    * 1000000.0, 0) AS BIGINT) AS nlp_ppm
+  FROM toks JOIN lm USING (token) CROSS JOIN total
+), per_doc AS (
+  SELECT (2 * SUM(nlp_ppm) + COUNT(*)) // (2 * COUNT(*)) AS score_ppm
+  FROM scored GROUP BY doc_id
+), per_val AS (
+  SELECT score_ppm, COUNT(*) AS c FROM per_doc GROUP BY score_ppm
+), bucketed AS (
+  SELECT score_ppm, c,
+         CAST((SUM(c) OVER (ORDER BY score_ppm
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) - c) * 5
+              // (SUM(c) OVER ()) + 1 AS INT) AS bucket
+  FROM per_val
+)
+SELECT bucket, CAST(SUM(c) AS BIGINT) AS n_docs,
+       MIN(score_ppm) / 1e6 AS min_score,
+       MAX(score_ppm) / 1e6 AS max_score,
+       bucket BETWEEN 2 AND 4 AS kept
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------
+# 7. Cross-source vocabulary Jaccard overlap
+# ---------------------------------------------------------------------
+
+def vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard overlap of the VOCABULARIES of every source
+    pair — the corpus-mixing diagnostic that says which shards are
+    lexically redundant before any document-level dedup runs (high
+    vocab overlap + high doc-level dup rate = drop a shard; high
+    vocab overlap + low dup rate = same domain, keep both).
+
+    Scale shape: distinct (source, token) pairs first (map-side
+    combinable), then a token-keyed self-join — each token
+    contributes at most |sources|^2 pairs, so the join output is
+    bounded by vocab * |sources|^2, never corpus^2; per-source vocab
+    sizes broadcast back. Pairs with zero common tokens are absent
+    by construction (identical on both engines). Jaccard emits as
+    an exact half-up ratio.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("vocab"))
+    a = st.alias("a")
+    b = st.alias("b")
+    pairs = (
+        a.join(b, F.col("a.token") == F.col("b.token"))
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.withColumnRenamed("vocab", "vocab_a")),
+            F.col("source_a") == F.col("source"),
+        )
+        .drop("source")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("vocab", "vocab_b")),
+            F.col("source_b") == F.col("source"),
+        )
+        .drop("source")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            nm.half_up_spark_sql(
+                "n_common", "vocab_a + vocab_b - n_common", 6
+            )
+            + " AS vocab_jaccard",
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+VOCAB_JACCARD_ORACLE = f"""
+WITH st AS (
+  SELECT DISTINCT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL
+), sizes AS (
+  SELECT source, COUNT(*) AS vocab FROM st GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_common
+  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b,
+       sa.vocab AS vocab_a, sb.vocab AS vocab_b, p.n_common,
+       {nm.half_up_duck_sql(
+           "p.n_common", "sa.vocab + sb.vocab - p.n_common", 6)}
+         AS vocab_jaccard
+FROM pairs p
+JOIN sizes sa ON sa.source = p.source_a
+JOIN sizes sb ON sb.source = p.source_b
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------
+# 8. Winsorized / trimmed robust means per event type
+# ---------------------------------------------------------------------
+
+def winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-event-type value statistics: the p05/p95
+    boundaries (percentile_disc semantics), the 5%-winsorized mean
+    (outliers clamped to the boundaries), and the 5%-trimmed mean
+    (outliers dropped) — the outlier-resistant aggregates a metrics
+    pipeline publishes when raw means are hostage to a few huge
+    values.
+
+    Exactness + scale shape: values quantize to integer ppm (the
+    repo-wide double-round construction; the events fixture is
+    nonnegative, which the ppm sums rely on — an offset shift would
+    be required for signed values, per NUMERICS.md), aggregate to
+    the per-(type, value) frame, and EVERYTHING downstream runs on
+    that bounded frame: cumulative counts locate the boundaries via
+    integer comparisons (20*cum >= n <=> cum >= ceil(n/20)), the
+    winsorized sum is sum(c * clamp(v, lo, hi)) in
+    DECIMAL(38,0)/HUGEINT, and the means are exact half-up ratios.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pv = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.round("value", 6) * 1_000_000.0, 0)
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("event_type", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tw = Window.partitionBy("event_type")
+    cum = pv.select(
+        "event_type",
+        "v",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tw).alias("n"),
+    )
+    bounds = cum.groupBy("event_type", "n").agg(
+        F.min(F.when(F.col("cum") * 20 >= F.col("n"), F.col("v"))).alias(
+            "lo"
+        ),
+        F.min(
+            F.when(F.col("cum") * 20 >= 19 * F.col("n"), F.col("v"))
+        ).alias("hi"),
+    )
+    j = pv.join(F.broadcast(bounds), "event_type")
+    agg = j.groupBy("event_type", "n", "lo", "hi").agg(
+        F.sum(
+            F.expr(
+                "CAST(c AS DECIMAL(38,0))"
+                " * greatest(lo, least(v, hi))"
+            )
+        ).alias("win_sum"),
+        F.sum(
+            F.when(
+                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+                F.expr("CAST(c AS DECIMAL(38,0)) * v"),
+            ).otherwise(F.expr("CAST(0 AS DECIMAL(38,0))"))
+        ).alias("trim_sum"),
+        F.sum(
+            F.when(
+                (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+                F.col("c"),
+            ).otherwise(0)
+        ).alias("n_trim"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "n AS n_events",
+        "lo / 1e6 AS p05",
+        "hi / 1e6 AS p95",
+        "((2 * win_sum + n) div (2 * n)) / 1e6 AS winsorized_mean",
+        "CASE WHEN n_trim > 0 THEN"
+        " ((2 * trim_sum + n_trim) div (2 * n_trim)) / 1e6"
+        " ELSE 0.0 END AS trimmed_mean",
+        "n - n_trim AS n_trimmed_out",
+    ).orderBy("event_type")
+
+
+WINSORIZED_ORACLE = """
+WITH pv AS (
+  SELECT event_type,
+         CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT) AS v,
+         COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, v, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM pv
+), bounds AS (
+  SELECT event_type, n,
+         MIN(v) FILTER (cum * 20 >= n) AS lo,
+         MIN(v) FILTER (cum * 20 >= 19 * n) AS hi
+  FROM cum GROUP BY event_type, n
+), agg AS (
+  SELECT p.event_type, b.n, b.lo, b.hi,
+         SUM(CAST(p.c AS HUGEINT)
+             * GREATEST(b.lo, LEAST(p.v, b.hi))) AS win_sum,
+         SUM(CASE WHEN p.v BETWEEN b.lo AND b.hi
+                  THEN CAST(p.c AS HUGEINT) * p.v
+                  ELSE 0 END) AS trim_sum,
+         SUM(CASE WHEN p.v BETWEEN b.lo AND b.hi THEN p.c ELSE 0 END)
+           AS n_trim
+  FROM pv p JOIN bounds b USING (event_type)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       lo / 1e6 AS p05,
+       hi / 1e6 AS p95,
+       ((2 * win_sum + n) // (2 * n)) / 1e6 AS winsorized_mean,
+       CASE WHEN n_trim > 0 THEN
+         ((2 * trim_sum + n_trim) // (2 * n_trim)) / 1e6
+       ELSE 0.0 END AS trimmed_mean,
+       CAST(n - n_trim AS BIGINT) AS n_trimmed_out
+FROM agg ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------
+# 9. Jackknife shard sensitivity
+# ---------------------------------------------------------------------
+
+def jackknife_source_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leave-one-source-out sensitivity of the corpus mean document
+    length: for each source, the mean with that source removed and
+    the absolute shift it causes — the jackknife screen that names
+    the shard dragging a corpus statistic before anyone re-mixes
+    weights. All quantities are EXACT integer rationals: the delta
+    (S*n_i - s_i*N) / (N*(N-n_i)) is formed from per-source and
+    global integer sums, accumulated DECIMAL(38,0)/HUGEINT, emitted
+    via half-up on the absolute value (the signed `div` hazard)
+    with the sign as its own boolean column.
+
+    Scale shape: one map-side-combinable per-source aggregation plus
+    a one-row broadcast of the global totals; output is
+    |sources|-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_i"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s_i"),
+    )
+    tot = docs.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("n_chars").cast("decimal(38,0)").alias("s"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "CAST(n_i AS BIGINT) AS n_docs",
+            nm.half_up_spark_sql("s", "n", 6) + " AS overall_mean",
+            "CASE WHEN n > n_i THEN "
+            + nm.half_up_spark_sql("s - s_i", "n - n_i", 6)
+            + " ELSE " + nm.half_up_spark_sql("s", "n", 6)
+            + " END AS loo_mean",
+            "CASE WHEN n > n_i THEN "
+            + nm.half_up_spark_sql(
+                "abs(s * n_i - s_i * n)", "n * (n - n_i)", 6
+            )
+            + " ELSE 0.0 END AS abs_shift",
+            "s * n_i - s_i * n > 0 AS pulls_mean_down",
+        )
+        .orderBy("source")
+    )
+
+
+JACKKNIFE_ORACLE = f"""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS HUGEINT) AS n_i,
+         CAST(SUM(n_chars) AS HUGEINT) AS s_i
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(n_chars) AS HUGEINT) AS s
+  FROM documents
+)
+SELECT source,
+       CAST(n_i AS BIGINT) AS n_docs,
+       {nm.half_up_duck_sql("s", "n", 6)} AS overall_mean,
+       CASE WHEN n > n_i THEN
+         {nm.half_up_duck_sql("s - s_i", "n - n_i", 6)}
+       ELSE {nm.half_up_duck_sql("s", "n", 6)} END AS loo_mean,
+       CASE WHEN n > n_i THEN
+         {nm.half_up_duck_sql("ABS(s * n_i - s_i * n)", "n * (n - n_i)", 6)}
+       ELSE 0.0 END AS abs_shift,
+       s * n_i - s_i * n > 0 AS pulls_mean_down
+FROM per CROSS JOIN tot
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 10. Spearman rank correlation (length vs token count)
+# ---------------------------------------------------------------------
+
+def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document character length
+    and token count — the monotone-association check a feature
+    audit runs to decide whether two quality signals are redundant
+    (near-1 here, by construction of whitespace tokens, which is
+    the point: the audit should SAY it).
+
+    Exactness + scale shape: tie-averaged ranks come from the
+    aggregated VALUE frames (per distinct value: doubled average
+    rank 2*(cum-cnt)+cnt+1 is an exact INTEGER; the windows run
+    over value frames bounded by value cardinality, never |docs|),
+    joined back by value. Pearson-on-ranks sums accumulate
+    DECIMAL(38,0)/HUGEINT (exact to ~1e8 docs — the n*Sab ~ 4n^4
+    bound, documented not silent); the doubled-rank scaling cancels
+    in the ratio. Only the final sqrt/divide touches doubles —
+    sqrt is IEEE-correctly-rounded on the same exact integers both
+    engines, and the sqrt denominator is irrational so the single
+    6-dp ROUND cannot sit on a decimal half boundary (the MI-class
+    posture).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.lower("text"), " ")).alias("y"),
+    )
+
+    def rank_map(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return per.select(
+            col,
+            (
+                2 * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = base.join(rank_map("x"), "x").join(rank_map("y"), "y")
+    agg = ranked.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("r_x").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("r_y").cast("decimal(38,0)")).alias("sb"),
+        F.sum(
+            F.col("r_x").cast("decimal(38,0)") * F.col("r_y")
+        ).alias("sab"),
+        F.sum(
+            F.col("r_x").cast("decimal(38,0)") * F.col("r_x")
+        ).alias("saa"),
+        F.sum(
+            F.col("r_y").cast("decimal(38,0)") * F.col("r_y")
+        ).alias("sbb"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0 THEN"
+        " ROUND(CAST(n * sab - sa * sb AS DOUBLE)"
+        "       / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))"
+        "          * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)"
+        " ELSE 0.0 END AS spearman_rho",
+    )
+
+
+SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT n_chars AS x, LEN(STRING_SPLIT(LOWER(text), ' ')) AS y
+  FROM documents WHERE text IS NOT NULL
+), rx AS (
+  SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cnt) + cnt + 1 AS r_x
+  FROM (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x)
+), ry AS (
+  SELECT y, 2 * (SUM(cnt) OVER (ORDER BY y
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - cnt) + cnt + 1 AS r_y
+  FROM (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y)
+), ranked AS (
+  SELECT b.x, b.y, rx.r_x, ry.r_y
+  FROM base b JOIN rx ON rx.x = b.x JOIN ry ON ry.y = b.y
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(r_x AS HUGEINT)) AS HUGEINT) AS sa,
+         CAST(SUM(CAST(r_y AS HUGEINT)) AS HUGEINT) AS sb,
+         CAST(SUM(CAST(r_x AS HUGEINT) * r_y) AS HUGEINT) AS sab,
+         CAST(SUM(CAST(r_x AS HUGEINT) * r_x) AS HUGEINT) AS saa,
+         CAST(SUM(CAST(r_y AS HUGEINT) * r_y) AS HUGEINT) AS sbb
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0 THEN
+         ROUND(CAST(n * sab - sa * sb AS DOUBLE)
+               / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
+                  * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+       ELSE 0.0 END AS spearman_rho
+FROM agg
+"""

@@ -146,6 +146,26 @@ _INTENTIONAL_NLJ = {
     "bigram_logprob_scores",      # 1-row vocab-size crossJoin
     "source_token_pmi",           # 1-row corpus-total crossJoin
     "dedup_weighted_jaccard",     # 1-row corpus-count crossJoin (IDF)
+    # round-9 curation queries (plans/curation.py)
+    "hard_negative_mining",       # <=5-row query-set broadcast
+    "dedup_threshold_sensitivity",  # 6-row threshold grid + 1-row total
+    "centroid_silhouette_score",  # 12-row centroid broadcast
+    "multi_vector_maxsim",        # 4-row query-token-set broadcast
+    # round-10 eval/statistics queries (plans/evalstats.py)
+    "chi_square_source_lang",     # marginal-sized grid + 1-row total
+    "calibration_reliability_bins",  # 1-row max-count crossJoin
+    "knn_label_disagreement",     # <=5-row probe-set broadcast
+    "token_budget_selection",     # 1-row budget crossJoin
+    "dup_weighted_source_share",  # 1-row corpus-total crossJoin
+    "link_prediction_common_neighbors",  # 1-row node-count crossJoin
+    "retrieval_eval_ndcg",        # <=5-row query-set broadcast
+    "mutual_information_source_lang",  # 1-row total crossJoin
+    "cohens_kappa_langid",        # 1-row chance-agreement crossJoin
+    "context_window_overflow_audit",  # 1-row total crossJoin
+    "eval_suite_report",          # composes the above scalar attaches
+    # round-10 measures queries (plans/measures.py)
+    "perplexity_bucket_filter",   # 1-row corpus-total crossJoin
+    "jackknife_source_sensitivity",  # 1-row global-totals crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,

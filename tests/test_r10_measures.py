@@ -1,0 +1,260 @@
+"""Round-10 batch-3 semantic pins for the drift / agreement /
+robust-statistics queries (plans/measures.py) — invariants the
+DuckDB-parity hash can't express: Fleiss' kappa, PSI, Spearman's
+rho, the jackknife deltas, and the winsorized/trimmed means against
+independent brute-force Python recomputations, plus structural
+bounds (PSI >= 0, Heaps exponent in (0, 1), Benford shares summing
+to one, quintile buckets partitioning the corpus).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+from spark_flink_streaming_example_with_test_spark.plans import measures as me
+from tests.conftest import SF_DIR
+
+
+def _half_up(num: int, den: int, k: int) -> float:
+    scale = 10**k
+    return ((2 * num * scale + den) // (2 * den)) / scale
+
+
+@pytest.fixture(scope="module")
+def docs_pd():
+    con = duckdb.connect()
+    df = con.sql(
+        f"SELECT doc_id, text, lang, source, n_chars"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    con.close()
+    return df
+
+
+def test_fleiss_kappa_matches_bruteforce(spark, docs_pd):
+    import hashlib
+
+    def says_en(doc_id: int, r: int, lang: str) -> bool:
+        h = hashlib.md5(f"{doc_id}:{r}".encode()).hexdigest()
+        nib = int(h[0], 16)
+        return (lang == "en") != (nib == 0)
+
+    n_en = [
+        sum(says_en(row.doc_id, r, row.lang) for r in (1, 2, 3))
+        for row in docs_pd.itertuples()
+    ]
+    n = len(n_en)
+    po_num = sum(k * k + (3 - k) * (3 - k) - 3 for k in n_en)
+    t_en = sum(n_en)
+    e = t_en * t_en + (3 * n - t_en) ** 2
+    num = po_num * 9 * n * n - e * 6 * n
+    den = 6 * n * (9 * n * n - e)
+    expected = (
+        ((2 * (num + den) * 10**6 + den) // (2 * den) - 10**6) / 1e6
+    )
+
+    row = me.fleiss_kappa_raters(spark, SF_DIR).collect()[0]
+    assert row["n_docs"] == n
+    assert row["total_en_votes"] == t_en
+    assert row["p_observed"] == _half_up(po_num, 6 * n, 6)
+    assert row["p_expected"] == _half_up(e, 9 * n * n, 6)
+    assert row["fleiss_kappa"] == expected
+    # raters mostly agree with truth, so agreement beats chance
+    assert row["fleiss_kappa"] > 0.5
+
+
+def test_psi_matches_bruteforce_and_is_nonnegative(spark, docs_pd):
+    def lengths(src):
+        sub = docs_pd[
+            (docs_pd.source == src) & docs_pd.text.notna()
+        ]
+        return [len(t.lower().split(" ")) for t in sub.text]
+
+    a, b = lengths("src0"), lengths("src1")
+    buckets = sorted({v // 16 for v in a + b})
+    nb = len(buckets)
+    n0, n1 = len(a), len(b)
+    psi = 0.0
+    for bk in buckets:  # pinned ascending-bucket order
+        c0 = sum(1 for v in a if v // 16 == bk)
+        c1 = sum(1 for v in b if v // 16 == bk)
+        p0 = Fraction(c0 + 1, n0 + nb)
+        p1 = Fraction(c1 + 1, n1 + nb)
+        psi += float(p0 - p1) * math.log(float(Fraction(
+            (c0 + 1) * (n1 + nb), (c1 + 1) * (n0 + nb)
+        )))
+
+    row = me.psi_drift_buckets(spark, SF_DIR).collect()[0]
+    assert row["n_buckets"] == nb
+    assert row["n_src0"] == n0 and row["n_src1"] == n1
+    assert row["psi_nats"] == pytest.approx(psi, abs=2e-6)
+    # every PSI term is (p0-p1)*ln(p0/p1) with both factors sharing
+    # a sign, so the statistic is nonnegative by construction
+    assert row["psi_nats"] >= 0.0
+
+
+def test_heaps_exponent_bounds_and_all_row(spark):
+    rows = me.heaps_law_exponent(spark, SF_DIR).collect()
+    by_src = {r["source"]: r for r in rows}
+    assert "_all" in by_src
+    for r in rows:
+        assert 0.0 < r["heaps_exponent"] < 1.0
+        assert r["vocab"] <= r["n_tokens"]
+    # pooled vocab can't exceed the sum of per-source vocabs and
+    # pooled tokens is exactly the sum of per-source tokens
+    srcs = [r for r in rows if r["source"] != "_all"]
+    assert by_src["_all"]["n_tokens"] == sum(r["n_tokens"] for r in srcs)
+    assert by_src["_all"]["vocab"] <= sum(r["vocab"] for r in srcs)
+
+
+def test_benford_shares_sum_to_one_and_spine_complete(spark):
+    rows = me.benford_first_digit(spark, SF_DIR).collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    n = sum(r["observed"] for r in rows)
+    assert n > 0
+    # expected shares are the baked log10(1+1/d) literals, ppm-exact
+    assert sum(round(r["benford_share"] * 1e6) for r in rows) in (
+        999999, 1000000, 1000001
+    )
+    for r in rows:
+        assert r["chi2_contrib"] >= 0.0
+        assert r["obs_share"] == _half_up(r["observed"], n, 6)
+
+
+def test_info_gain_nonnegative_and_feature_set(spark):
+    rows = me.info_gain_quality_features(spark, SF_DIR).collect()
+    feats = {r["feature"] for r in rows}
+    assert feats == {"has_digit", "long_doc", "has_comma"}
+    for r in rows:
+        # MI >= 0 up to the pinned-order float sum's rounding
+        assert r["ig_nats"] >= -1e-6
+
+
+def test_perplexity_buckets_partition_corpus(spark, docs_pd):
+    rows = me.perplexity_bucket_filter(spark, SF_DIR).collect()
+    n_docs_with_text = int(docs_pd.text.notna().sum())
+    assert sum(r["n_docs"] for r in rows) == n_docs_with_text
+    assert {r["bucket"] for r in rows} <= {1, 2, 3, 4, 5}
+    for r in rows:
+        assert r["kept"] == (2 <= r["bucket"] <= 4)
+        assert r["min_score"] <= r["max_score"]
+    # buckets are score-ordered and non-overlapping
+    ordered = sorted(rows, key=lambda r: r["bucket"])
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert lo["max_score"] < hi["min_score"]
+
+
+def test_vocab_jaccard_bounds_and_orientation(spark, docs_pd):
+    rows = me.vocab_jaccard_sources(spark, SF_DIR).collect()
+    assert rows, "no overlapping source pairs at fixture scale?"
+    vocab = {
+        src: {
+            t
+            for txt in docs_pd[
+                (docs_pd.source == src) & docs_pd.text.notna()
+            ].text
+            for t in txt.lower().split(" ")
+        }
+        for src in docs_pd.source.unique()
+    }
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0.0 <= r["vocab_jaccard"] <= 1.0
+        va, vb = vocab[r["source_a"]], vocab[r["source_b"]]
+        inter = len(va & vb)
+        assert r["n_common"] == inter
+        assert r["vocab_a"] == len(va) and r["vocab_b"] == len(vb)
+        assert r["vocab_jaccard"] == _half_up(
+            inter, len(va) + len(vb) - inter, 6
+        )
+
+
+def test_winsorized_matches_bruteforce(spark):
+    con = duckdb.connect()
+    vals = con.sql(
+        f"SELECT event_type,"
+        f" CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT) AS v"
+        f" FROM '{SF_DIR}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+    con.close()
+    by_type: dict[str, list[int]] = {}
+    for et, v in vals:
+        by_type.setdefault(et, []).append(v)
+
+    rows = {
+        r["event_type"]: r
+        for r in me.winsorized_event_stats(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(by_type)
+    for et, vs in by_type.items():
+        vs.sort()
+        n = len(vs)
+        lo = vs[math.ceil(n / 20) - 1]
+        hi = vs[math.ceil(19 * n / 20) - 1]
+        win_sum = sum(min(max(v, lo), hi) for v in vs)
+        trimmed = [v for v in vs if lo <= v <= hi]
+        r = rows[et]
+        assert r["n_events"] == n
+        assert round(r["p05"] * 1e6) == lo
+        assert round(r["p95"] * 1e6) == hi
+        # exact expectations (ppm units divided once by 1e6)
+        assert r["winsorized_mean"] == ((2 * win_sum + n) // (2 * n)) / 1e6
+        assert r["trimmed_mean"] == (
+            (2 * sum(trimmed) + len(trimmed)) // (2 * len(trimmed))
+        ) / 1e6
+        assert r["n_trimmed_out"] == n - len(trimmed)
+        # robust means sit inside the boundary interval
+        assert r["p05"] <= r["winsorized_mean"] <= r["p95"]
+
+
+def test_jackknife_matches_bruteforce(spark, docs_pd):
+    s = int(docs_pd.n_chars.sum())
+    n = len(docs_pd)
+    rows = me.jackknife_source_sensitivity(spark, SF_DIR).collect()
+    assert {r["source"] for r in rows} == set(docs_pd.source.unique())
+    for r in rows:
+        sub = docs_pd[docs_pd.source == r["source"]]
+        s_i, n_i = int(sub.n_chars.sum()), len(sub)
+        assert r["n_docs"] == n_i
+        assert r["overall_mean"] == _half_up(s, n, 6)
+        assert r["loo_mean"] == _half_up(s - s_i, n - n_i, 6)
+        assert r["abs_shift"] == _half_up(
+            abs(s * n_i - s_i * n), n * (n - n_i), 6
+        )
+        assert r["pulls_mean_down"] == (s * n_i - s_i * n > 0)
+
+
+def test_spearman_matches_bruteforce(spark, docs_pd):
+    sub = docs_pd[docs_pd.text.notna()]
+    xs = [int(v) for v in sub.n_chars]
+    ys = [len(t.lower().split(" ")) for t in sub.text]
+
+    def doubled_ranks(vals):
+        order = sorted(vals)
+        first = {}
+        for i, v in enumerate(order):
+            first.setdefault(v, i)
+        cnt = {}
+        for v in order:
+            cnt[v] = cnt.get(v, 0) + 1
+        return [2 * first[v] + cnt[v] + 1 for v in vals]
+
+    a = doubled_ranks(xs)
+    b = doubled_ranks(ys)
+    n = len(a)
+    sa, sb = sum(a), sum(b)
+    sab = sum(x * y for x, y in zip(a, b))
+    saa = sum(x * x for x in a)
+    sbb = sum(y * y for y in b)
+    num = n * sab - sa * sb
+    den = math.sqrt(n * saa - sa * sa) * math.sqrt(n * sbb - sb * sb)
+
+    row = me.spearman_chars_tokens(spark, SF_DIR).collect()[0]
+    assert row["n_docs"] == n
+    assert row["spearman_rho"] == pytest.approx(num / den, abs=2e-6)
+    # chars and whitespace tokens are strongly monotone-associated
+    assert row["spearman_rho"] > 0.8
