@@ -986,9 +986,11 @@ def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank 2*(cum-cnt)+cnt+1 is an exact INTEGER; the windows run
     over value frames bounded by value cardinality, never |docs|),
     joined back by value. Pearson-on-ranks sums accumulate
-    DECIMAL(38,0)/HUGEINT (exact to ~1e8 docs — the n*Sab ~ 4n^4
-    bound, documented not silent); the doubled-rank scaling cancels
-    in the ratio. Only the final sqrt/divide touches doubles —
+    DECIMAL(38,0)/HUGEINT (exact to ~2e9 docs — the n*Sab ~ 4n^4
+    bound, documented not silent; the variance factors are tested
+    for positivity SEPARATELY because their product is ~16n^8 and
+    overflowed both engines at 80k docs in the 16x sweep); the
+    doubled-rank scaling cancels in the ratio. Only the final sqrt/divide touches doubles —
     sqrt is IEEE-correctly-rounded on the same exact integers both
     engines, and the sqrt denominator is irrational so the single
     6-dp ROUND cannot sit on a decimal half boundary (the MI-class
@@ -1029,9 +1031,15 @@ def spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_y").cast("decimal(38,0)") * F.col("r_y")
         ).alias("sbb"),
     )
+    # The degenerate-variance guard tests each factor separately:
+    # forming the product (n*saa - sa^2) * (n*sbb - sb^2) overflows
+    # DECIMAL(38,0)/HUGEINT at ~80k docs (found by the 16x-replica
+    # parity sweep — each factor is ~4n^3 * n = 4n^4, so the product
+    # is ~16n^8), while the individual factors stay exact to ~2e9
+    # docs.
     return agg.selectExpr(
         "CAST(n AS BIGINT) AS n_docs",
-        "CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0 THEN"
+        "CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN"
         " ROUND(CAST(n * sab - sa * sb AS DOUBLE)"
         "       / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))"
         "          * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)"
@@ -1066,7 +1074,7 @@ WITH base AS (
   FROM ranked
 )
 SELECT CAST(n AS BIGINT) AS n_docs,
-       CASE WHEN (n * saa - sa * sa) * (n * sbb - sb * sb) > 0 THEN
+       CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
          ROUND(CAST(n * sab - sa * sb AS DOUBLE)
                / (SQRT(CAST(n * saa - sa * sa AS DOUBLE))
                   * SQRT(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
