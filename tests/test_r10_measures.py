@@ -258,3 +258,98 @@ def test_spearman_matches_bruteforce(spark, docs_pd):
     assert row["spearman_rho"] == pytest.approx(num / den, abs=2e-6)
     # chars and whitespace tokens are strongly monotone-associated
     assert row["spearman_rho"] > 0.8
+
+
+# ---------------------------------------------------------------------
+# Property tests (pure Python — these pin the INTEGER constructions
+# the SQL mirrors on both engines, over arbitrary inputs)
+# ---------------------------------------------------------------------
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    den=st.integers(1, 10**12),
+    ratio_ppm=st.integers(-10**6, 10**6),
+    jitter=st.integers(-10**6, 10**6),
+)
+def test_offset_emission_equals_decimal_half_up_for_signed_ratios(
+    den, ratio_ppm, jitter
+):
+    """The signed-ratio offset emission (Fleiss' kappa):
+    ((2*(num+den)*1e6 + den) // (2*den) - 1e6) / 1e6 must equal
+    Decimal ROUND_HALF_UP of (num+den)/den at 6 dp, shifted back by
+    exactly 1 in integer ppm space — for ANY num in [-den, den]."""
+    num = max(-den, min(den, (ratio_ppm * den) // 10**6 + jitter))
+    plus_ppm = (2 * (num + den) * 10**6 + den) // (2 * den)
+    expected_plus = (
+        Decimal(num + den) / Decimal(den)
+    ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    assert plus_ppm == int(expected_plus * 10**6)
+    emission = (plus_ppm - 10**6) / 1e6
+    # the emission sits within half an output ULP of the true ratio
+    assert abs(emission - num / den) <= 5.001e-7
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(1, 50)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_quintile_bucket_assignment_properties(counts):
+    """The value-frame quintile rule bucket = (cum-c)*5 // n + 1
+    (perplexity_bucket_filter) must emit buckets in 1..5,
+    nondecreasing in value, tie groups unsplit, and exact n/5 splits
+    when counts are all 1 and n divides by 5."""
+    counts.sort()
+    n = sum(c for _, c in counts)
+    cum = 0
+    buckets = []
+    for v, c in counts:
+        cum += c
+        b = (cum - c) * 5 // n + 1
+        buckets.append(b)
+        assert 1 <= b <= 5
+    assert buckets == sorted(buckets)
+    if all(c == 1 for _, c in counts) and n % 5 == 0:
+        from collections import Counter
+
+        assert Counter(buckets) == Counter(
+            {b: n // 5 for b in sorted(set(buckets))}
+        )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=300)
+)
+def test_winsorized_boundary_rule_is_percentile_disc(vals):
+    """The integer boundary rule (20*cum >= n for p05, 20*cum >= 19n
+    for p95) must select exactly the percentile_disc order statistics
+    sorted[ceil(0.05n)-1] / sorted[ceil(0.95n)-1] for any multiset —
+    including heavy ties and single-element frames."""
+    import math as m
+
+    vals.sort()
+    n = len(vals)
+    per_val = {}
+    for v in vals:
+        per_val[v] = per_val.get(v, 0) + 1
+    cum = 0
+    lo = hi = None
+    for v in sorted(per_val):
+        cum += per_val[v]
+        if lo is None and 20 * cum >= n:
+            lo = v
+        if hi is None and 20 * cum >= 19 * n:
+            hi = v
+    assert lo == vals[m.ceil(n / 20) - 1]
+    assert hi == vals[m.ceil(19 * n / 20) - 1]
