@@ -166,6 +166,9 @@ _INTENTIONAL_NLJ = {
     # round-10 measures queries (plans/measures.py)
     "perplexity_bucket_filter",   # 1-row corpus-total crossJoin
     "jackknife_source_sensitivity",  # 1-row global-totals crossJoin
+    # round-10 governance queries (plans/governance.py)
+    "split_leakage_audit",        # 1-row contamination-count crossJoin
+    "corpus_datacard_report",     # 1-row token-stats crossJoin
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
