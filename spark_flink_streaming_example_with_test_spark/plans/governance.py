@@ -383,12 +383,13 @@ def corpus_datacard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'exact_dup_docs', CAST(n_docs - n_distinct_texts AS DOUBLE),"
         " 'canonical_dup_docs',"
         "   CAST(n_docs - n_canonical_groups AS DOUBLE),"
-        " 'type_token_ratio', "
+        " 'type_token_ratio', CASE WHEN total_tokens > 0 THEN "
         + nm.half_up_spark_sql("vocab_size", "total_tokens", 6)
-        + ","
-        " 'mean_doc_chars', "
+        + " ELSE 0.0 END,"
+        " 'mean_doc_chars', CASE WHEN n_docs > 0 THEN "
         + nm.half_up_spark_sql("total_chars", "n_docs", 6)
-        + ") AS (metric, value)"
+        + " ELSE 0.0 END"
+        ") AS (metric, value)"
     ).orderBy("metric")
 
 
@@ -422,8 +423,12 @@ SELECT metric, value FROM (
   UNION ALL SELECT 'canonical_dup_docs',
     CAST(n_docs - n_canonical_groups AS DOUBLE) FROM j
   UNION ALL SELECT 'type_token_ratio',
-    {nm.half_up_duck_sql("vocab_size", "total_tokens", 6)} FROM j
+    CASE WHEN total_tokens > 0 THEN
+      {nm.half_up_duck_sql("vocab_size", "total_tokens", 6)}
+    ELSE 0.0 END FROM j
   UNION ALL SELECT 'mean_doc_chars',
-    {nm.half_up_duck_sql("total_chars", "n_docs", 6)} FROM j
+    CASE WHEN n_docs > 0 THEN
+      {nm.half_up_duck_sql("total_chars", "n_docs", 6)}
+    ELSE 0.0 END FROM j
 ) ORDER BY metric
 """
