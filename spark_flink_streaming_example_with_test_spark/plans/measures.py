@@ -1081,3 +1081,368 @@ SELECT CAST(n AS BIGINT) AS n_docs,
        ELSE 0.0 END AS spearman_rho
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------
+# 11. Quality-signal Pearson correlation matrix
+# ---------------------------------------------------------------------
+
+def quality_signal_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise Pearson correlation of three per-document quality
+    signals (character length, token count, digit-character count) —
+    the redundancy screen a filter-stack audit runs before paying
+    for correlated signals at 100 TB. One aggregation computes every
+    cross moment; the three correlations are derived rows.
+
+    Exactness: all three signals are integers, so the moment sums
+    accumulate exactly in DECIMAL(38,0)/HUGEINT; each correlation is
+    CAST-to-double of exact integers with IEEE-exact sqrt, rounded
+    once (the Spearman posture). Variance-factor guards test each
+    factor SEPARATELY — the product form overflowed at 80k docs (the
+    16x-sweep find recorded in NUMERICS.md).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        F.col("n_chars").alias("a"),
+        F.size(F.split(F.lower("text"), " ")).alias("b"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        ).alias("c"),
+    )
+
+    def dec(col: str):
+        return F.col(col).cast("decimal(38,0)")
+
+    agg = base.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("a")).alias("sa"),
+        F.sum(dec("b")).alias("sb"),
+        F.sum(dec("c")).alias("sc"),
+        F.sum(dec("a") * F.col("a")).alias("saa"),
+        F.sum(dec("b") * F.col("b")).alias("sbb"),
+        F.sum(dec("c") * F.col("c")).alias("scc"),
+        F.sum(dec("a") * F.col("b")).alias("sab"),
+        F.sum(dec("a") * F.col("c")).alias("sac"),
+        F.sum(dec("b") * F.col("c")).alias("sbc"),
+    )
+
+    def r_expr(sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+        num = f"n * {sxy} - {sx} * {sy}"
+        dx = f"n * {sxx} - {sx} * {sx}"
+        dy = f"n * {syy} - {sy} * {sy}"
+        return (
+            f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN"
+            f" ROUND(CAST({num} AS DOUBLE)"
+            f" / (SQRT(CAST({dx} AS DOUBLE)) * SQRT(CAST({dy} AS DOUBLE))), 6)"
+            f" ELSE 0.0 END"
+        )
+
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "stack(3,"
+        " 'chars', 'tokens', " + r_expr("sa", "sb", "saa", "sbb", "sab") + ","
+        " 'chars', 'digits', " + r_expr("sa", "sc", "saa", "scc", "sac") + ","
+        " 'tokens', 'digits', " + r_expr("sb", "sc", "sbb", "scc", "sbc")
+        + ") AS (signal_a, signal_b, pearson_r)"
+    ).orderBy("signal_a", "signal_b")
+
+
+def _corr_duck(sx, sy, sxx, syy, sxy):
+    num = f"n * {sxy} - {sx} * {sy}"
+    dx = f"n * {sxx} - {sx} * {sx}"
+    dy = f"n * {syy} - {sy} * {sy}"
+    return (
+        f"CASE WHEN {dx} > 0 AND {dy} > 0 THEN"
+        f" ROUND(CAST({num} AS DOUBLE)"
+        f" / (SQRT(CAST({dx} AS DOUBLE)) * SQRT(CAST({dy} AS DOUBLE))), 6)"
+        f" ELSE 0.0 END"
+    )
+
+
+QUALITY_SIGNAL_CORR_ORACLE = f"""
+WITH base AS (
+  SELECT n_chars AS a,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS b,
+         LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g')) AS c
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(a AS HUGEINT)) AS HUGEINT) AS sa,
+         CAST(SUM(CAST(b AS HUGEINT)) AS HUGEINT) AS sb,
+         CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+         CAST(SUM(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+         CAST(SUM(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc,
+         CAST(SUM(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+         CAST(SUM(CAST(a AS HUGEINT) * c) AS HUGEINT) AS sac,
+         CAST(SUM(CAST(b AS HUGEINT) * c) AS HUGEINT) AS sbc
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n_docs, signal_a, signal_b, pearson_r
+FROM (
+  SELECT n, 'chars' AS signal_a, 'tokens' AS signal_b,
+         {_corr_duck("sa", "sb", "saa", "sbb", "sab")} AS pearson_r
+  FROM agg
+  UNION ALL
+  SELECT n, 'chars', 'digits',
+         {_corr_duck("sa", "sc", "saa", "scc", "sac")} FROM agg
+  UNION ALL
+  SELECT n, 'tokens', 'digits',
+         {_corr_duck("sb", "sc", "sbb", "scc", "sbc")} FROM agg
+)
+ORDER BY signal_a, signal_b
+"""
+
+
+# ---------------------------------------------------------------------
+# 12. Wilson confidence interval for the sampled duplication rate
+# ---------------------------------------------------------------------
+
+# z for a 95% two-sided interval, baked once as a ppm literal shared
+# by both engines (the NDCG shared-literal pattern) so no inverse-CDF
+# sits on the parity path.
+_Z95_PPM = 1_959_964  # round(1.959964 * 1e6)
+
+
+def wilson_ci_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% confidence interval around the HASH-SAMPLED
+    duplication-rate estimate: sample ~25% of documents by an md5
+    range, measure the share whose 4-token canonical prefix
+    collides within the sample, and report the interval a report
+    should quote instead of the bare point estimate — the
+    statistical wrapper around sampled_dup_rate_estimator's design.
+
+    Exactness: n and successes are exact integers; p-hat is an exact
+    half-up; the Wilson bounds involve z (a baked ppm literal) and
+    one sqrt, computed from the SAME exact integers on both engines
+    and rounded once each (MI-class float posture).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    sampled = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "4"
+    )
+    key = F.array_join(F.slice(F.split(F.lower("text"), " "), 1, 4), " ")
+    grouped = sampled.groupBy(key.alias("ckey")).agg(
+        F.count("*").alias("k")
+    )
+    agg = grouped.agg(
+        F.sum("k").alias("n"),
+        F.sum(F.when(F.col("k") > 1, F.col("k"))
+              .otherwise(0)).alias("flagged"),
+    )
+    z = f"({_Z95_PPM} / 1e6)"
+    # Wilson: (p + z^2/2n +- z*sqrt(p(1-p)/n + z^2/4n^2)) / (1 + z^2/n)
+    p = "(CAST(flagged AS DOUBLE) / CAST(n AS DOUBLE))"
+    half = (
+        f"{z} * SQRT({p} * (1.0 - {p}) / CAST(n AS DOUBLE)"
+        f" + {z} * {z} / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    )
+    center = f"({p} + {z} * {z} / (2.0 * CAST(n AS DOUBLE)))"
+    denom = f"(1.0 + {z} * {z} / CAST(n AS DOUBLE))"
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_sampled",
+        "CAST(flagged AS BIGINT) AS n_flagged",
+        nm.half_up_spark_sql("flagged", "n", 6) + " AS p_hat",
+        f"ROUND(GREATEST(({center} - {half}) / {denom}, 0.0), 6)"
+        " AS ci_low_95",
+        f"ROUND(LEAST(({center} + {half}) / {denom}, 1.0), 6)"
+        " AS ci_high_95",
+    )
+
+
+WILSON_CI_ORACLE = f"""
+WITH sampled AS (
+  SELECT * FROM documents
+  WHERE text IS NOT NULL
+    AND SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+), grouped AS (
+  SELECT ARRAY_TO_STRING(STRING_SPLIT(LOWER(text), ' ')[1:4], ' ')
+           AS ckey,
+         COUNT(*) AS k
+  FROM sampled GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN k > 1 THEN k ELSE 0 END) AS BIGINT)
+           AS flagged
+  FROM grouped
+)
+SELECT n AS n_sampled,
+       flagged AS n_flagged,
+       {nm.half_up_duck_sql("flagged", "n", 6)} AS p_hat,
+       ROUND(GREATEST((((flagged * 1.0 / n)
+           + ({_Z95_PPM} / 1e6) * ({_Z95_PPM} / 1e6) / (2.0 * n))
+         - ({_Z95_PPM} / 1e6)
+           * SQRT((flagged * 1.0 / n) * (1.0 - flagged * 1.0 / n) / n
+                  + ({_Z95_PPM} / 1e6) * ({_Z95_PPM} / 1e6)
+                    / (4.0 * n * n)))
+         / (1.0 + ({_Z95_PPM} / 1e6) * ({_Z95_PPM} / 1e6) / n), 0.0), 6)
+         AS ci_low_95,
+       ROUND(LEAST((((flagged * 1.0 / n)
+           + ({_Z95_PPM} / 1e6) * ({_Z95_PPM} / 1e6) / (2.0 * n))
+         + ({_Z95_PPM} / 1e6)
+           * SQRT((flagged * 1.0 / n) * (1.0 - flagged * 1.0 / n) / n
+                  + ({_Z95_PPM} / 1e6) * ({_Z95_PPM} / 1e6)
+                    / (4.0 * n * n)))
+         / (1.0 + ({_Z95_PPM} / 1e6) * ({_Z95_PPM} / 1e6) / n), 1.0), 6)
+         AS ci_high_95
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 13. Cross-validation fold balance audit
+# ---------------------------------------------------------------------
+
+def crossval_fold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment (two md5 nibbles mod 5 — the
+    256 % 5 = 1 residue bias is ~0.4%, stated not hidden) with the
+    per-(fold, lang) balance audit an evaluation harness runs before
+    trusting fold-averaged scores: each fold should hold ~20% of
+    every language. Emits each cell's share of its language and the
+    deviation from the 1/5 target as exact half-up ratios.
+
+    Scale shape: stateless per-row fold expression, one (fold, lang)
+    aggregation, language marginals broadcast back — all
+    marginal-sized.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    fold = (md5_nibble(h, 1) * 16 + md5_nibble(h, 2)) % 5
+    cells = docs.select(fold.alias("fold"), "lang").groupBy(
+        "fold", "lang"
+    ).agg(F.count("*").alias("n_docs"))
+    marg = cells.groupBy("lang").agg(F.sum("n_docs").alias("n_lang"))
+    return (
+        cells.join(F.broadcast(marg), "lang")
+        .selectExpr(
+            "fold",
+            "lang",
+            "n_docs",
+            nm.half_up_spark_sql("n_docs", "n_lang", 6)
+            + " AS share_of_lang",
+            # |share - 1/5| = |5*n_docs - n_lang| / (5*n_lang), exact
+            nm.half_up_spark_sql(
+                "abs(5 * n_docs - n_lang)", "5 * n_lang", 6
+            )
+            + " AS abs_dev_from_fifth",
+        )
+        .orderBy("fold", "lang")
+    )
+
+
+CROSSVAL_FOLD_ORACLE = f"""
+WITH cells AS (
+  SELECT ({md5_nibble_sql("MD5(CAST(doc_id AS VARCHAR))", 1)} * 16
+          + {md5_nibble_sql("MD5(CAST(doc_id AS VARCHAR))", 2)}) % 5
+           AS fold,
+         lang, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+), marg AS (
+  SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_lang
+  FROM cells GROUP BY lang
+)
+SELECT c.fold, c.lang, c.n_docs,
+       {nm.half_up_duck_sql("c.n_docs", "m.n_lang", 6)} AS share_of_lang,
+       {nm.half_up_duck_sql(
+           "ABS(5 * c.n_docs - m.n_lang)", "5 * m.n_lang", 6)}
+         AS abs_dev_from_fifth
+FROM cells c JOIN marg m USING (lang)
+ORDER BY fold, lang
+"""
+
+
+# ---------------------------------------------------------------------
+# 14. Q-Q decile drift table
+# ---------------------------------------------------------------------
+
+def qq_decile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile drift readout between two snapshot sources:
+    the nine deciles of the token-length distribution for src0 and
+    src1 side by side with their gaps — the per-quantile companion
+    to the KS sup-norm and the PSI scalar, the table an engineer
+    actually reads to see WHERE two distributions diverge. All
+    integer order statistics (percentile_disc semantics via the
+    cumulative-count rule 10*cum >= d*n on the per-source VALUE
+    frame), no floats anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.size(F.split(F.lower("text"), " ")).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("source", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tw = Window.partitionBy("source")
+    cum = two.select(
+        "source",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(tw).alias("n"),
+    )
+    spine = spark.range(1, 10).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    qs = (
+        cum.join(F.broadcast(spine))
+        .filter(F.col("cum") * 10 >= F.col("decile") * F.col("n"))
+        .groupBy("source", "decile")
+        .agg(F.min("v").alias("q"))
+    )
+    a = qs.filter("source = 'src0'").select(
+        "decile", F.col("q").alias("q_src0")
+    )
+    b = qs.filter("source = 'src1'").select(
+        "decile", F.col("q").alias("q_src1")
+    )
+    return (
+        a.join(b, "decile")
+        .selectExpr(
+            "decile",
+            "q_src0",
+            "q_src1",
+            "abs(q_src1 - q_src0) AS abs_gap",
+            "q_src1 > q_src0 AS src1_longer",
+        )
+        .orderBy("decile")
+    )
+
+
+QQ_DECILE_ORACLE = """
+WITH two AS (
+  SELECT source, LEN(STRING_SPLIT(LOWER(text), ' ')) AS v, COUNT(*) AS c
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+  GROUP BY 1, 2
+), cum AS (
+  SELECT source, v,
+         SUM(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM two
+), spine AS (
+  SELECT UNNEST(GENERATE_SERIES(1, 9)) AS decile
+), qs AS (
+  SELECT c.source, s.decile, MIN(c.v) AS q
+  FROM cum c CROSS JOIN spine s
+  WHERE c.cum * 10 >= s.decile * c.n
+  GROUP BY 1, 2
+)
+SELECT a.decile, a.q AS q_src0, b.q AS q_src1,
+       ABS(b.q - a.q) AS abs_gap,
+       b.q > a.q AS src1_longer
+FROM qs a JOIN qs b ON a.decile = b.decile
+WHERE a.source = 'src0' AND b.source = 'src1'
+ORDER BY 1
+"""

@@ -169,6 +169,8 @@ _INTENTIONAL_NLJ = {
     # round-10 governance queries (plans/governance.py)
     "split_leakage_audit",        # 1-row contamination-count crossJoin
     "corpus_datacard_report",     # 1-row token-stats crossJoin
+    # round-10 batch-5 statistics queries (plans/measures.py)
+    "qq_decile_drift",            # 9-row decile-spine broadcast
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,

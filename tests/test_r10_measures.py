@@ -353,3 +353,127 @@ def test_winsorized_boundary_rule_is_percentile_disc(vals):
             hi = v
     assert lo == vals[m.ceil(n / 20) - 1]
     assert hi == vals[m.ceil(19 * n / 20) - 1]
+
+
+# ---------------------------------------------------------------------
+# Batch-5 semantic pins
+# ---------------------------------------------------------------------
+
+
+def test_signal_correlation_matches_bruteforce(spark, docs_pd):
+    import re
+
+    sub = docs_pd[docs_pd.text.notna()]
+    a = [int(v) for v in sub.n_chars]
+    b = [len(t.lower().split(" ")) for t in sub.text]
+    c = [len(re.findall(r"[0-9]", t)) for t in sub.text]
+
+    def pearson(x, y):
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        num = n * sum(p * q for p, q in zip(x, y)) - sx * sy
+        dx = n * sum(p * p for p in x) - sx * sx
+        dy = n * sum(q * q for q in y) - sy * sy
+        if dx <= 0 or dy <= 0:
+            return 0.0
+        return num / (math.sqrt(dx) * math.sqrt(dy))
+
+    rows = {
+        (r["signal_a"], r["signal_b"]): r
+        for r in me.quality_signal_correlation_matrix(
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {
+        ("chars", "tokens"),
+        ("chars", "digits"),
+        ("tokens", "digits"),
+    }
+    expect = {
+        ("chars", "tokens"): pearson(a, b),
+        ("chars", "digits"): pearson(a, c),
+        ("tokens", "digits"): pearson(b, c),
+    }
+    for key, r in rows.items():
+        assert r["n_docs"] == len(a)
+        assert r["pearson_r"] == pytest.approx(expect[key], abs=2e-6)
+    # chars and whitespace tokens are strongly associated
+    assert rows[("chars", "tokens")]["pearson_r"] > 0.8
+
+
+def test_wilson_ci_brackets_p_hat_and_matches_bruteforce(
+    spark, docs_pd
+):
+    import hashlib as hl
+
+    sub = docs_pd[docs_pd.text.notna()]
+    sampled = [
+        t
+        for i, t in zip(sub.doc_id, sub.text)
+        if hl.md5(str(i).encode()).hexdigest()[0] < "4"
+    ]
+    groups: dict[str, int] = {}
+    for t in sampled:
+        key = " ".join(t.lower().split(" ")[:4])
+        groups[key] = groups.get(key, 0) + 1
+    n = sum(groups.values())
+    flagged = sum(k for k in groups.values() if k > 1)
+    z = 1_959_964 / 1e6
+    p = flagged / n
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    center = p + z * z / (2 * n)
+    denom = 1 + z * z / n
+
+    row = me.wilson_ci_dup_rate(spark, SF_DIR).collect()[0]
+    assert row["n_sampled"] == n
+    assert row["n_flagged"] == flagged
+    assert row["p_hat"] == _half_up(flagged, n, 6)
+    assert row["ci_low_95"] == pytest.approx(
+        max((center - half) / denom, 0.0), abs=2e-6
+    )
+    assert row["ci_high_95"] == pytest.approx(
+        min((center + half) / denom, 1.0), abs=2e-6
+    )
+    # a confidence interval contains its point estimate
+    assert row["ci_low_95"] <= row["p_hat"] <= row["ci_high_95"]
+
+
+def test_crossval_folds_partition_every_language(spark, docs_pd):
+    rows = me.crossval_fold_balance(spark, SF_DIR).collect()
+    assert {r["fold"] for r in rows} <= {0, 1, 2, 3, 4}
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + r["n_docs"]
+        assert 0.0 <= r["share_of_lang"] <= 1.0
+        # exact identity between the two emitted ratios
+        n_lang = int(docs_pd[docs_pd.lang == r["lang"]].shape[0])
+        assert r["share_of_lang"] == _half_up(r["n_docs"], n_lang, 6)
+        assert r["abs_dev_from_fifth"] == _half_up(
+            abs(5 * r["n_docs"] - n_lang), 5 * n_lang, 6
+        )
+    assert per_lang == docs_pd.lang.value_counts().to_dict()
+
+
+def test_qq_deciles_are_percentile_disc_and_monotone(spark, docs_pd):
+    def lengths(src):
+        sub = docs_pd[(docs_pd.source == src) & docs_pd.text.notna()]
+        return sorted(len(t.lower().split(" ")) for t in sub.text)
+
+    a, b = lengths("src0"), lengths("src1")
+    rows = sorted(
+        me.qq_decile_drift(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 10))
+    prev0 = prev1 = None
+    for r in rows:
+        d = r["decile"]
+        exp0 = a[math.ceil(d * len(a) / 10) - 1]
+        exp1 = b[math.ceil(d * len(b) / 10) - 1]
+        assert r["q_src0"] == exp0
+        assert r["q_src1"] == exp1
+        assert r["abs_gap"] == abs(exp1 - exp0)
+        assert r["src1_longer"] == (exp1 > exp0)
+        if prev0 is not None:
+            assert r["q_src0"] >= prev0 and r["q_src1"] >= prev1
+        prev0, prev1 = r["q_src0"], r["q_src1"]
