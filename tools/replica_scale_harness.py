@@ -13,7 +13,12 @@ Timing convention matches bench.py (warm; scan included). The
 replica construction keeps per-user / per-label / duplicate-pair
 structure LOCAL to each replica, so super-linear growth in a
 measurement reflects the operator's own cost model, not
-cross-replica interaction.
+cross-replica interaction — UP TO 5x: the vowel permutation has
+only five distinct rotations (k % 5), so past 5x each rotation
+class holds multiple replicas whose texts are mutual near-dups and
+planted PAIR counts grow ~quadratically in (mult/5). Interpret
+pair-emitting measurements at 16x+ against the emitted pair count
+(see SCALE_NOTES "split_leakage_audit across replica octaves").
 """
 
 from __future__ import annotations
