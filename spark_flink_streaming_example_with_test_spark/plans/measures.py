@@ -1446,3 +1446,528 @@ FROM qs a JOIN qs b ON a.decile = b.decile
 WHERE a.source = 'src0' AND b.source = 'src1'
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 6: product-analytics & time-series layer — cohort
+# retention, rolling distinct actives, CUSUM changepoint, lagged
+# autocorrelation, Wasserstein-1 drift, Zipf slope. Same numeric
+# posture as the module docstring; every emitted ratio is integer
+# half-up, every libm call takes the same exact-integer-derived
+# double on both engines.
+# ---------------------------------------------------------------------
+
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix over the events stream: users
+    are cohorted by their FIRST active day, and each (cohort_day,
+    day_offset) cell counts how many of that cohort were active again
+    ``offset`` days later (offsets 0-7), with the retention share as
+    an exact integer half-up ratio. The product-analytics table every
+    engagement dashboard starts from; the reference pipeline
+    (spark/spark_streaming.py:50-65) counts per-window activity but
+    has no user-lifecycle surface — gap-map §2.6 extension.
+
+    Scale shape: the raw stream reduces to DISTINCT (day, user) FIRST
+    (map-side combinable, |users|x|active days| frame, never
+    |events|); the cohort map is a groupBy over that reduced frame;
+    the offset filter bounds the join fan-out at 8 rows per (user,
+    day); cohort sizes are a tiny |days| frame attached by broadcast.
+    No window functions, no global sort — everything is hash
+    partitionable by user_id then by cohort day at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # NULL event days are excluded on BOTH engines (the KS NULL-
+    # placement posture: Spark orders NULLS FIRST, DuckDB NULLS LAST,
+    # and a NULL day is not an activity sample anyway).
+    ud = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .filter(F.col("d").isNotNull())
+        .distinct()
+    )
+    first = ud.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    sizes = first.groupBy("cohort_d").agg(F.count("*").alias("cohort_size"))
+    act = (
+        ud.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_d").cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_d", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "cohort_d").selectExpr(
+        "date_format(cohort_d, 'yyyy-MM-dd') AS cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        nm.half_up_spark_sql("n_active", "cohort_size", 6) + " AS retention",
+    )
+
+
+COHORT_RETENTION_ORACLE = f"""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+  WHERE ts IS NOT NULL
+), first AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM ud GROUP BY 1
+), sizes AS (
+  SELECT cohort_d, COUNT(*) AS cohort_size FROM first GROUP BY 1
+), act AS (
+  SELECT f.cohort_d, CAST(u.d - f.cohort_d AS BIGINT) AS day_offset,
+         COUNT(DISTINCT u.user_id) AS n_active
+  FROM ud u JOIN first f USING (user_id)
+  WHERE u.d - f.cohort_d <= 7
+  GROUP BY 1, 2
+)
+SELECT STRFTIME(a.cohort_d, '%Y-%m-%d') AS cohort_day,
+       a.day_offset, a.n_active, s.cohort_size,
+       {nm.half_up_duck_sql('a.n_active', 's.cohort_size', 6)} AS retention
+FROM act a JOIN sizes s USING (cohort_d)
+"""
+
+
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users per day — the DAU /
+    WAU-style engagement series. COUNT(DISTINCT) over a sliding time
+    window is not directly expressible as a Spark window function
+    (distinct aggregates are unsupported over frames), so the scale-
+    safe reshape is: reduce to DISTINCT (day, user) first, EXPAND each
+    such row to the <=7 anchor days it contributes to (a bounded 7x
+    fan-out of the already-reduced frame, via ``sequence`` + explode),
+    then a plain hash-partitioned ``countDistinct`` per anchor day.
+    The one-row (max day) bound is attached by broadcast, the house
+    one-row-scalar pattern.
+
+    At 100 TB this stays shuffle-bounded: |users x days| x 7 rows into
+    an exact distinct agg keyed by day — no global sort, no per-day
+    re-scan of the raw stream, and the 7x expansion factor is a
+    constant chosen by the window size, not data-dependent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # NULL event days excluded on both engines (KS NULL posture).
+    ud = (
+        ev.select(F.to_date("ts").alias("d"), "user_id")
+        .filter(F.col("d").isNotNull())
+        .distinct()
+    )
+    bounds = ud.agg(F.max("d").alias("dmax"))
+    exp = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d, least(date_add(d, 6), dmax),"
+                       " interval 1 day)")
+            ).alias("anchor"),
+        )
+    )
+    roll = exp.groupBy("anchor").agg(
+        F.countDistinct("user_id").alias("users_7d")
+    )
+    daily = ud.groupBy("d").agg(F.countDistinct("user_id").alias("users_1d"))
+    return (
+        roll.join(daily, roll["anchor"] == daily["d"], "left")
+        .selectExpr(
+            "date_format(anchor, 'yyyy-MM-dd') AS day",
+            "COALESCE(users_1d, 0) AS users_1d",
+            "users_7d",
+        )
+    )
+
+
+ROLLING_DISTINCT_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+  WHERE ts IS NOT NULL
+), b AS (
+  SELECT MAX(d) AS dmax FROM ud
+), expd AS (
+  SELECT u.user_id, u.d + t.x AS anchor
+  FROM ud u CROSS JOIN b CROSS JOIN (
+    SELECT CAST(UNNEST(GENERATE_SERIES(0, 6)) AS INTEGER) AS x
+  ) t
+  WHERE u.d + t.x <= b.dmax
+), roll AS (
+  SELECT anchor, COUNT(DISTINCT user_id) AS users_7d FROM expd GROUP BY 1
+), daily AS (
+  SELECT d, COUNT(DISTINCT user_id) AS users_1d FROM ud GROUP BY 1
+)
+SELECT STRFTIME(r.anchor, '%Y-%m-%d') AS day,
+       COALESCE(dl.users_1d, 0) AS users_1d,
+       r.users_7d
+FROM roll r LEFT JOIN daily dl ON dl.d = r.anchor
+"""
+
+
+def cusum_changepoint_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-count series: the
+    day k maximizing |sum_{d<=k}(c_d - mean)| is the classic
+    level-shift changepoint estimate — the monitoring alarm a
+    pipeline runs on ingest volume. Exactness: the mean is the
+    rational N/D, so the CUSUM scaled by D is the exact INTEGER
+    S_k = D*cum_k - k*N; the peak |S_k| and its argmax are integer
+    comparisons, and the emitted peak magnitude divides once through
+    the integer half-up helper. Ties on |S_k| resolve to the EARLIEST
+    day on both engines (MIN over the argmax set).
+
+    Scale shape: per-day counts aggregate map-side first (|days|
+    frame); the ordered cumulative window, the global max, and the
+    argmax filter all run over that bounded frame, never |events|.
+    Cross-products accumulate DECIMAL(38,0)/HUGEINT (D*cum ~ D*N
+    passes int64 at ~2.1M days x 4.3B events; decimal keeps both
+    engines exact far past any real horizon).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # NULL event days excluded on both engines (KS NULL posture: the
+    # day-ordered window would place a NULL group differently).
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    s = daily.select(
+        "d",
+        F.row_number().over(Window.orderBy("d")).alias("k"),
+        F.sum("c").over(w).cast("decimal(38,0)").alias("cum"),
+        F.sum("c").over(tot).cast("decimal(38,0)").alias("n"),
+        F.count("*").over(tot).cast("decimal(38,0)").alias("nd"),
+    ).withColumn(
+        "s_abs",
+        F.abs(F.col("nd") * F.col("cum") - F.col("k") * F.col("n")),
+    )
+    peaked = s.withColumn("peak", F.max("s_abs").over(tot))
+    return (
+        peaked.filter(F.col("s_abs") == F.col("peak"))
+        .groupBy()
+        .agg(
+            F.min("d").alias("cp_d"),
+            F.min("k").alias("cp_k"),
+            F.max("peak").alias("peak"),
+            F.max("n").alias("n"),
+            F.max("nd").alias("nd"),
+        )
+        .selectExpr(
+            "CAST(nd AS BIGINT) AS n_days",
+            "CAST(n AS BIGINT) AS total_events",
+            "date_format(cp_d, 'yyyy-MM-dd') AS changepoint_day",
+            "CAST(cp_k AS BIGINT) AS changepoint_index",
+            "((peak * 20000 + nd) div (2 * nd)) / 1e4 AS cusum_peak",
+        )
+    )
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events
+  WHERE ts IS NOT NULL GROUP BY 1
+), s AS (
+  SELECT d,
+         ROW_NUMBER() OVER (ORDER BY d) AS k,
+         CAST(SUM(c) OVER (ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS HUGEINT) AS cum,
+         CAST(SUM(c) OVER () AS HUGEINT) AS n,
+         CAST(COUNT(*) OVER () AS HUGEINT) AS nd
+  FROM daily
+), sa AS (
+  SELECT d, k, n, nd, ABS(nd * cum - k * n) AS s_abs,
+         MAX(ABS(nd * cum - k * n)) OVER () AS peak
+  FROM s
+)
+SELECT CAST(MAX(nd) AS BIGINT) AS n_days,
+       CAST(MAX(n) AS BIGINT) AS total_events,
+       STRFTIME(MIN(d), '%Y-%m-%d') AS changepoint_day,
+       CAST(MIN(k) AS BIGINT) AS changepoint_index,
+       ((MAX(peak) * 20000 + MAX(nd)) // (2 * MAX(nd))) / 1e4
+         AS cusum_peak
+FROM sa
+WHERE s_abs = peak
+"""
+
+
+def autocorr_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/2/3 autocorrelation of the daily event-count series —
+    the seasonality/burstiness readout next to the CUSUM level-shift
+    scan (time axis = day RANK, so missing calendar days collapse,
+    documented). Pearson r at lag L over pairs (x_k, x_{k+L}):
+    all six sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) are
+    exact integers accumulated in DECIMAL(38,0)/HUGEINT; the
+    variance factors are positivity-tested SEPARATELY (their product
+    is the Spearman 16x-sweep overflow class); only the final
+    sqrt/divide touches doubles — IEEE-correctly-rounded on the same
+    exact integers both engines, irrational denominator so the single
+    6-dp ROUND cannot sit on a decimal half boundary (MI posture).
+
+    Scale shape: |events| reduces to the |days| frame map-side; the
+    lag self-join and per-lag aggregation run over that bounded
+    frame with a 3-row broadcast lag spine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # NULL event days excluded on both engines (KS NULL posture: the
+    # day-ordered window would place a NULL group differently).
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).alias("k"),
+        F.col("c").cast("decimal(38,0)").alias("x"),
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    b = idx.select(F.col("k").alias("kb"), F.col("x").alias("y"))
+    pairs = idx.crossJoin(F.broadcast(lags)).join(
+        b, F.col("kb") == F.col("k") + F.col("lag")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "lag",
+        "CAST(n AS BIGINT) AS n_pairs",
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+        " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        "       / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "          * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)"
+        " ELSE 0.0 END AS autocorr",
+    )
+
+
+AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c FROM events
+  WHERE ts IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY d) AS k, CAST(c AS HUGEINT) AS x
+  FROM daily
+), lags AS (
+  SELECT UNNEST(GENERATE_SERIES(1, 3)) AS lag
+), pairs AS (
+  SELECT l.lag, a.x AS x, bb.x AS y
+  FROM idx a CROSS JOIN lags l
+  JOIN idx bb ON bb.k = a.k + l.lag
+), agg AS (
+  SELECT lag, CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       ELSE 0.0 END AS autocorr
+FROM agg
+"""
+
+
+def wasserstein_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth mover's) distance between the src0 and
+    src1 token-length distributions — the integral companion to the
+    KS sup-norm (ks_drift_between_sources) and the PSI scalar
+    (psi_drift_buckets): W1 = integral |F0 - F1| dv, which for
+    integer-valued samples is sum over adjacent distinct values of
+    |F0(v_i) - F1(v_i)| * (v_{i+1} - v_i). Unlike KS it weighs HOW
+    FAR mass moved, the quantity a token-budget planner actually
+    cares about.
+
+    Exactness: each CDF gap is the rational |cum0*n1 - cum1*n0| /
+    (n0*n1); the numerator-times-gap products and their sum stay in
+    DECIMAL(38,0)/HUGEINT (exact past 1e12 rows per source with
+    max-length * |values| ~ 1e6 — the KS overflow posture), and the
+    single emission divides once through integer half-up at 6 dp.
+
+    Scale shape: lengths aggregate to per-VALUE counts first
+    (map-side combinable; frame = |distinct lengths|, never |docs|);
+    the ordered cumulative/lead windows and the final fold all run
+    over that bounded frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    two = (
+        docs.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.size(F.split(F.lower("text"), " ")).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    per_val = two.groupBy("v").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ordered = Window.orderBy("v")
+    tot = Window.partitionBy()
+    cdf = per_val.select(
+        "v",
+        F.sum("c0").over(w).cast("decimal(19,0)").alias("cum0"),
+        F.sum("c1").over(w).cast("decimal(19,0)").alias("cum1"),
+        F.sum("c0").over(tot).cast("decimal(19,0)").alias("n0"),
+        F.sum("c1").over(tot).cast("decimal(19,0)").alias("n1"),
+        F.coalesce(
+            F.lead("v").over(ordered) - F.col("v"), F.lit(0)
+        ).cast("decimal(19,0)").alias("gap"),
+    )
+    return (
+        cdf.groupBy("n0", "n1")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum0") * F.col("n1") - F.col("cum1") * F.col("n0")
+                )
+                * F.col("gap")
+            ).alias("num")
+        )
+        .selectExpr(
+            "CAST(n0 AS BIGINT) AS n_src0",
+            "CAST(n1 AS BIGINT) AS n_src1",
+            "((num * 2000000 + n0 * n1) div (2 * n0 * n1)) / 1e6"
+            "  AS w1_tokens",
+        )
+    )
+
+
+WASSERSTEIN_ORACLE = """
+WITH two AS (
+  SELECT source, LEN(STRING_SPLIT(LOWER(text), ' ')) AS v
+  FROM documents
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL
+), per_val AS (
+  SELECT v,
+         COUNT(*) FILTER (source = 'src0') AS c0,
+         COUNT(*) FILTER (source = 'src1') AS c1
+  FROM two GROUP BY 1
+), cdf AS (
+  SELECT v,
+         CAST(SUM(c0) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS HUGEINT) AS cum0,
+         CAST(SUM(c1) OVER (ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS HUGEINT) AS cum1,
+         CAST(SUM(c0) OVER () AS HUGEINT) AS n0,
+         CAST(SUM(c1) OVER () AS HUGEINT) AS n1,
+         CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0) AS HUGEINT)
+           AS gap
+  FROM per_val
+)
+SELECT CAST(n0 AS BIGINT) AS n_src0,
+       CAST(n1 AS BIGINT) AS n_src1,
+       ((SUM(ABS(cum0 * n1 - cum1 * n0) * gap) * 2000000 + n0 * n1)
+          // (2 * n0 * n1)) / 1e6 AS w1_tokens
+FROM cdf
+GROUP BY n0, n1
+"""
+
+
+def token_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope per source: least-squares fit of ln(freq) on
+    ln(rank) over the top-100 token ranks — the frequency-axis
+    sibling of the Heaps'-law vocabulary exponent
+    (heaps_law_vocab_growth); natural text sits near slope -1, and a
+    source whose slope collapses toward 0 is boilerplate/template
+    spam (a real curation signal).
+
+    Float posture (MI class): ranks come from a deterministic
+    row_number (freq DESC, token ASC — total order, no max_by ties);
+    ln() is called on the SAME exact integers (rank, freq) on both
+    engines; the four cross-term sums are pinned to ONE association
+    order via running windows over the rank-ordered top-100 frame;
+    the variance denominator is positivity-guarded and the slope is
+    rounded ONCE at 6 dp (irrational ln-sums: no decimal
+    half-boundary exists to diverge on).
+
+    Scale shape: token frequencies aggregate map-side ((source,
+    token) keys); the per-source top-100 rank window partitions by
+    source (parallel across sources; within one source the window
+    input is that source's vocabulary, the same bounded-frame shape
+    as the KS/quantile family); everything after is a 100-row-per-
+    source frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    freq = toks.groupBy("source", "t").agg(F.count("*").alias("f"))
+    wr = Window.partitionBy("source").orderBy(
+        F.col("f").desc(), F.col("t").asc()
+    )
+    top = freq.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 100
+    )
+    pts = top.selectExpr(
+        "source",
+        "rk",
+        "LN(CAST(rk AS DOUBLE)) AS x",
+        "LN(CAST(f AS DOUBLE)) AS y",
+    )
+    wcum = Window.partitionBy("source").orderBy("rk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wsrc = Window.partitionBy("source")
+    cum = pts.select(
+        "source",
+        "rk",
+        F.sum("x").over(wcum).alias("sx"),
+        F.sum("y").over(wcum).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wcum).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).over(wcum).alias("sxy"),
+        F.max("rk").over(wsrc).alias("nmax"),
+    )
+    return cum.filter(F.col("rk") == F.col("nmax")).selectExpr(
+        "source",
+        "CAST(nmax AS BIGINT) AS n_ranks",
+        "CASE WHEN nmax >= 2"
+        "  AND CAST(nmax AS DOUBLE) * sxx - sx * sx > 0 THEN"
+        " ROUND((CAST(nmax AS DOUBLE) * sxy - sx * sy)"
+        "       / (CAST(nmax AS DOUBLE) * sxx - sx * sx), 6)"
+        " ELSE 0.0 END AS zipf_slope",
+    )
+
+
+ZIPF_SLOPE_ORACLE = """
+WITH toks AS (
+  SELECT source, t
+  FROM (
+    SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+    FROM documents WHERE text IS NOT NULL
+  )
+  WHERE t <> ''
+), freq AS (
+  SELECT source, t, COUNT(*) AS f FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT * FROM (
+    SELECT source, t, f,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY f DESC, t ASC) AS rk
+    FROM freq
+  ) WHERE rk <= 100
+), pts AS (
+  SELECT source, rk,
+         LN(CAST(rk AS DOUBLE)) AS x, LN(CAST(f AS DOUBLE)) AS y
+  FROM top
+), cum AS (
+  SELECT source, rk,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * x) OVER w AS sxx, SUM(x * y) OVER w AS sxy,
+         MAX(rk) OVER (PARTITION BY source) AS nmax
+  FROM pts
+  WINDOW w AS (PARTITION BY source ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT source, CAST(nmax AS BIGINT) AS n_ranks,
+       CASE WHEN nmax >= 2
+         AND CAST(nmax AS DOUBLE) * sxx - sx * sx > 0 THEN
+         ROUND((CAST(nmax AS DOUBLE) * sxy - sx * sy)
+               / (CAST(nmax AS DOUBLE) * sxx - sx * sx), 6)
+       ELSE 0.0 END AS zipf_slope
+FROM cum WHERE rk = nmax
+"""

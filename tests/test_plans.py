@@ -108,6 +108,8 @@ def test_hyperplane_lsh_single_bucket_shuffle(spark):
 # tables, scalar subquery results), where BroadcastNestedLoopJoin IS
 # the right physical plan.
 _INTENTIONAL_NLJ = {
+    "rolling_distinct_users_7d",  # 1-row max-day bound crossJoin
+    "autocorr_daily_counts",      # 3-row lag-spine crossJoin
     "dedup_cross_lingual",        # 1-row hot-gram-drop-count crossJoin
     "dedup_weighted_jaccard",     # 1-row hot-gram-drop-count crossJoin
     "similarity_topk_cosine",     # <=5 query rows broadcast
