@@ -1971,3 +1971,524 @@ SELECT source, CAST(nmax AS BIGINT) AS n_ranks,
        ELSE 0.0 END AS zipf_slope
 FROM cum WHERE rk = nmax
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 7: behavioral-analytics layer — funnel conversion,
+# activity-concentration Gini, A/B two-proportion z-test, Fano
+# burstiness, lifetime survival curve, inter-arrival gap
+# percentiles. (A Markov transition matrix already exists as
+# analytics.markov_event_transitions, green since r7 — batch 7
+# deliberately does NOT duplicate it.) Same numeric posture as the
+# module docstring.
+# ---------------------------------------------------------------------
+
+def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel view -> click -> purchase over
+    the events stream: a user reaches step k when their FIRST
+    occurrence of step k's event is strictly after their first
+    occurrence of step k-1's (first-touch attribution; simultaneous
+    timestamps do NOT convert, identically on both engines). Emits
+    per-step user counts plus conversion shares vs step 1 and vs the
+    previous step as exact integer half-up ratios. The reference
+    pipeline counts per-window events (spark/spark_streaming.py:50-65)
+    but has no cross-event user-journey surface — gap-map §2.6.
+
+    Scale shape: ONE map-side-combinable per-user conditional-min
+    aggregation (hash-partitioned by user_id — the high-cardinality
+    key, no window functions), then a 3-row stack over the global
+    count row. Timestamp comparisons happen per-user on exact
+    microsecond values; nothing downstream exceeds |steps| rows.
+    Count products pass through DECIMAL(38,0) (n * 2e6 would wrap
+    int64 past ~4.6e12 users).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t2"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t3"),
+        )
+    )
+    flags = firsts.select(
+        F.col("t1").isNotNull().cast("int").alias("r1"),
+        (
+            F.col("t1").isNotNull()
+            & F.col("t2").isNotNull()
+            & (F.col("t2") > F.col("t1"))
+        ).cast("int").alias("r2"),
+        (
+            F.col("t1").isNotNull()
+            & F.col("t2").isNotNull()
+            & (F.col("t2") > F.col("t1"))
+            & F.col("t3").isNotNull()
+            & (F.col("t3") > F.col("t2"))
+        ).cast("int").alias("r3"),
+    )
+    agg = flags.agg(
+        F.sum("r1").cast("decimal(38,0)").alias("n1"),
+        F.sum("r2").cast("decimal(38,0)").alias("n2"),
+        F.sum("r3").cast("decimal(38,0)").alias("n3"),
+    )
+    return agg.selectExpr(
+        "stack(3,"
+        " 1, 'view',     CAST(n1 AS BIGINT), CAST(n1 AS BIGINT),"
+        " 2, 'click',    CAST(n2 AS BIGINT), CAST(n1 AS BIGINT),"
+        " 3, 'purchase', CAST(n3 AS BIGINT), CAST(n2 AS BIGINT)"
+        ") AS (step, step_name, n_users, n_prev)"
+    ).selectExpr(
+        "step",
+        "step_name",
+        "n_users",
+        "CASE WHEN n_prev > 0 THEN "
+        + nm.half_up_spark_sql(
+            "CAST(n_users AS DECIMAL(38,0))", "CAST(n_prev AS DECIMAL(38,0))", 6
+        )
+        + " ELSE 0.0 END AS conv_from_prev",
+    ).orderBy("step")
+
+
+FUNNEL_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'view') AS t1,
+         MIN(ts) FILTER (event_type = 'click') AS t2,
+         MIN(ts) FILTER (event_type = 'purchase') AS t3
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id
+), flags AS (
+  SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS r1,
+         CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                   AND t3 IS NOT NULL AND t3 > t2
+              THEN 1 ELSE 0 END AS r3
+  FROM firsts
+), agg AS (
+  SELECT CAST(SUM(r1) AS HUGEINT) AS n1,
+         CAST(SUM(r2) AS HUGEINT) AS n2,
+         CAST(SUM(r3) AS HUGEINT) AS n3
+  FROM flags
+), steps AS (
+  SELECT 1 AS step, 'view' AS step_name,
+         CAST(n1 AS BIGINT) AS n_users, CAST(n1 AS BIGINT) AS n_prev
+  FROM agg
+  UNION ALL
+  SELECT 2, 'click', CAST(n2 AS BIGINT), CAST(n1 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n3 AS BIGINT), CAST(n2 AS BIGINT) FROM agg
+)
+SELECT step, step_name, n_users,
+       CASE WHEN n_prev > 0 THEN
+         {nm.half_up_duck_sql("CAST(n_users AS HUGEINT)",
+                              "CAST(n_prev AS HUGEINT)", 6)}
+       ELSE 0.0 END AS conv_from_prev
+FROM steps ORDER BY step
+"""
+
+
+def gini_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event-count concentration — the
+    inequality number that says whether corpus activity (or at
+    100 TB, per-domain crawl volume) is dominated by a few heavy
+    hitters. G = (2*sum_i i*x_i - (n+1)*S) / (n*S) over ascending
+    per-user counts x_1..x_n.
+
+    Scale shape + exactness: per-user counts reduce map-side; the
+    rank-weighted sum is then computed WITHOUT ranking users — on the
+    aggregated (count-value, multiplicity) frame, a value v held by m
+    users occupying the contiguous ascending-rank block after
+    cum_before contributes v*(2*m*cum_before + m*(m+1)) to 2*sum(i*x_i)
+    exactly. Every term is an exact integer in DECIMAL(38,0)/HUGEINT;
+    the ordered window runs over the |distinct count values| frame,
+    never |users|; the single emission is integer half-up (numerator
+    2B - (n+1)S >= 0 by the ascending-sort construction).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("v"))
+    per_val = per_user.groupBy("v").agg(F.count("*").alias("m"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    terms = per_val.select(
+        F.col("v").cast("decimal(38,0)").alias("v"),
+        F.col("m").cast("decimal(38,0)").alias("m"),
+        (F.sum("m").over(w) - F.col("m")).cast("decimal(38,0)").alias("cumb"),
+        F.sum("m").over(tot).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("v") * F.col("m")).over(tot).cast("decimal(38,0)").alias("s"),
+    )
+    agg = terms.groupBy("n", "s").agg(
+        F.sum(
+            F.col("v") * (2 * F.col("m") * F.col("cumb") + F.col("m") * (F.col("m") + 1))
+        ).alias("two_b")
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(s AS BIGINT) AS total_events",
+        "CASE WHEN n > 0 AND s > 0 THEN "
+        + nm.half_up_spark_sql("two_b - (n + 1) * s", "n * s", 6)
+        + " ELSE 0.0 END AS gini",
+    )
+
+
+GINI_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS v FROM events GROUP BY user_id
+), per_val AS (
+  SELECT v, COUNT(*) AS m FROM per_user GROUP BY v
+), terms AS (
+  SELECT CAST(v AS HUGEINT) AS v, CAST(m AS HUGEINT) AS m,
+         CAST(SUM(m) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - m AS HUGEINT) AS cumb,
+         CAST(SUM(m) OVER () AS HUGEINT) AS n,
+         CAST(SUM(v * m) OVER () AS HUGEINT) AS s
+  FROM per_val
+), agg AS (
+  SELECT n, s,
+         SUM(v * (2 * m * cumb + m * (m + 1))) AS two_b
+  FROM terms GROUP BY n, s
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(s AS BIGINT) AS total_events,
+       CASE WHEN n > 0 AND s > 0 THEN
+         {nm.half_up_duck_sql("two_b - (n + 1) * s", "n * s", 6)}
+       ELSE 0.0 END AS gini
+FROM agg
+"""
+
+
+def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic hash-split user
+    buckets: users land in arm A/B by md5 nibble parity (the
+    engine-replayable split both engines compute identically),
+    conversion = at least one purchase event, and the pooled
+    two-proportion z statistic decides significance — the A/B
+    readout a product pipeline runs on the same stream.
+
+    Exactness: z^2 = (xA*nB - xB*nA)^2 * n / (nA*nB*x*(n-x)) is an
+    exact integer ratio (x = pooled conversions, n = nA+nB),
+    accumulated DECIMAL(38,0)/HUGEINT; |z| is ONE sqrt of that exact
+    rational (IEEE-identical both engines, irrational so the single
+    6-dp ROUND cannot sit on a half boundary — MI posture); the
+    significance test compares num*10000 > 38416*den in INTEGERS
+    (1.96^2 = 3.8416 exactly), no float threshold.
+
+    Scale shape: per-user conditional-max aggregation (map-side,
+    hash-partitioned on user_id), then a 4-integer global row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arm = per_user.withColumn(
+        "arm",
+        md5_nibble(F.md5(F.col("user_id").cast("string")), 1) % 2,
+    )
+    agg = arm.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("decimal(38,0)").alias("xa"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("decimal(38,0)").alias("xb"),
+    )
+    return agg.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(xa AS BIGINT) AS conv_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "CAST(xb AS BIGINT) AS conv_b",
+        "CASE WHEN na > 0 THEN "
+        + nm.half_up_spark_sql("xa", "na", 6) + " ELSE 0.0 END AS rate_a",
+        "CASE WHEN nb > 0 THEN "
+        + nm.half_up_spark_sql("xb", "nb", 6) + " ELSE 0.0 END AS rate_b",
+        "CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0"
+        "      AND (na + nb - xa - xb) > 0 THEN"
+        " ROUND(SQRT(CAST((xa * nb - xb * na) * (xa * nb - xb * na)"
+        "                 * (na + nb) AS DOUBLE)"
+        "            / CAST(na * nb * (xa + xb)"
+        "                   * (na + nb - xa - xb) AS DOUBLE)), 6)"
+        " ELSE 0.0 END AS abs_z",
+        "CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0"
+        "      AND (na + nb - xa - xb) > 0 THEN"
+        " (xa * nb - xb * na) * (xa * nb - xb * na) * (na + nb) * 10000"
+        "   > 38416 * na * nb * (xa + xb) * (na + nb - xa - xb)"
+        " ELSE FALSE END AS significant_95",
+        "xa * nb > xb * na AS a_better",
+    )
+
+
+AB_TEST_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arm AS (
+  SELECT conv,
+         {md5_nibble_sql("MD5(CAST(user_id AS VARCHAR))", 1)} % 2 AS arm
+  FROM per_user
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS HUGEINT) AS xa,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+         CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS HUGEINT) AS xb
+  FROM arm
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(xa AS BIGINT) AS conv_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(xb AS BIGINT) AS conv_b,
+       CASE WHEN na > 0 THEN {nm.half_up_duck_sql("xa", "na", 6)}
+            ELSE 0.0 END AS rate_a,
+       CASE WHEN nb > 0 THEN {nm.half_up_duck_sql("xb", "nb", 6)}
+            ELSE 0.0 END AS rate_b,
+       CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0
+                 AND (na + nb - xa - xb) > 0 THEN
+         ROUND(SQRT(CAST((xa * nb - xb * na) * (xa * nb - xb * na)
+                         * (na + nb) AS DOUBLE)
+                    / CAST(na * nb * (xa + xb)
+                           * (na + nb - xa - xb) AS DOUBLE)), 6)
+       ELSE 0.0 END AS abs_z,
+       CASE WHEN na > 0 AND nb > 0 AND (xa + xb) > 0
+                 AND (na + nb - xa - xb) > 0 THEN
+         (xa * nb - xb * na) * (xa * nb - xb * na) * (na + nb) * 10000
+           > 38416 * na * nb * (xa + xb) * (na + nb - xa - xb)
+       ELSE FALSE END AS significant_95,
+       xa * nb > xb * na AS a_better
+FROM agg
+"""
+
+
+def fano_burstiness_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of DAILY counts) per event
+    type — the burstiness screen that separates steady telemetry
+    (Fano ~ 1, Poisson-like) from bursty incident-driven types; the
+    sizing input for stream watermark/state capacity next to
+    watermark_delay_sizing. Variance and mean come from exact integer
+    sufficient statistics: fano = (nd*Scc - Sc^2) / (nd*Sc), with the
+    `bursty` flag compared in INTEGERS (nd*Scc - Sc^2 > nd*Sc), and
+    the one emission per ratio through integer half-up at 6 dp.
+
+    Scale shape: |events| reduces map-side to the (type, day) frame;
+    everything downstream is a |types|-row aggregate. Products
+    accumulate DECIMAL(38,0)/HUGEINT (Sc^2 wraps int64 past ~3e9
+    events per type).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("nd"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("sc"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("scc"),
+    )
+    return agg.selectExpr(
+        "event_type",
+        "CAST(nd AS BIGINT) AS n_days",
+        "CAST(sc AS BIGINT) AS n_events",
+        nm.half_up_spark_sql("sc", "nd", 6) + " AS mean_daily",
+        "CASE WHEN sc > 0 THEN "
+        + nm.half_up_spark_sql("nd * scc - sc * sc", "nd * sc", 6)
+        + " ELSE 0.0 END AS fano_factor",
+        "nd * scc - sc * sc > nd * sc AS bursty",
+    ).orderBy("event_type")
+
+
+FANO_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS HUGEINT) AS nd,
+         CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS sc,
+         CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS scc
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(nd AS BIGINT) AS n_days,
+       CAST(sc AS BIGINT) AS n_events,
+       {nm.half_up_duck_sql("sc", "nd", 6)} AS mean_daily,
+       CASE WHEN sc > 0 THEN
+         {nm.half_up_duck_sql("nd * scc - sc * sc", "nd * sc", 6)}
+       ELSE 0.0 END AS fano_factor,
+       nd * scc - sc * sc > nd * sc AS bursty
+FROM agg ORDER BY event_type
+"""
+
+
+def user_lifetime_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of user lifetimes: share of users whose
+    observed lifetime (days between first and last activity) is at
+    least d, for d = 0..7 — the retention-engineering companion to
+    the cohort matrix (cohort_retention_matrix): monotone
+    non-increasing by construction, shares as exact integer half-up
+    ratios.
+
+    Scale shape: per-user (min, max) day aggregation map-side; the
+    survival counts come from the aggregated LIFETIME-VALUE frame
+    (|distinct lifetimes| rows) joined to the 8-row day spine by an
+    inequality — an intentional broadcast nested-loop against a
+    constant-size spine (the house one-row-scalar pattern, |values|x8
+    output).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    lt = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .groupBy("user_id")
+        .agg(F.datediff(F.max("d"), F.min("d")).alias("life"))
+    )
+    per_val = lt.groupBy("life").agg(F.count("*").alias("m"))
+    tot = Window.partitionBy()
+    pv = per_val.withColumn("n", F.sum("m").over(tot))
+    spine = spark.range(0, 8).select(F.col("id").cast("int").alias("d_min"))
+    surv = (
+        F.broadcast(spine)
+        .join(pv, pv["life"] >= F.col("d_min"), "left")
+        .groupBy("d_min")
+        .agg(
+            F.sum("m").alias("n_surviving"),
+            F.max("n").alias("n_users"),
+        )
+    )
+    return surv.selectExpr(
+        "d_min AS min_lifetime_days",
+        "COALESCE(n_surviving, 0) AS n_surviving",
+        "n_users",
+        "CASE WHEN n_users > 0 THEN "
+        + nm.half_up_spark_sql("COALESCE(n_surviving, 0)", "n_users", 6)
+        + " ELSE 0.0 END AS surviving_share",
+    ).orderBy("min_lifetime_days")
+
+
+SURVIVAL_ORACLE = f"""
+WITH lt AS (
+  SELECT user_id,
+         MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS life
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id
+), per_val AS (
+  SELECT life, COUNT(*) AS m FROM lt GROUP BY life
+), pv AS (
+  SELECT life, m, SUM(m) OVER () AS n FROM per_val
+), spine AS (
+  SELECT CAST(UNNEST(GENERATE_SERIES(0, 7)) AS INT) AS d_min
+), surv AS (
+  SELECT s.d_min, SUM(p.m) AS n_surviving, MAX(p.n) AS n_users
+  FROM spine s LEFT JOIN pv p ON p.life >= s.d_min
+  GROUP BY s.d_min
+)
+SELECT d_min AS min_lifetime_days,
+       CAST(COALESCE(n_surviving, 0) AS BIGINT) AS n_surviving,
+       CAST(n_users AS BIGINT) AS n_users,
+       CASE WHEN n_users > 0 THEN
+         {nm.half_up_duck_sql("CAST(COALESCE(n_surviving, 0) AS HUGEINT)",
+                              "CAST(n_users AS HUGEINT)", 6)}
+       ELSE 0.0 END AS surviving_share
+FROM surv ORDER BY min_lifetime_days
+"""
+
+
+def interarrival_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 of per-user inter-arrival gaps (whole seconds)
+    per event type — the cadence profile that sizes session-gap
+    thresholds (sessionize_* queries use 30 min; this query is where
+    that number comes FROM). Gap seconds use truncated epochs on BOTH
+    engines (Spark unix_timestamp truncates; the oracle mirrors with
+    FLOOR(EPOCH(ts)) — the documented cross-engine seconds gotcha);
+    truncation is monotone in the (ts, event_id) event order, so gaps
+    are >= 0. Percentiles are PERCENTILE_DISC semantics (first value
+    whose cumulative count reaches the target) computed with integer
+    comparisons on the aggregated GAP-VALUE frame.
+
+    Scale shape: the lead window partitions by (user_id) — high
+    cardinality, per-partition local sort; gaps then aggregate to the
+    (type, gap) VALUE frame and the cumulative/percentile windows run
+    over that bounded frame, never |events|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+        .withColumn("next_sec", F.lead("sec").over(w))
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_sec").isNotNull())
+        .select(
+            F.col("next_type").alias("event_type"),
+            (F.col("next_sec") - F.col("sec")).alias("gap"),
+        )
+    )
+    per_val = gaps.groupBy("event_type", "gap").agg(F.count("*").alias("c"))
+    w2 = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tw = Window.partitionBy("event_type")
+    cum = per_val.select(
+        "event_type",
+        "gap",
+        F.sum("c").over(w2).alias("cum"),
+        F.sum("c").over(tw).alias("n"),
+    )
+    return (
+        cum.groupBy("event_type", "n")
+        .agg(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("gap"))).alias(
+                "median_gap_s"
+            ),
+            F.min(
+                F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("gap"))
+            ).alias("p90_gap_s"),
+        )
+        .selectExpr(
+            "event_type",
+            "n AS n_gaps",
+            "median_gap_s",
+            "p90_gap_s",
+        )
+        .orderBy("event_type")
+    )
+
+
+INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type, user_id, ts, event_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS sec,
+         LEAD(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_sec,
+         LEAD(event_type)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events WHERE ts IS NOT NULL
+), gaps AS (
+  SELECT next_type AS event_type, next_sec - sec AS gap
+  FROM seq WHERE next_sec IS NOT NULL
+), per_val AS (
+  SELECT event_type, gap, COUNT(*) AS c FROM gaps GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, gap,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY gap
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM per_val
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_gaps,
+       MIN(CASE WHEN cum * 2 >= n THEN gap END) AS median_gap_s,
+       MIN(CASE WHEN cum * 10 >= 9 * n THEN gap END) AS p90_gap_s
+FROM cum GROUP BY event_type, n ORDER BY event_type
+"""

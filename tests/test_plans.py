@@ -109,6 +109,7 @@ def test_hyperplane_lsh_single_bucket_shuffle(spark):
 # the right physical plan.
 _INTENTIONAL_NLJ = {
     "rolling_distinct_users_7d",  # 1-row max-day bound crossJoin
+    "user_lifetime_survival_curve",  # 8-row day-spine inequality join
     "autocorr_daily_counts",      # 3-row lag-spine crossJoin
     "dedup_cross_lingual",        # 1-row hot-gram-drop-count crossJoin
     "dedup_weighted_jaccard",     # 1-row hot-gram-drop-count crossJoin
