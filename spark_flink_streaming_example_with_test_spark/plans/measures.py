@@ -1465,7 +1465,9 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact integer half-up ratio. The product-analytics table every
     engagement dashboard starts from; the reference pipeline
     (spark/spark_streaming.py:50-65) counts per-window activity but
-    has no user-lifecycle surface — gap-map §2.6 extension.
+    has no user-lifecycle surface — gap-map §2.6 extension. Distinct
+    from analytics.cohort_retention (weekly triangle, week-grain
+    cohorts): this is the day-grain 0-7-offset matrix.
 
     Scale shape: the raw stream reduces to DISTINCT (day, user) FIRST
     (map-side combinable, |users|x|active days| frame, never
@@ -1529,7 +1531,12 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAU-style engagement series. COUNT(DISTINCT) over a sliding time
     window is not directly expressible as a Spark window function
     (distinct aggregates are unsupported over frames), so the scale-
-    safe reshape is: reduce to DISTINCT (day, user) first, EXPAND each
+    safe reshape is the same contribution-explode analytics.rolling_wau
+    uses — this variant differs in the reported spine: rolling_wau
+    semi-joins to OBSERVED days only, while this emits every day any
+    trailing window covers (gap days with zero fresh activity but a
+    non-empty trailing week appear, capped at dmax): reduce to
+    DISTINCT (day, user) first, EXPAND each
     such row to the <=7 anchor days it contributes to (a bounded 7x
     fan-out of the already-reduced frame, via ``sequence`` + explode),
     then a plain hash-partitioned ``countDistinct`` per anchor day.
@@ -1988,7 +1995,12 @@ def funnel_conversion_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events stream: a user reaches step k when their FIRST
     occurrence of step k's event is strictly after their first
     occurrence of step k-1's (first-touch attribution; simultaneous
-    timestamps do NOT convert, identically on both engines). Emits
+    timestamps do NOT convert, identically on both engines). NOT a
+    duplicate of analytics.funnel_conversion_steps, which uses
+    sequential-FRONTIER attribution (any click after the first view
+    converts, even when an earlier click exists) and reports
+    conversion vs step 1 — this query is the stricter first-touch
+    variant reporting step-over-step conversion. Emits
     per-step user counts plus conversion shares vs step 1 and vs the
     previous step as exact integer half-up ratios. The reference
     pipeline counts per-window events (spark/spark_streaming.py:50-65)
