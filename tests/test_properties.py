@@ -737,3 +737,112 @@ def test_nucleus_prefix_is_minimal_cover(freqs):
     assert v90 is not None  # full prefix always covers 100%
     assert cum * 10 >= total * 9
     assert prev * 10 < total * 9  # minimality
+
+
+@given(st.lists(st.integers(1, 40), min_size=1, max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_gini_rank_block_decomposition_matches_naive(counts):
+    """gini_user_activity's rank-block algebra — on the aggregated
+    (value, multiplicity) frame a value v with multiplicity m after
+    cumulative mass c contributes v*(2*m*c + m*(m+1)) to 2*sum(i*x_i)
+    — equals the naive ascending-ranked definition for every
+    multiset, so the query never needs a per-user ranking."""
+    ordered = sorted(counts)
+    naive_two_b = 2 * sum((i + 1) * x for i, x in enumerate(ordered))
+
+    from collections import Counter
+
+    per_val = Counter(counts)
+    cumb = 0
+    two_b = 0
+    for v in sorted(per_val):
+        m = per_val[v]
+        two_b += v * (2 * m * cumb + m * (m + 1))
+        cumb += m
+    assert two_b == naive_two_b
+    # Gini numerator sign bound: 0 <= 2B - (n+1)S < n*S for n,S > 0
+    n, s = len(counts), sum(counts)
+    assert 0 <= two_b - (n + 1) * s < n * s or n == 1
+    if n == 1:
+        assert two_b - (n + 1) * s == 0
+
+
+@given(
+    na=st.integers(1, 10**6),
+    nb=st.integers(1, 10**6),
+    xa=st.integers(0, 10**6),
+    xb=st.integers(0, 10**6),
+)
+@settings(max_examples=300, deadline=None)
+def test_ab_significance_integer_rule_matches_float_threshold(na, nb, xa, xb):
+    """ab_test_two_proportion's integer significance rule
+    (num*10000 > 38416*den) is exactly |z| > 1.96 computed on the
+    exact rational z^2 — no float threshold crossing can disagree,
+    for any counts (conversions capped at group size)."""
+    xa, xb = min(xa, na), min(xb, nb)
+    x = xa + xb
+    num = (xa * nb - xb * na) ** 2 * (na + nb)
+    den = na * nb * x * (na + nb - x)
+    if den == 0:
+        return
+    import math
+
+    z = math.sqrt(num / den)
+    int_rule = num * 10000 > 38416 * den
+    # z^2 > 3.8416 in exact rationals == the integer rule; the float
+    # z can differ only within one ulp of the boundary, where the
+    # exact rational is authoritative
+    assert int_rule == (num / den > 3.8416) or abs(z - 1.96) < 1e-12
+
+
+@given(
+    st.lists(st.integers(0, 200), min_size=1, max_size=100),
+    st.sampled_from([(1, 2), (9, 10)]),
+)
+@settings(max_examples=200, deadline=None)
+def test_percentile_disc_cumulative_rule_matches_definition(vals, pq):
+    """interarrival_gap_percentiles' cumulative-count rule
+    (MIN value whose cum*q >= p*n on the aggregated value frame)
+    equals PERCENTILE_DISC's definition — the smallest value whose
+    cumulative relative frequency reaches p — for every multiset and
+    both emitted percentiles."""
+    p, q = pq
+    n = len(vals)
+    ordered = sorted(vals)
+    # ANSI PERCENTILE_DISC: first value at position ceil(p*n) 1-based
+    import math
+
+    idx = max(1, math.ceil(p * n / q))
+    expected = ordered[idx - 1]
+
+    from collections import Counter
+
+    per_val = Counter(vals)
+    cum = 0
+    got = None
+    for v in sorted(per_val):
+        cum += per_val[v]
+        if cum * q >= p * n and got is None:
+            got = v
+    assert got == expected
+
+
+@given(st.lists(st.integers(0, 7), min_size=1, max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_survival_counts_from_value_frame_match_per_user(lives):
+    """user_lifetime_survival_curve counts survivors on the
+    aggregated lifetime-value frame via an inequality join; the
+    result equals the per-user definition and is monotone
+    non-increasing with S(0) = 1 for every lifetime multiset."""
+    from collections import Counter
+
+    per_val = Counter(lives)
+    prev = None
+    for d in range(8):
+        frame = sum(m for v, m in per_val.items() if v >= d)
+        naive = sum(1 for x in lives if x >= d)
+        assert frame == naive
+        if prev is not None:
+            assert frame <= prev
+        prev = frame
+    assert sum(m for v, m in per_val.items() if v >= 0) == len(lives)
