@@ -2187,6 +2187,17 @@ def ab_test_two_proportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance test compares num*10000 > 38416*den in INTEGERS
     (1.96^2 = 3.8416 exactly), no float threshold.
 
+    Representation bound (the ks_drift ADVICE class, documented
+    deliberately rather than widened): the comparison is a DEGREE-5
+    product — num*10^4 <= n^5 * 10^4 — so the 38-digit ceiling holds
+    exactly up to ~6e6 total users; past it Spark (non-ANSI decimal)
+    yields NULL for significant_95 and DuckDB raises on HUGEINT
+    overflow — fail-VISIBLE on both engines, never a silent int64
+    wrap. At production user counts the right deployment shape is
+    unchanged: the shuffle reduces everything to ONE 4-integer row,
+    and the scalar z-test on that row belongs in the report layer
+    (exact bignum arithmetic), not re-derived per-row in the engine.
+
     Scale shape: per-user conditional-max aggregation (map-side,
     hash-partitioned on user_id), then a 4-integer global row.
     """
