@@ -2515,3 +2515,337 @@ SELECT event_type,
        MIN(CASE WHEN cum * 10 >= 9 * n THEN gap END) AS p90_gap_s
 FROM cum GROUP BY event_type, n ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 8: privacy & sampling governance — k-anonymity
+# audit, largest-remainder stratified sample allocation, and
+# entity-resolution blocking candidate-pair estimation. Same numeric
+# posture as the module docstring.
+# ---------------------------------------------------------------------
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment, account-balance band of width 1000):
+    for each release threshold k in {2, 5, 10, 25}, how many QI
+    groups fall below k and how many rows would need suppression —
+    the privacy gate a 100 TB PII-bearing corpus runs before any
+    data release (the PII-scrub companion: scrubbing removes
+    identifiers, this measures re-identification group sizes).
+
+    Scale shape: ONE map-side-combinable groupBy on the QI tuple
+    reduces |rows| to the |QI-groups| frame (bounded by QI domain
+    cardinality, not rows); the per-threshold sums are conditional
+    aggregations over the GROUP-SIZE frame (|distinct sizes| rows);
+    the output is a 4-row stack. The acctbal band is FLOOR(x/1000)
+    on the raw double — one IEEE division, bit-identical on both
+    engines. All counts exact integers; the suppressed share is
+    integer half-up; group-count products stay in DECIMAL(38,0).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+    ).agg(F.count("*").alias("gsize"))
+    per_size = groups.groupBy("gsize").agg(F.count("*").alias("m"))
+    agg = per_size.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n_groups"),
+        F.sum(F.col("gsize").cast("decimal(38,0)") * F.col("m")).alias("n_rows"),
+        F.min("gsize").alias("k_min"),
+        *[
+            e
+            for k in (2, 5, 10, 25)
+            for e in (
+                F.sum(F.when(F.col("gsize") < k, F.col("m")).otherwise(0))
+                .cast("decimal(38,0)").alias(f"g{k}"),
+                F.sum(
+                    F.when(
+                        F.col("gsize") < k,
+                        F.col("gsize").cast("decimal(38,0)") * F.col("m"),
+                    ).otherwise(0)
+                ).alias(f"r{k}"),
+            )
+        ],
+    )
+    stacked = agg.selectExpr(
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "k_min",
+        "stack(4,"
+        " 2,  CAST(g2 AS BIGINT),  CAST(r2 AS BIGINT),"
+        " 5,  CAST(g5 AS BIGINT),  CAST(r5 AS BIGINT),"
+        " 10, CAST(g10 AS BIGINT), CAST(r10 AS BIGINT),"
+        " 25, CAST(g25 AS BIGINT), CAST(r25 AS BIGINT)"
+        ") AS (k, n_small_groups, n_suppressed_rows)",
+    )
+    return stacked.selectExpr(
+        "k",
+        "n_groups",
+        "n_rows",
+        "k_min",
+        "n_small_groups",
+        "n_suppressed_rows",
+        "CASE WHEN n_rows > 0 THEN "
+        + nm.half_up_spark_sql(
+            "CAST(n_suppressed_rows AS DECIMAL(38,0))",
+            "CAST(n_rows AS DECIMAL(38,0))",
+            6,
+        )
+        + " ELSE 0.0 END AS suppressed_share",
+    ).orderBy("k")
+
+
+K_ANONYMITY_ORACLE = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         FLOOR(c_acctbal / 1000.0) AS bal_band,
+         COUNT(*) AS gsize
+  FROM customer GROUP BY 1, 2, 3
+), per_size AS (
+  SELECT gsize, COUNT(*) AS m FROM groups GROUP BY gsize
+), agg AS (
+  SELECT CAST(SUM(m) AS HUGEINT) AS n_groups,
+         CAST(SUM(CAST(gsize AS HUGEINT) * m) AS HUGEINT) AS n_rows,
+         MIN(gsize) AS k_min,
+         CAST(SUM(CASE WHEN gsize < 2  THEN m ELSE 0 END) AS HUGEINT) AS g2,
+         CAST(SUM(CASE WHEN gsize < 2  THEN gsize * m ELSE 0 END) AS HUGEINT) AS r2,
+         CAST(SUM(CASE WHEN gsize < 5  THEN m ELSE 0 END) AS HUGEINT) AS g5,
+         CAST(SUM(CASE WHEN gsize < 5  THEN gsize * m ELSE 0 END) AS HUGEINT) AS r5,
+         CAST(SUM(CASE WHEN gsize < 10 THEN m ELSE 0 END) AS HUGEINT) AS g10,
+         CAST(SUM(CASE WHEN gsize < 10 THEN gsize * m ELSE 0 END) AS HUGEINT) AS r10,
+         CAST(SUM(CASE WHEN gsize < 25 THEN m ELSE 0 END) AS HUGEINT) AS g25,
+         CAST(SUM(CASE WHEN gsize < 25 THEN gsize * m ELSE 0 END) AS HUGEINT) AS r25
+  FROM per_size
+), stacked AS (
+  SELECT CAST(n_groups AS BIGINT) AS n_groups,
+         CAST(n_rows AS BIGINT) AS n_rows, k_min,
+         2 AS k, CAST(g2 AS BIGINT) AS n_small_groups,
+         CAST(r2 AS BIGINT) AS n_suppressed_rows FROM agg
+  UNION ALL
+  SELECT CAST(n_groups AS BIGINT), CAST(n_rows AS BIGINT), k_min,
+         5, CAST(g5 AS BIGINT), CAST(r5 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT CAST(n_groups AS BIGINT), CAST(n_rows AS BIGINT), k_min,
+         10, CAST(g10 AS BIGINT), CAST(r10 AS BIGINT) FROM agg
+  UNION ALL
+  SELECT CAST(n_groups AS BIGINT), CAST(n_rows AS BIGINT), k_min,
+         25, CAST(g25 AS BIGINT), CAST(r25 AS BIGINT) FROM agg
+)
+SELECT k, n_groups, n_rows, k_min, n_small_groups, n_suppressed_rows,
+       CASE WHEN n_rows > 0 THEN
+         {nm.half_up_duck_sql("CAST(n_suppressed_rows AS HUGEINT)",
+                              "CAST(n_rows AS HUGEINT)", 6)}
+       ELSE 0.0 END AS suppressed_share
+FROM stacked ORDER BY k
+"""
+
+
+def stratified_sample_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a 20% eval-set
+    budget across (source, lang) strata of the documents corpus:
+    budget B = N div 5, base quota_i = floor(B * n_i / N), and the
+    B - sum(quota) leftover units go one each to the strata with the
+    largest integer remainders B*n_i mod N (ties broken by stratum
+    key) — the exact-integer construction that always sums to
+    EXACTLY B, unlike rounded proportional shares. The in-query
+    `sums_to_budget` flag proves it on both engines.
+
+    Scale shape: one map-side groupBy reduces the corpus to the
+    |strata| frame; the remainder-ranking window and global sums run
+    over that tiny frame only. B*n_i products accumulate
+    DECIMAL(38,0)/HUGEINT (N^2/5-scale, wraps int64 past ~6.8e9
+    docs); every emitted rate is integer half-up.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_docs")
+    )
+    tot = Window.partitionBy()
+    base = strata.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.sum("n_docs").over(tot).alias("n_total"),
+    ).selectExpr(
+        "source",
+        "lang",
+        "n_docs",
+        "n_total",
+        "CAST(n_total AS BIGINT) div 5 AS budget",
+        "(n_docs * (CAST(n_total AS BIGINT) div 5)) div n_total AS base_quota",
+        "(n_docs * (CAST(n_total AS BIGINT) div 5)) % n_total AS remainder",
+    )
+    w = Window.orderBy(F.desc("remainder"), "source", "lang")
+    ranked = base.withColumn("rk", F.row_number().over(w)).withColumn(
+        "leftover",
+        F.col("budget") - F.sum("base_quota").over(tot),
+    )
+    out = ranked.selectExpr(
+        "source",
+        "lang",
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(base_quota AS BIGINT) + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+        " AS allocated",
+        "CAST(budget AS BIGINT) AS budget",
+    )
+    w2 = Window.partitionBy()
+    return (
+        out.withColumn("alloc_total", F.sum("allocated").over(w2))
+        .selectExpr(
+            "source",
+            "lang",
+            "n_docs",
+            "allocated",
+            "budget",
+            "alloc_total = budget AS sums_to_budget",
+            "CASE WHEN n_docs > 0 THEN "
+            + nm.half_up_spark_sql(
+                "CAST(allocated AS DECIMAL(38,0))",
+                "CAST(n_docs AS DECIMAL(38,0))",
+                6,
+            )
+            + " ELSE 0.0 END AS sampling_rate",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+STRATIFIED_ALLOC_ORACLE = f"""
+WITH strata AS (
+  SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS n_docs
+  FROM documents GROUP BY 1, 2
+), base AS (
+  SELECT source, lang, n_docs,
+         SUM(n_docs) OVER () AS n_total,
+         CAST(SUM(n_docs) OVER () AS BIGINT) // 5 AS budget
+  FROM strata
+), quotas AS (
+  SELECT source, lang, n_docs, n_total, budget,
+         (n_docs * budget) // n_total AS base_quota,
+         (n_docs * budget) % n_total AS remainder
+  FROM base
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY remainder DESC, source, lang) AS rk,
+         budget - SUM(base_quota) OVER () AS leftover
+  FROM quotas
+), out AS (
+  SELECT source, lang,
+         CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(base_quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+              AS BIGINT) AS allocated,
+         CAST(budget AS BIGINT) AS budget
+  FROM ranked
+)
+SELECT source, lang, n_docs, allocated, budget,
+       SUM(allocated) OVER () = budget AS sums_to_budget,
+       CASE WHEN n_docs > 0 THEN
+         {nm.half_up_duck_sql("CAST(allocated AS HUGEINT)",
+                              "CAST(n_docs AS HUGEINT)", 6)}
+       ELSE 0.0 END AS sampling_rate
+FROM out ORDER BY source, lang
+"""
+
+
+def blocking_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking audit: for four blocking-key
+    strategies over the documents corpus (language; source+language;
+    lowercased 8-char text prefix; 64-char length band), the number
+    of blocks, the largest block, the candidate-pair count
+    sum(m*(m-1)/2), and the pair-reduction ratio vs the unblocked
+    N*(N-1)/2 — the estimate every 100 TB record-linkage job runs
+    BEFORE committing to a self-join (a bad blocking key IS the
+    quadratic blowup; this measures it for the price of four
+    aggregations).
+
+    Scale shape: each strategy is one map-side-combinable groupBy to
+    its |blocks| frame, then a one-row aggregate; the 4-row report
+    unions constants. Pair counts use m*(m-1) div 2 in
+    DECIMAL(38,0)/HUGEINT — exact past int64 (m^2 wraps at ~3e9
+    rows per block); the reduction ratio is integer half-up on the
+    exact pair counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keys = {
+        "lang": F.col("lang"),
+        "source_lang": F.concat_ws("/", "source", "lang"),
+        "text_prefix8": F.lower(F.substring("text", 1, 8)),
+        # integer div, NOT a double cast: Spark CAST(double AS BIGINT)
+        # truncates while DuckDB's rounds — the documented seconds
+        # gotcha's sibling. n_chars div 64 is exact on both.
+        "len_band64": F.expr("CAST(n_chars div 64 AS STRING)"),
+    }
+
+    def one(name, key):
+        blocks = docs.groupBy(key.alias("bk")).agg(F.count("*").alias("m"))
+        # sum m*(m-1) (even, exact in DECIMAL) and halve ONCE at
+        # emission — Spark decimal `/` re-scales and decimal `div`
+        # returns BIGINT, so the halving must not happen per-row.
+        return blocks.agg(
+            F.lit(name).alias("strategy"),
+            F.count("*").alias("n_blocks"),
+            F.max("m").alias("max_block"),
+            F.sum(
+                F.col("m").cast("decimal(38,0)") * (F.col("m") - 1)
+            ).cast("decimal(38,0)").alias("pairs2"),
+            F.sum(F.col("m").cast("decimal(38,0)")).alias("n"),
+        )
+
+    frames = [one(n, k) for n, k in keys.items()]
+    rep = frames[0]
+    for f in frames[1:]:
+        rep = rep.unionAll(f)
+    return rep.selectExpr(
+        "strategy",
+        "n_blocks",
+        "max_block",
+        "CAST(pairs2 div 2 AS BIGINT) AS candidate_pairs",
+        "CAST((n * (n - 1)) div 2 AS BIGINT) AS total_pairs",
+        # halves cancel: (T2 - P2)/T2 == (T - P)/T with T2 = n(n-1)
+        "CASE WHEN n > 1 THEN "
+        + nm.half_up_spark_sql("n * (n - 1) - pairs2", "n * (n - 1)", 6)
+        + " ELSE 0.0 END AS reduction_ratio",
+    ).orderBy("strategy")
+
+
+BLOCKING_PAIRS_ORACLE = f"""
+WITH d AS (
+  SELECT lang AS k1,
+         source || '/' || lang AS k2,
+         LOWER(SUBSTR(text, 1, 8)) AS k3,
+         CAST(n_chars // 64 AS VARCHAR) AS k4
+  FROM documents
+), s1 AS (
+  SELECT 'lang' AS strategy, COUNT(*) AS n_blocks, MAX(m) AS max_block,
+         CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT) AS pairs2,
+         CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT) AS n
+  FROM (SELECT k1, COUNT(*) AS m FROM d GROUP BY k1)
+), s2 AS (
+  SELECT 'source_lang', COUNT(*), MAX(m),
+         CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT),
+         CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT)
+  FROM (SELECT k2, COUNT(*) AS m FROM d GROUP BY k2)
+), s3 AS (
+  SELECT 'text_prefix8', COUNT(*), MAX(m),
+         CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT),
+         CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT)
+  FROM (SELECT k3, COUNT(*) AS m FROM d GROUP BY k3)
+), s4 AS (
+  SELECT 'len_band64', COUNT(*), MAX(m),
+         CAST(SUM(CAST(m AS HUGEINT) * (m - 1)) AS HUGEINT),
+         CAST(SUM(CAST(m AS HUGEINT)) AS HUGEINT)
+  FROM (SELECT k4, COUNT(*) AS m FROM d GROUP BY k4)
+), rep AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+)
+SELECT strategy, n_blocks, max_block,
+       CAST(pairs2 // 2 AS BIGINT) AS candidate_pairs,
+       CAST(n * (n - 1) // 2 AS BIGINT) AS total_pairs,
+       CASE WHEN n > 1 THEN
+         {nm.half_up_duck_sql("n * (n - 1) - pairs2",
+                              "n * (n - 1)", 6)}
+       ELSE 0.0 END AS reduction_ratio
+FROM rep ORDER BY strategy
+"""

@@ -846,3 +846,33 @@ def test_survival_counts_from_value_frame_match_per_user(lives):
             assert frame <= prev
         prev = frame
     assert sum(m for v, m in per_val.items() if v >= 0) == len(lives)
+
+
+@given(
+    st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    st.integers(1, 10),
+)
+@settings(max_examples=200, deadline=None)
+def test_largest_remainder_allocation_sums_and_quota_rule(ns, frac):
+    """stratified_sample_allocation's largest-remainder construction
+    — base = floor(B*n_i/N), leftover units to the largest
+    remainders — always sums EXACTLY to B and satisfies the quota
+    rule (each allocation within floor/ceil of its proportional
+    share), for arbitrary strata sizes and budget fractions."""
+    total = sum(ns)
+    budget = total // frac
+    base = [budget * n // total for n in ns]
+    rem = [(budget * n) % total for n in ns]
+    leftover = budget - sum(base)
+    assert 0 <= leftover < len(ns) or budget == 0
+    order = sorted(range(len(ns)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:leftover]:
+        alloc[i] += 1
+    assert sum(alloc) == budget
+    for n, a in zip(ns, alloc):
+        exact = budget * n / total
+        import math
+
+        assert math.floor(exact) <= a <= math.ceil(exact)
+        assert a <= n  # B <= N => never over-draws a stratum
