@@ -2849,3 +2849,338 @@ SELECT strategy, n_blocks, max_block,
        ELSE 0.0 END AS reduction_ratio
 FROM rep ORDER BY strategy
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 9: privacy release suite (l-diversity, t-closeness)
+# and planner literacy (join-cardinality estimation audit). Same
+# numeric posture as the module docstring.
+# ---------------------------------------------------------------------
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the k-anonymity companion
+    (k_anonymity_audit shares the QI tuple): for each quasi-identifier
+    group (nation, balance band) the number of DISTINCT sensitive
+    values (market segment) is its l; a group with l = 1 leaks the
+    sensitive attribute even at high k. Emits the histogram of
+    per-group l values with group/row counts and shares, plus the
+    global minimum as the release gate number.
+
+    Scale shape: groupBy the QI tuple with count_distinct(sensitive)
+    — map-side partials on (QI, sensitive) then the distinct count,
+    both hash-partitioned; the histogram is an aggregate over the
+    |groups| frame, output bounded by |sensitive domain| rows. All
+    integers exact; shares integer half-up.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+    ).agg(
+        F.count_distinct("c_mktsegment").alias("l"),
+        F.count("*").alias("n_rows"),
+    )
+    tot = Window.partitionBy()
+    hist = (
+        groups.groupBy("l")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n_groups"),
+            F.sum(F.col("n_rows").cast("decimal(38,0)")).alias("rows_at_l"),
+        )
+        .withColumn("g_total", F.sum("n_groups").over(tot))
+        .withColumn("l_min", F.min("l").over(tot))
+    )
+    return hist.selectExpr(
+        "l",
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        "CAST(rows_at_l AS BIGINT) AS rows_at_l",
+        "l_min",
+        nm.half_up_spark_sql("n_groups", "g_total", 6) + " AS group_share",
+    ).orderBy("l")
+
+
+L_DIVERSITY_ORACLE = f"""
+WITH groups AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000.0) AS bal_band,
+         COUNT(DISTINCT c_mktsegment) AS l,
+         COUNT(*) AS n_rows
+  FROM customer GROUP BY 1, 2
+), hist AS (
+  SELECT l, CAST(COUNT(*) AS HUGEINT) AS n_groups,
+         CAST(SUM(CAST(n_rows AS HUGEINT)) AS HUGEINT) AS rows_at_l
+  FROM groups GROUP BY l
+)
+SELECT l,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(rows_at_l AS BIGINT) AS rows_at_l,
+       MIN(l) OVER () AS l_min,
+       {nm.half_up_duck_sql("n_groups", "SUM(n_groups) OVER ()", 6)}
+         AS group_share
+FROM hist ORDER BY l
+"""
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the distributional tier of the release
+    suite above k-anonymity and l-diversity: for each QI group
+    (nation, balance band), the total-variation distance between the
+    group's sensitive-attribute (market segment) distribution and
+    the corpus-wide one; a group passes t-closeness when TVD <= t.
+    Reports group counts above t = 0.3, and the worst group with its
+    exact TVD.
+
+    Exactness: TVD_g = sum_s |c_gs*n - c_s*n_g| / (2*n*n_g) is an
+    exact integer rational per group — segments ABSENT from a group
+    contribute c_s*n_g via the missing-mass identity (n - sum of the
+    group's present global counts) * n_g, so no (group x segment)
+    dense frame is ever built. The t threshold compares num*10 >
+    3*den*2 in integers; the worst group is selected by the
+    engine-identical double num/den (MI posture) with a QI tiebreak,
+    and its TVD emitted via integer half-up. Products accumulate
+    DECIMAL(38,0)/HUGEINT (c_s*n_g wraps int64 past ~3e9 rows).
+
+    Scale shape: one groupBy to the (QI, segment) frame, the 5-row
+    global segment distribution attached by broadcast, a per-group
+    aggregate, then a 1-row report off the |groups| frame.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    gs = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).alias("bal_band"),
+        "c_mktsegment",
+    ).agg(F.count("*").cast("decimal(38,0)").alias("c_gs"))
+    glob = cust.groupBy("c_mktsegment").agg(
+        F.count("*").cast("decimal(38,0)").alias("c_s")
+    )
+    n_total = cust.agg(F.count("*").cast("decimal(38,0)").alias("n"))
+    per_group = (
+        gs.groupBy("c_nationkey", "bal_band")
+        .agg(F.sum("c_gs").alias("n_g"))
+        .join(gs, ["c_nationkey", "bal_band"])
+        .join(F.broadcast(glob), "c_mktsegment")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("c_nationkey", "bal_band", "n_g", "n")
+        .agg(
+            F.sum(
+                F.abs(F.col("c_gs") * F.col("n") - F.col("c_s") * F.col("n_g"))
+            ).alias("present_num"),
+            F.sum("c_s").alias("present_mass"),
+        )
+        .selectExpr(
+            "c_nationkey",
+            "bal_band",
+            "n_g",
+            "n",
+            # missing-mass identity: absent segments contribute
+            # (n - sum of present global counts) * n_g exactly
+            "present_num + (n - present_mass) * n_g AS num",
+            "2 * n * n_g AS den",
+        )
+    )
+    w = Window.orderBy(
+        F.desc((F.col("num") / F.col("den")).cast("double")),
+        "c_nationkey",
+        "bal_band",
+    )
+    ranked = per_group.withColumn("rk", F.row_number().over(w))
+    tot = Window.partitionBy()
+    report = (
+        ranked.withColumn("n_groups", F.count("*").over(tot))
+        .withColumn(
+            "n_above_t",
+            F.sum(
+                # TVD > 0.3  <=>  num*10 > 3*den, in integers
+                F.when(F.col("num") * 10 > 3 * F.col("den"), 1).otherwise(0)
+            ).over(tot),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return report.selectExpr(
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        "CAST(n_above_t AS BIGINT) AS n_groups_above_t03",
+        "c_nationkey AS worst_nationkey",
+        "CAST(bal_band AS BIGINT) AS worst_bal_band",
+        "CAST(n_g AS BIGINT) AS worst_group_rows",
+        nm.half_up_spark_sql("num", "den", 6) + " AS worst_tvd",
+    )
+
+
+T_CLOSENESS_ORACLE = f"""
+WITH gs AS (
+  SELECT c_nationkey, FLOOR(c_acctbal / 1000.0) AS bal_band,
+         c_mktsegment, CAST(COUNT(*) AS HUGEINT) AS c_gs
+  FROM customer GROUP BY 1, 2, 3
+), gseg AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS HUGEINT) AS c_s
+  FROM customer GROUP BY 1
+), nt AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM customer
+), ng AS (
+  SELECT c_nationkey, bal_band, SUM(c_gs) AS n_g
+  FROM gs GROUP BY 1, 2
+), per_group AS (
+  SELECT g.c_nationkey, g.bal_band, ng.n_g, nt.n,
+         SUM(ABS(g.c_gs * nt.n - gl.c_s * ng.n_g))
+           + (nt.n - SUM(gl.c_s)) * ng.n_g AS num,
+         2 * nt.n * ng.n_g AS den
+  FROM gs g
+  JOIN ng USING (c_nationkey, bal_band)
+  JOIN gseg gl USING (c_mktsegment)
+  CROSS JOIN nt
+  GROUP BY 1, 2, 3, 4
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+                    c_nationkey, bal_band) AS rk,
+         COUNT(*) OVER () AS n_groups,
+         SUM(CASE WHEN num * 10 > 3 * den THEN 1 ELSE 0 END)
+           OVER () AS n_above_t
+  FROM per_group
+)
+SELECT CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(n_above_t AS BIGINT) AS n_groups_above_t03,
+       c_nationkey AS worst_nationkey,
+       CAST(bal_band AS BIGINT) AS worst_bal_band,
+       CAST(n_g AS BIGINT) AS worst_group_rows,
+       {nm.half_up_duck_sql("num", "den", 6)} AS worst_tvd
+FROM ranked WHERE rk = 1
+"""
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-literacy audit: for two join scenarios — the FK join
+    orders><lineitem on orderkey and the skew-prone self-join
+    lineitem><lineitem on partkey — compare the textbook
+    independence estimate |A|*|B| / max(ndv_A, ndv_B) against the
+    EXACT join cardinality computed from the aggregated key-count
+    frames (sum over keys of cA*cB), never by materializing the
+    join. This is the pre-flight a 100 TB pipeline runs before
+    committing to a self-join, and the statistic AQE's runtime
+    re-planning corrects when the uniformity assumption fails
+    (skewed keys make sum(c^2) >> uniform).
+
+    Exactness/scale: per-key counts reduce map-side to |keys|-bounded
+    frames; cross-products and squares accumulate DECIMAL(38,0)/
+    HUGEINT (c^2 wraps int64 past ~3e9 rows per key); the estimate
+    is integer floor division on both engines and the error ratio is
+    integer half-up.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    co = orders.groupBy("o_orderkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    cl = li.groupBy("l_orderkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    fk = (
+        co.join(cl, co["o_orderkey"] == cl["l_orderkey"])
+        .agg(F.sum(co["c"] * cl["c"]).alias("exact_rows"))
+        .crossJoin(
+            co.agg(
+                F.sum("c").alias("rows_a"), F.count("*").alias("ndv_a")
+            )
+        )
+        .crossJoin(
+            cl.agg(
+                F.sum("c").alias("rows_b"), F.count("*").alias("ndv_b")
+            )
+        )
+        .selectExpr("'orders_lineitem_fk' AS scenario", "rows_a", "ndv_a",
+                    "rows_b", "ndv_b", "exact_rows")
+    )
+    cp = li.groupBy("l_partkey").agg(
+        F.count("*").cast("decimal(38,0)").alias("c")
+    )
+    self_join = (
+        cp.agg(
+            F.sum("c").alias("rows_a"),
+            F.count("*").alias("ndv_a"),
+            F.sum(F.col("c") * F.col("c")).alias("exact_rows"),
+        )
+        .selectExpr(
+            "'lineitem_selfjoin_partkey' AS scenario",
+            "rows_a", "CAST(ndv_a AS BIGINT) AS ndv_a",
+            "rows_a AS rows_b", "CAST(ndv_a AS BIGINT) AS ndv_b",
+            "exact_rows",
+        )
+    )
+    rep = fk.selectExpr(
+        "scenario",
+        "CAST(rows_a AS BIGINT) AS rows_a",
+        "CAST(ndv_a AS BIGINT) AS ndv_a",
+        "CAST(rows_b AS BIGINT) AS rows_b",
+        "CAST(ndv_b AS BIGINT) AS ndv_b",
+        "exact_rows",
+    ).unionAll(
+        self_join.selectExpr(
+            "scenario",
+            "CAST(rows_a AS BIGINT) AS rows_a",
+            "ndv_a",
+            "CAST(rows_b AS BIGINT) AS rows_b",
+            "ndv_b",
+            "exact_rows",
+        )
+    )
+    return rep.selectExpr(
+        "scenario",
+        "rows_a",
+        "ndv_a",
+        "rows_b",
+        "ndv_b",
+        "CAST(exact_rows AS BIGINT) AS exact_rows",
+        "CAST((CAST(rows_a AS DECIMAL(38,0)) * rows_b)"
+        " div GREATEST(ndv_a, ndv_b) AS BIGINT) AS uniform_estimate",
+        "CASE WHEN exact_rows > 0 THEN "
+        + nm.half_up_spark_sql(
+            "(CAST(rows_a AS DECIMAL(38,0)) * rows_b)"
+            " div GREATEST(ndv_a, ndv_b)",
+            "exact_rows",
+            6,
+        )
+        + " ELSE 0.0 END AS estimate_over_exact",
+    ).orderBy("scenario")
+
+
+JOIN_CARD_ORACLE = f"""
+WITH co AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM orders GROUP BY 1
+), cl AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY 1
+), fk AS (
+  SELECT 'orders_lineitem_fk' AS scenario,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM co) AS rows_a,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM co) AS ndv_a,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM cl) AS rows_b,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS ndv_b,
+         CAST(SUM(co.c * cl.c) AS HUGEINT) AS exact_rows
+  FROM co JOIN cl USING (k)
+), cp AS (
+  SELECT l_partkey, CAST(COUNT(*) AS HUGEINT) AS c
+  FROM lineitem GROUP BY 1
+), sj AS (
+  SELECT 'lineitem_selfjoin_partkey' AS scenario,
+         CAST(SUM(c) AS BIGINT) AS rows_a,
+         CAST(COUNT(*) AS BIGINT) AS ndv_a,
+         CAST(SUM(c) AS BIGINT) AS rows_b,
+         CAST(COUNT(*) AS BIGINT) AS ndv_b,
+         CAST(SUM(c * c) AS HUGEINT) AS exact_rows
+  FROM cp
+), rep AS (
+  SELECT * FROM fk UNION ALL SELECT * FROM sj
+)
+SELECT scenario, rows_a, ndv_a, rows_b, ndv_b,
+       CAST(exact_rows AS BIGINT) AS exact_rows,
+       CAST((CAST(rows_a AS HUGEINT) * rows_b)
+            // GREATEST(ndv_a, ndv_b) AS BIGINT) AS uniform_estimate,
+       CASE WHEN exact_rows > 0 THEN
+         {nm.half_up_duck_sql(
+             "(CAST(rows_a AS HUGEINT) * rows_b) // GREATEST(ndv_a, ndv_b)",
+             "exact_rows", 6)}
+       ELSE 0.0 END AS estimate_over_exact
+FROM rep ORDER BY scenario
+"""

@@ -1,11 +1,13 @@
-"""Round-10 batch-8 semantic pins for the privacy & sampling
+"""Round-10 batch-8/9 semantic pins for the privacy & sampling
 governance queries (plans/measures.py tail): k-anonymity audit,
-largest-remainder stratified allocation, and blocking candidate-pair
-estimation — each against an independent brute-force Python
+largest-remainder stratified allocation, blocking candidate-pair
+estimation, l-diversity, t-closeness, and the join-cardinality
+estimation audit — each against an independent brute-force Python
 recomputation, plus the structural invariants the DuckDB-parity hash
 can't express (suppression monotone in k, allocation sums exactly to
 the budget and respects the quota rule, candidate pairs bounded by
-the unblocked total).
+the unblocked total, TVD in [0,1], Cauchy-Schwarz floor on the
+self-join cardinality).
 """
 
 from __future__ import annotations
@@ -126,3 +128,107 @@ def test_blocking_pairs_match_bruteforce(spark, duck):
         assert r["reduction_ratio"] == _half_up(
             n * (n - 1) - 2 * pairs, n * (n - 1), 6
         )
+
+
+def test_l_diversity_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal"
+        f" FROM '{SF_DIR}/customer.parquet'"
+    ).df()
+    segs = defaultdict(set)
+    sizes = Counter()
+    for r in df.itertuples():
+        qi = (r.c_nationkey, math.floor(r.c_acctbal / 1000.0))
+        segs[qi].add(r.c_mktsegment)
+        sizes[qi] += 1
+    hist_groups = Counter(len(s) for s in segs.values())
+    hist_rows = defaultdict(int)
+    for qi, s in segs.items():
+        hist_rows[len(s)] += sizes[qi]
+    l_min = min(hist_groups)
+    g_total = len(segs)
+
+    rows = me.l_diversity_audit(spark, SF_DIR).collect()
+    assert sorted(hist_groups) == [r["l"] for r in rows]
+    for r in rows:
+        assert r["n_groups"] == hist_groups[r["l"]]
+        assert r["rows_at_l"] == hist_rows[r["l"]]
+        assert r["l_min"] == l_min
+        assert r["group_share"] == _half_up(hist_groups[r["l"]], g_total, 6)
+    assert abs(sum(r["group_share"] for r in rows) - 1.0) <= len(rows) * 5e-7
+
+
+def test_t_closeness_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT c_nationkey, c_mktsegment, c_acctbal"
+        f" FROM '{SF_DIR}/customer.parquet'"
+    ).df()
+    glob = Counter(r.c_mktsegment for r in df.itertuples())
+    n = len(df)
+    per_group = defaultdict(Counter)
+    for r in df.itertuples():
+        qi = (r.c_nationkey, math.floor(r.c_acctbal / 1000.0))
+        per_group[qi][r.c_mktsegment] += 1
+    stats = {}
+    for qi, cnts in per_group.items():
+        n_g = sum(cnts.values())
+        num = sum(abs(cnts.get(s, 0) * n - glob[s] * n_g) for s in glob)
+        stats[qi] = (num, 2 * n * n_g, n_g)
+    n_above = sum(1 for num, den, _ in stats.values() if num * 10 > 3 * den)
+    worst = min(
+        stats, key=lambda qi: (-stats[qi][0] / stats[qi][1], qi[0], qi[1])
+    )
+
+    row = me.t_closeness_audit(spark, SF_DIR).collect()[0]
+    assert row["n_groups"] == len(stats)
+    assert row["n_groups_above_t03"] == n_above
+    assert (row["worst_nationkey"], row["worst_bal_band"]) == worst
+    wnum, wden, wng = stats[worst]
+    assert row["worst_group_rows"] == wng
+    assert row["worst_tvd"] == _half_up(wnum, wden, 6)
+    assert 0.0 <= row["worst_tvd"] <= 1.0  # TVD is a [0,1] metric
+
+
+def test_join_cardinality_matches_bruteforce(spark, duck):
+    co = Counter(
+        r.k for r in duck.sql(
+            f"SELECT o_orderkey AS k FROM '{SF_DIR}/orders.parquet'"
+        ).df().itertuples()
+    )
+    cl = Counter(
+        r.k for r in duck.sql(
+            f"SELECT l_orderkey AS k FROM '{SF_DIR}/lineitem.parquet'"
+        ).df().itertuples()
+    )
+    cp = Counter(
+        r.k for r in duck.sql(
+            f"SELECT l_partkey AS k FROM '{SF_DIR}/lineitem.parquet'"
+        ).df().itertuples()
+    )
+    fk_exact = sum(co[k] * cl[k] for k in co.keys() & cl.keys())
+    sj_exact = sum(c * c for c in cp.values())
+
+    rows = {r["scenario"]: r for r in
+            me.join_cardinality_estimate(spark, SF_DIR).collect()}
+    fk = rows["orders_lineitem_fk"]
+    assert fk["rows_a"] == sum(co.values())
+    assert fk["ndv_a"] == len(co)
+    assert fk["rows_b"] == sum(cl.values())
+    assert fk["ndv_b"] == len(cl)
+    assert fk["exact_rows"] == fk_exact
+    # FK join: every lineitem matches exactly one order
+    assert fk_exact == sum(cl.values())
+    est = sum(co.values()) * sum(cl.values()) // max(len(co), len(cl))
+    assert fk["uniform_estimate"] == est
+    assert fk["estimate_over_exact"] == _half_up(est, fk_exact, 6)
+
+    sj = rows["lineitem_selfjoin_partkey"]
+    assert sj["rows_a"] == sj["rows_b"] == sum(cp.values())
+    assert sj["ndv_a"] == sj["ndv_b"] == len(cp)
+    assert sj["exact_rows"] == sj_exact
+    est2 = sum(cp.values()) ** 2 // len(cp)
+    assert sj["uniform_estimate"] == est2
+    assert sj["estimate_over_exact"] == _half_up(est2, sj_exact, 6)
+    # Cauchy-Schwarz: sum c^2 >= (sum c)^2 / ndv — uniformity is the
+    # floor, skew only pushes the exact count ABOVE the estimate
+    assert sj_exact * len(cp) >= sum(cp.values()) ** 2
