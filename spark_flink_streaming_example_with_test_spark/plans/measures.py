@@ -3184,3 +3184,353 @@ SELECT scenario, rows_a, ndv_a, rows_b, ndv_b,
        ELSE 0.0 END AS estimate_over_exact
 FROM rep ORDER BY scenario
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 10: conformal calibration, RFM segmentation, and
+# A/B power analysis. Same numeric posture as the module docstring.
+# ---------------------------------------------------------------------
+
+def conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of a quality-filter threshold at
+    alpha = 0.1: documents hash-split (md5 nibble parity) into a
+    calibration and an evaluation half; the nonconformity score is
+    the integer digit-density ppm (digits*1e6 div chars — the exact
+    per-row integer the quality suite already uses); the conformal
+    threshold is the k-th smallest calibration score with
+    k = ceil(0.9 * (n_cal + 1)), and the audited coverage is the
+    share of evaluation documents at or below it — by
+    exchangeability, >= 90% in expectation. This is how a modern
+    pipeline turns an arbitrary quality score into a filter with a
+    coverage guarantee instead of hand-picking a cutoff.
+
+    Exactness/scale: k = (9*(n_cal+1) + 9) div 10 in integers; the
+    order statistic comes from the cumulative window over the
+    aggregated SCORE-VALUE frame (bounded by distinct ppm values,
+    never |docs|); coverage is integer half-up; the coverage flag
+    compares n_covered*10 >= 9*n_eval in integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")) * F.lit(1000000)
+        ).cast("bigint").alias("dig6"),
+        F.length("text").alias("chars"),
+        md5_nibble(F.md5(F.col("doc_id").cast("string")), 1).alias("nib"),
+    ).select(
+        F.expr("CASE WHEN chars > 0 THEN dig6 div chars ELSE 0 END").alias(
+            "score"
+        ),
+        (F.col("nib") % 2 == 0).alias("is_cal"),
+    )
+    per_val = scored.groupBy("score").agg(
+        F.sum(F.when(F.col("is_cal"), 1).otherwise(0)).alias("c_cal"),
+        F.sum(F.when(~F.col("is_cal"), 1).otherwise(0)).alias("c_eval"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = per_val.select(
+        "score",
+        "c_eval",
+        F.sum("c_cal").over(w).alias("cum_cal"),
+        F.sum("c_cal").over(tot).alias("n_cal"),
+        F.sum("c_eval").over(tot).alias("n_eval"),
+    )
+    thr = cum.withColumn(
+        "k", F.expr("(9 * (n_cal + 1) + 9) div 10")
+    ).groupBy("n_cal", "n_eval", "k").agg(
+        F.min(F.when(F.col("cum_cal") >= F.col("k"), F.col("score"))).alias(
+            "threshold"
+        )
+    )
+    covered = (
+        cum.join(F.broadcast(thr.select("threshold")), how="cross")
+        .agg(
+            F.sum(
+                F.when(F.col("score") <= F.col("threshold"), F.col("c_eval"))
+                .otherwise(0)
+            ).alias("n_covered")
+        )
+    )
+    return (
+        thr.crossJoin(F.broadcast(covered))
+        .selectExpr(
+            "n_cal",
+            "n_eval",
+            "k AS cal_rank",
+            "threshold AS threshold_ppm",
+            "n_covered",
+            "CASE WHEN n_eval > 0 THEN "
+            + nm.half_up_spark_sql(
+                "CAST(n_covered AS DECIMAL(38,0))",
+                "CAST(n_eval AS DECIMAL(38,0))",
+                6,
+            )
+            + " ELSE 0.0 END AS eval_coverage",
+            "n_covered * 10 >= 9 * n_eval AS covered_at_alpha",
+        )
+    )
+
+
+CONFORMAL_ORACLE = f"""
+WITH scored AS (
+  SELECT CASE WHEN LENGTH(text) > 0 THEN
+           CAST(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+                AS BIGINT) * 1000000 // LENGTH(text)
+         ELSE 0 END AS score,
+         ({md5_nibble_sql("MD5(CAST(doc_id AS VARCHAR))", 1)}) % 2 = 0
+           AS is_cal
+  FROM documents
+), per_val AS (
+  SELECT score,
+         SUM(CASE WHEN is_cal THEN 1 ELSE 0 END) AS c_cal,
+         SUM(CASE WHEN is_cal THEN 0 ELSE 1 END) AS c_eval
+  FROM scored GROUP BY score
+), cum AS (
+  SELECT score, c_eval,
+         SUM(c_cal) OVER (ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_cal,
+         SUM(c_cal) OVER () AS n_cal,
+         SUM(c_eval) OVER () AS n_eval
+  FROM per_val
+), thr AS (
+  SELECT n_cal, n_eval,
+         (9 * (n_cal + 1) + 9) // 10 AS k,
+         MIN(CASE WHEN cum_cal >= (9 * (n_cal + 1) + 9) // 10
+                  THEN score END) AS threshold
+  FROM cum GROUP BY n_cal, n_eval
+), covered AS (
+  SELECT SUM(CASE WHEN c.score <= t.threshold THEN c.c_eval ELSE 0 END)
+           AS n_covered
+  FROM cum c CROSS JOIN thr t
+)
+SELECT CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(n_eval AS BIGINT) AS n_eval,
+       CAST(k AS BIGINT) AS cal_rank,
+       threshold AS threshold_ppm,
+       CAST(n_covered AS BIGINT) AS n_covered,
+       CASE WHEN n_eval > 0 THEN
+         {nm.half_up_duck_sql("CAST(n_covered AS HUGEINT)",
+                              "CAST(n_eval AS HUGEINT)", 6)}
+       ELSE 0.0 END AS eval_coverage,
+       n_covered * 10 >= 9 * n_eval AS covered_at_alpha
+FROM thr CROSS JOIN covered
+"""
+
+
+def rfm_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) tercile segmentation of
+    the user base — the classic product-analytics cube: per user,
+    days since last activity (recency, LOWER is better), event count
+    (frequency), and exact integer cents of summed event value
+    (monetary, FLOOR(value*100) per row so the sum is an
+    order-independent integer, never a float partial-sum). Each
+    dimension is cut into terciles by the aggregated-rank
+    decomposition (cumulative counts on the per-dimension VALUE
+    frame — the curriculum_phase_assignment pattern, no per-user
+    ranking window), and the report is the (r, f, m) segment-size
+    cube with shares.
+
+    Scale shape: ONE per-user aggregation (map-side combinable);
+    three tiny value frames for the tercile edges (broadcast back);
+    the final cube is <= 27 rows. Tercile rule: bucket = 1 + count
+    of edges the value EXCEEDS, edges = smallest value with
+    cum*3 >= i*n (PERCENTILE_DISC semantics, exact integers).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.to_date("ts").alias("d"),
+            F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").alias("freq"),
+            F.sum("cents").alias("monet"),
+        )
+    )
+    dmax = per_user.agg(F.max("last_d").alias("dmax"))
+    rfm = per_user.crossJoin(F.broadcast(dmax)).select(
+        F.datediff("dmax", "last_d").alias("rec"),
+        "freq",
+        "monet",
+    )
+
+    def edges(col):
+        pv = rfm.groupBy(col).agg(F.count("*").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        tot = Window.partitionBy()
+        cum = pv.select(
+            F.col(col).alias("v"),
+            F.sum("c").over(w).alias("cum"),
+            F.sum("c").over(tot).alias("n"),
+        )
+        return cum.agg(
+            F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("v"))).alias(
+                f"{col}_e1"
+            ),
+            F.min(
+                F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("v"))
+            ).alias(f"{col}_e2"),
+        )
+
+    seg = (
+        rfm.crossJoin(F.broadcast(edges("rec")))
+        .crossJoin(F.broadcast(edges("freq")))
+        .crossJoin(F.broadcast(edges("monet")))
+        .selectExpr(
+            # recency: LOW days = best -> tercile 1
+            "1 + CAST(rec > rec_e1 AS INT) + CAST(rec > rec_e2 AS INT)"
+            " AS r_bucket",
+            "1 + CAST(freq > freq_e1 AS INT) + CAST(freq > freq_e2 AS INT)"
+            " AS f_bucket",
+            "1 + CAST(monet > monet_e1 AS INT) + CAST(monet > monet_e2 AS INT)"
+            " AS m_bucket",
+        )
+    )
+    tot = Window.partitionBy()
+    return (
+        seg.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count("*").cast("decimal(38,0)").alias("n_users"))
+        .withColumn("n_total", F.sum("n_users").over(tot))
+        .selectExpr(
+            "r_bucket",
+            "f_bucket",
+            "m_bucket",
+            "CAST(n_users AS BIGINT) AS n_users",
+            nm.half_up_spark_sql("n_users", "n_total", 6) + " AS user_share",
+            # champions: best tercile on every dimension
+            "r_bucket = 1 AND f_bucket = 3 AND m_bucket = 3 AS champions",
+        )
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )
+
+
+RFM_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id, MAX(CAST(ts AS DATE)) AS last_d,
+         COUNT(*) AS freq,
+         SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS monet
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
+), rfm AS (
+  SELECT (SELECT MAX(last_d) FROM per_user) - last_d AS rec,
+         freq, monet
+  FROM per_user
+), rec_edges AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS e1,
+         MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS e2
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT rec AS v, COUNT(*) AS c FROM rfm GROUP BY rec))
+), freq_edges AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS e1,
+         MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS e2
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT freq AS v, COUNT(*) AS c FROM rfm GROUP BY freq))
+), monet_edges AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n THEN v END) AS e1,
+         MIN(CASE WHEN cum * 3 >= 2 * n THEN v END) AS e2
+  FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum,
+               SUM(c) OVER () AS n
+        FROM (SELECT monet AS v, COUNT(*) AS c FROM rfm GROUP BY monet))
+), seg AS (
+  SELECT 1 + CAST(rec > r.e1 AS INT) + CAST(rec > r.e2 AS INT) AS r_bucket,
+         1 + CAST(freq > f.e1 AS INT) + CAST(freq > f.e2 AS INT) AS f_bucket,
+         1 + CAST(monet > m.e1 AS INT) + CAST(monet > m.e2 AS INT) AS m_bucket
+  FROM rfm, rec_edges r, freq_edges f, monet_edges m
+), cube_ AS (
+  SELECT r_bucket, f_bucket, m_bucket,
+         CAST(COUNT(*) AS HUGEINT) AS n_users
+  FROM seg GROUP BY 1, 2, 3
+)
+SELECT r_bucket, f_bucket, m_bucket,
+       CAST(n_users AS BIGINT) AS n_users,
+       {nm.half_up_duck_sql("n_users", "SUM(n_users) OVER ()", 6)}
+         AS user_share,
+       r_bucket = 1 AND f_bucket = 3 AND m_bucket = 3 AS champions
+FROM cube_ ORDER BY r_bucket, f_bucket, m_bucket
+"""
+
+
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the hash-split A/B design
+    (ab_test_two_proportion's arms): the minimum detectable effect
+    at 95% confidence / 80% power, MDE = (z_.975 + z_.80) *
+    sqrt(p*(1-p) * (nA+nB)/(nA*nB)) with p the pooled conversion —
+    the pre-registration number that says whether the experiment CAN
+    detect the lift being hoped for before it runs.
+
+    Exactness: the radicand is the exact integer rational
+    x*(n-x)*(na+nb) / (n^2*na*nb) (degree 3/4 — exact in
+    DECIMAL(38,0)/HUGEINT to ~1e9 users, far past the z-test's own
+    documented degree-5 bound); ONE sqrt on the engine-identical
+    double (MI posture), multiplied by the shared ppm literal
+    z_.975 + z_.80 = 2.801586, rounded ONCE at 6 dp. The per-arm
+    counts and pooled rate emit via integer half-up.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    arm = per_user.withColumn(
+        "arm",
+        md5_nibble(F.md5(F.col("user_id").cast("string")), 1) % 2,
+    )
+    agg = arm.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("decimal(38,0)").alias("nb"),
+        F.sum("conv").cast("decimal(38,0)").alias("x"),
+    )
+    return agg.selectExpr(
+        "CAST(na AS BIGINT) AS n_a",
+        "CAST(nb AS BIGINT) AS n_b",
+        "CAST(x AS BIGINT) AS pooled_conv",
+        "CASE WHEN na + nb > 0 THEN "
+        + nm.half_up_spark_sql("x", "na + nb", 6)
+        + " ELSE 0.0 END AS pooled_rate",
+        "CASE WHEN na > 0 AND nb > 0 AND x > 0 AND x < na + nb THEN"
+        " ROUND(2.801586 * SQRT("
+        "   CAST(x * (na + nb - x) * (na + nb) AS DOUBLE)"
+        "   / CAST((na + nb) * (na + nb) * na * nb AS DOUBLE)), 6)"
+        " ELSE 0.0 END AS mde_95_80",
+    )
+
+
+AB_POWER_ORACLE = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), arm AS (
+  SELECT conv,
+         ({md5_nibble_sql("MD5(CAST(user_id AS VARCHAR))", 1)}) % 2 AS arm
+  FROM per_user
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+         CAST(SUM(conv) AS HUGEINT) AS x
+  FROM arm
+)
+SELECT CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(x AS BIGINT) AS pooled_conv,
+       CASE WHEN na + nb > 0 THEN
+         {nm.half_up_duck_sql("x", "na + nb", 6)}
+       ELSE 0.0 END AS pooled_rate,
+       CASE WHEN na > 0 AND nb > 0 AND x > 0 AND x < na + nb THEN
+         ROUND(2.801586 * SQRT(
+           CAST(x * (na + nb - x) * (na + nb) AS DOUBLE)
+           / CAST((na + nb) * (na + nb) * na * nb AS DOUBLE)), 6)
+       ELSE 0.0 END AS mde_95_80
+FROM agg
+"""

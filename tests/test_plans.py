@@ -110,6 +110,10 @@ def test_hyperplane_lsh_single_bucket_shuffle(spark):
 _INTENTIONAL_NLJ = {
     "rolling_distinct_users_7d",  # 1-row max-day bound crossJoin
     "user_lifetime_survival_curve",  # 8-row day-spine inequality join
+    "t_closeness_audit",          # 1-row corpus-total crossJoin
+    "join_cardinality_estimate",  # 1-row per-side stat crossJoins
+    "conformal_quality_threshold",  # 1-row threshold/coverage crossJoins
+    "rfm_user_segments",          # 1-row dmax + tercile-edge crossJoins
     "autocorr_daily_counts",      # 3-row lag-spine crossJoin
     "dedup_cross_lingual",        # 1-row hot-gram-drop-count crossJoin
     "dedup_weighted_jaccard",     # 1-row hot-gram-drop-count crossJoin

@@ -1,0 +1,143 @@
+"""Round-10 batch-10 semantic pins: split-conformal quality
+threshold, RFM tercile segmentation, and A/B power (MDE) — each
+against an independent brute-force Python recomputation, plus the
+structural invariants the parity hash can't express (conformal rank
+definition, tercile edges are PERCENTILE_DISC order statistics,
+segment shares sum to 1, MDE shrinks as 1/sqrt(n)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+from spark_flink_streaming_example_with_test_spark.plans import measures as me
+from tests.conftest import SF_DIR
+
+
+def _half_up(num: int, den: int, k: int) -> float:
+    scale = 10**k
+    return ((2 * num * scale + den) // (2 * den)) / scale
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_conformal_threshold_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    cal, ev = [], []
+    for r in df.itertuples():
+        t = r.text
+        score = (
+            sum(c.isdigit() for c in t) * 1_000_000 // len(t) if t else 0
+        )
+        nib = int(hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()[0], 16)
+        (cal if nib % 2 == 0 else ev).append(score)
+    n_cal, n_eval = len(cal), len(ev)
+    k = math.ceil(0.9 * (n_cal + 1))
+    thr = sorted(cal)[k - 1]
+    n_cov = sum(1 for s in ev if s <= thr)
+
+    row = me.conformal_quality_threshold(spark, SF_DIR).collect()[0]
+    assert row["n_cal"] == n_cal
+    assert row["n_eval"] == n_eval
+    assert row["cal_rank"] == k
+    assert row["threshold_ppm"] == thr
+    assert row["n_covered"] == n_cov
+    assert row["eval_coverage"] == _half_up(n_cov, n_eval, 6)
+    assert row["covered_at_alpha"] == (n_cov * 10 >= 9 * n_eval)
+    # the integer ceil identity used in-query
+    assert k == (9 * (n_cal + 1) + 9) // 10
+
+
+def test_rfm_segments_match_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT user_id, CAST(ts AS DATE) AS d, value"
+        f" FROM '{SF_DIR}/events.parquet' WHERE ts IS NOT NULL"
+    ).df()
+    per_user = defaultdict(lambda: [None, 0, 0])
+    for r in df.itertuples():
+        st = per_user[int(r.user_id)]
+        d = r.d.date()
+        st[0] = d if st[0] is None or d > st[0] else st[0]
+        st[1] += 1
+        st[2] += math.floor(r.value * 100)
+    dmax = max(st[0] for st in per_user.values())
+    recs = [(dmax - st[0]).days for st in per_user.values()]
+    freqs = [st[1] for st in per_user.values()]
+    monets = [st[2] for st in per_user.values()]
+
+    def edges(vals):
+        n = len(vals)
+        out = []
+        for i in (1, 2):
+            cum = 0
+            for v in sorted(set(vals)):
+                cum += sum(1 for x in vals if x == v)
+                if cum * 3 >= i * n:
+                    out.append(v)
+                    break
+        return out
+
+    re1, re2 = edges(recs)
+    fe1, fe2 = edges(freqs)
+    me1, me2 = edges(monets)
+    seg = Counter()
+    for r, f, m in zip(recs, freqs, monets):
+        seg[(
+            1 + (r > re1) + (r > re2),
+            1 + (f > fe1) + (f > fe2),
+            1 + (m > me1) + (m > me2),
+        )] += 1
+
+    rows = me.rfm_user_segments(spark, SF_DIR).collect()
+    assert len(rows) == len(seg)
+    total = sum(seg.values())
+    share_sum = 0.0
+    for r in rows:
+        key = (r["r_bucket"], r["f_bucket"], r["m_bucket"])
+        assert seg[key] == r["n_users"]
+        assert r["user_share"] == _half_up(seg[key], total, 6)
+        assert r["champions"] == (key == (1, 3, 3))
+        share_sum += r["user_share"]
+    assert abs(share_sum - 1.0) <= len(rows) * 5e-7
+
+
+def test_ab_power_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT user_id,"
+        f" MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY user_id"
+    ).df()
+    na = nb = x = 0
+    for r in df.itertuples():
+        h = int(hashlib.md5(str(int(r.user_id)).encode()).hexdigest()[0], 16)
+        if h % 2 == 0:
+            na += 1
+        else:
+            nb += 1
+        x += int(r.conv)
+    n = na + nb
+
+    row = me.ab_test_power_mde(spark, SF_DIR).collect()[0]
+    assert (row["n_a"], row["n_b"], row["pooled_conv"]) == (na, nb, x)
+    assert row["pooled_rate"] == _half_up(x, n, 6)
+    if 0 < x < n:
+        expected = round(
+            2.801586 * math.sqrt(x * (n - x) * n / (n * n * na * nb)), 6
+        )
+        assert row["mde_95_80"] == expected
+        # MDE is a detectability floor in (0, 1.41) for any split
+        assert 0 < row["mde_95_80"] < 1.41
+    else:
+        assert row["mde_95_80"] == 0.0
