@@ -3534,3 +3534,152 @@ SELECT CAST(na AS BIGINT) AS n_a,
        ELSE 0.0 END AS mde_95_80
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 11: per-source admission cap and data-constrained
+# epoch planning. Same numeric posture as the module docstring.
+# ---------------------------------------------------------------------
+
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source admission cap — the 'no domain may exceed K docs'
+    crawl-balance rule: within each source, documents are ranked by
+    (md5(doc_id), doc_id) — a deterministic, engine-replayable
+    shuffle — and only the first K = 500 are admitted. Emits per
+    source the admission counts AND the admission CUTOFF (the K-th
+    smallest hash), which pins the exact selected SET cross-engine
+    without materializing it.
+
+    Scale shape: the rank rides Spark's WindowGroupLimit rewrite
+    (rank <= K over a window is executed as partial per-mapper top-K
+    before the shuffle, then a final top-K — the same physical shape
+    topk_orders_per_customer pins), so at most K rows per source per
+    mapper ever move. The aggregate report is |sources| rows.
+    """
+    K = 500
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    # the rank FILTER (not a conditional sum) is what triggers the
+    # WindowGroupLimit rewrite — per-mapper partial top-K before the
+    # shuffle; tests/test_plans.py pins the physical shape
+    kept = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n_kept"),
+            F.max(F.when(F.col("rk") == K, F.col("h"))).alias("cutoff_hash"),
+        )
+    )
+    totals = docs.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_docs")
+    )
+    return (
+        totals.join(F.broadcast(kept), "source")
+        .selectExpr(
+            "source",
+            "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(n_kept AS BIGINT) AS n_kept",
+            "CAST(n_docs - n_kept AS BIGINT) AS n_dropped",
+            "cutoff_hash",
+            nm.half_up_spark_sql("n_kept", "n_docs", 6) + " AS kept_share",
+        )
+        .orderBy("source")
+    )
+
+
+PER_SOURCE_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY MD5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk,
+         MD5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= 500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(CASE WHEN rk <= 500 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       MAX(CASE WHEN rk = 500 THEN h END) AS cutoff_hash,
+       {nm.half_up_duck_sql(
+           "CAST(SUM(CASE WHEN rk <= 500 THEN 1 ELSE 0 END) AS HUGEINT)",
+           "CAST(COUNT(*) AS HUGEINT)", 6)} AS kept_share
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training plan: a token budget of 3x the
+    corpus is targeted at an EQUAL per-source mix (budget div
+    |sources| each), so small sources must repeat — the
+    repeated-epochs schedule of data-constrained scaling. Per source:
+    available tokens (whitespace tokens, the house tokenizer),
+    allocated tokens, the ceil epoch count, the unique-token fraction
+    of the allocation min(1, avail/alloc), and effective tokens under
+    the 4-epoch-value rule min(alloc, 4*avail) — every quantity an
+    exact integer or integer half-up ratio.
+
+    Scale shape: one map-side per-source token sum; everything else
+    runs on the |sources| frame (global sums attached by a window
+    over it). Products alloc-scale accumulate DECIMAL(38,0)/HUGEINT.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("decimal(38,0)")).alias(
+            "avail"
+        )
+    )
+    tot = Window.partitionBy()
+    plan = per_src.select(
+        "source",
+        "avail",
+        F.count("*").over(tot).alias("n_sources"),
+        (F.sum("avail").over(tot) * 3).alias("budget"),
+    ).selectExpr(
+        "source",
+        "avail",
+        "budget div n_sources AS alloc",
+    )
+    return plan.selectExpr(
+        "source",
+        "CAST(avail AS BIGINT) AS tokens_avail",
+        "CAST(alloc AS BIGINT) AS tokens_alloc",
+        # ceil(alloc/avail) in integers
+        "CASE WHEN avail > 0 THEN"
+        " CAST((alloc + avail - 1) div avail AS BIGINT)"
+        " ELSE 0 END AS epochs_ceil",
+        "CASE WHEN alloc > 0 THEN CASE WHEN avail >= alloc THEN 1.0 ELSE "
+        + nm.half_up_spark_sql("avail", "alloc", 6)
+        + " END ELSE 0.0 END AS unique_fraction",
+        "CAST(LEAST(alloc, 4 * avail) AS BIGINT) AS effective_tokens",
+    ).orderBy("source")
+
+
+EPOCH_PLAN_ORACLE = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS HUGEINT) AS avail
+  FROM documents GROUP BY source
+), plan AS (
+  SELECT source, avail,
+         (SUM(avail) OVER () * 3) // (COUNT(*) OVER ()) AS alloc
+  FROM per_src
+)
+SELECT source,
+       CAST(avail AS BIGINT) AS tokens_avail,
+       CAST(alloc AS BIGINT) AS tokens_alloc,
+       CASE WHEN avail > 0 THEN
+         CAST((alloc + avail - 1) // avail AS BIGINT)
+       ELSE 0 END AS epochs_ceil,
+       CASE WHEN alloc > 0 THEN CASE WHEN avail >= alloc THEN 1.0 ELSE
+         {nm.half_up_duck_sql("avail", "alloc", 6)}
+       END ELSE 0.0 END AS unique_fraction,
+       CAST(LEAST(alloc, 4 * avail) AS BIGINT) AS effective_tokens
+FROM plan ORDER BY source
+"""

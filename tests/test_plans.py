@@ -252,6 +252,15 @@ def test_label_centroids_partial_agg_no_pandas(spark):
     assert "partial_" in aplan
 
 
+def test_per_source_cap_uses_window_group_limit(spark):
+    """The per-source admission cap's rank filter must ride the
+    WindowGroupLimit rewrite (partial per-mapper top-K before the
+    shuffle, then final) — the shape that moves at most K rows per
+    source per mapper instead of sorting every document."""
+    plan = _plan(spark, "per_source_doc_cap")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+
+
 def test_topk_uses_window_group_limit(spark):
     """Top-k per key must ride the WindowGroupLimit physical
     optimization (partial per-partition top-k BEFORE the shuffle, so

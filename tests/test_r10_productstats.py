@@ -141,3 +141,55 @@ def test_ab_power_matches_bruteforce(spark, duck):
         assert 0 < row["mde_95_80"] < 1.41
     else:
         assert row["mde_95_80"] == 0.0
+
+
+def test_per_source_cap_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT source, doc_id FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    by_src = defaultdict(list)
+    for r in df.itertuples():
+        h = hashlib.md5(str(int(r.doc_id)).encode()).hexdigest()
+        by_src[r.source].append((h, int(r.doc_id)))
+    rows = me.per_source_doc_cap(spark, SF_DIR).collect()
+    assert sorted(by_src) == [r["source"] for r in rows]
+    for r in rows:
+        ordered = sorted(by_src[r["source"]])
+        n = len(ordered)
+        kept = min(500, n)
+        assert r["n_docs"] == n
+        assert r["n_kept"] == kept
+        assert r["n_dropped"] == n - kept
+        # the admission cutoff pins the selected set exactly
+        expected_cutoff = ordered[499][0] if n >= 500 else None
+        assert r["cutoff_hash"] == expected_cutoff
+        assert r["kept_share"] == _half_up(kept, n, 6)
+
+
+def test_epoch_plan_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT source, LEN(STRING_SPLIT(text, ' ')) AS t"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    ).df()
+    avail = defaultdict(int)
+    for r in df.itertuples():
+        avail[r.source] += int(r.t)
+    total = sum(avail.values())
+    alloc = total * 3 // len(avail)
+
+    rows = me.epoch_repetition_plan(spark, SF_DIR).collect()
+    assert sorted(avail) == [r["source"] for r in rows]
+    for r in rows:
+        a = avail[r["source"]]
+        assert r["tokens_avail"] == a
+        assert r["tokens_alloc"] == alloc
+        assert r["epochs_ceil"] == -(-alloc // a)  # ceil
+        if a >= alloc:
+            assert r["unique_fraction"] == 1.0
+        else:
+            assert r["unique_fraction"] == _half_up(a, alloc, 6)
+        assert r["effective_tokens"] == min(alloc, 4 * a)
+        # an equal-mix 3x budget forces repetition on any source
+        # holding less than a third of the corpus
+        if a * len(avail) < total * 3:
+            assert r["epochs_ceil"] >= 2 or a >= alloc
