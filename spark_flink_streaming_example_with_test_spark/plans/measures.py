@@ -3683,3 +3683,184 @@ SELECT source,
        CAST(LEAST(alloc, 4 * avail) AS BIGINT) AS effective_tokens
 FROM plan ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------
+# Round-10 batch 12: robust trend statistics — Theil-Sen slope and
+# the Mann-Kendall trend test over the daily event series. Same
+# numeric posture as the module docstring.
+# ---------------------------------------------------------------------
+
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume: the MEDIAN of
+    all pairwise slopes (c_j - c_i) / (d_j - d_i) over day pairs
+    i < j — outlier-days move the OLS line (regr_value_trend) but
+    not this estimator. The median slope is selected on the exact
+    pair frame by ordering on the engine-identical double with a
+    (num, den) tiebreak and picked by index (lower median), then
+    EMITTED from its exact integer (num, den) pair — signed, via the
+    MIRRORED half-up (half-away-from-zero: -half_up(|num|, den) for
+    negative numerators, so `div`/`//` never see a negative operand
+    and NUMERICS.md's sign rule holds; unlike the kappa offset
+    construction this needs no a-priori magnitude bound).
+
+    Scale shape: |events| reduces map-side to the |days| frame; the
+    pair frame is |days|^2/2 — bounded by wall-clock span squared
+    (3.3M rows for a decade of days), never by event volume. One
+    ordered window over that bounded frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+        .select(F.datediff("d", F.lit("1970-01-01")).alias("x"), "c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(b, F.col("b.x") > F.col("a.x"))
+        .select(
+            (F.col("b.c") - F.col("a.c")).cast("decimal(38,0)").alias("num"),
+            (F.col("b.x") - F.col("a.x")).cast("decimal(38,0)").alias("den"),
+        )
+    )
+    w = Window.orderBy(
+        (F.col("num") / F.col("den")).cast("double"), "num", "den"
+    )
+    tot = Window.partitionBy()
+    ranked = pairs.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_pairs", F.count("*").over(tot)
+    )
+    med = ranked.filter(F.expr("rk = (n_pairs + 1) div 2"))
+    return med.selectExpr(
+        "CAST(n_pairs AS BIGINT) AS n_pairs",
+        "CAST(num AS BIGINT) AS med_num",
+        "CAST(den AS BIGINT) AS med_den",
+        # signed exact emission: half-up away from zero — the
+        # mirrored |num| half-up, no offset magnitude bound needed
+        "CASE WHEN num >= 0 THEN "
+        + nm.half_up_spark_sql("num", "den", 6)
+        + " ELSE -(" + nm.half_up_spark_sql("-num", "den", 6)
+        + ") END AS slope_per_day",
+    )
+
+
+THEIL_SEN_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT CAST(b.c - a.c AS HUGEINT) AS num,
+         CAST(b.x - a.x AS HUGEINT) AS den
+  FROM daily a JOIN daily b ON b.x > a.x
+), ranked AS (
+  SELECT num, den,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), num, den
+         ) AS rk,
+         COUNT(*) OVER () AS n_pairs
+  FROM pairs
+)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(num AS BIGINT) AS med_num,
+       CAST(den AS BIGINT) AS med_den,
+       CASE WHEN num >= 0 THEN {nm.half_up_duck_sql("num", "den", 6)}
+       ELSE -({nm.half_up_duck_sql("-num", "den", 6)})
+       END AS slope_per_day
+FROM ranked WHERE rk = (n_pairs + 1) // 2
+"""
+
+
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily event volume: S = sum over
+    day pairs i < j of sign(c_j - c_i); under H0 (no trend)
+    Var(S) = (n(n-1)(2n+5) - sum_t t(t-1)(2t+5)) / 18 with the tie
+    correction over value multiplicities t — the standard
+    nonparametric is-the-series-trending gate next to the Theil-Sen
+    magnitude. Everything up to the final z is EXACT integers:
+    S, the tie-corrected 18*Var, and the significance comparison
+    (|z| > 1.96 <=> (|S|-1)^2 * 10000 * 18 > 38416 * var18, S != 0,
+    using the continuity-corrected numerator). The z itself is ONE
+    sqrt on engine-identical exact-derived doubles (MI posture).
+
+    Scale shape: the pair aggregation runs on the |days| frame
+    squared (wall-clock bounded); ties aggregate on the VALUE frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+        .select(F.datediff("d", F.lit("1970-01-01")).alias("x"), "c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_agg = (
+        a.join(b, F.col("b.x") > F.col("a.x"))
+        .agg(
+            F.sum(F.signum(F.col("b.c") - F.col("a.c")).cast("decimal(38,0)"))
+            .alias("s"),
+            F.count("*").cast("decimal(38,0)").alias("n_pairs"),
+        )
+    )
+    ties = daily.groupBy("c").agg(F.count("*").cast("decimal(38,0)").alias("t"))
+    var_agg = ties.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias(
+            "tie_term"
+        ),
+    )
+    return (
+        s_agg.crossJoin(F.broadcast(var_agg))
+        .selectExpr(
+            "CAST(n AS BIGINT) AS n_days",
+            "CAST(s AS BIGINT) AS s_statistic",
+            "CAST((n * (n - 1) * (2 * n + 5) - tie_term) AS BIGINT)"
+            " AS var18",
+            "CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END"
+            " AS trend_direction",
+            # continuity-corrected z = (|S| - 1) / sqrt(Var(S)),
+            # Var(S) = var18/18; ONE sqrt on exact-derived doubles
+            "CASE WHEN s <> 0 AND n * (n - 1) * (2 * n + 5) > tie_term THEN"
+            " ROUND(CAST(ABS(s) - 1 AS DOUBLE)"
+            "   / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)"
+            "          / 18.0), 6)"
+            " ELSE 0.0 END AS abs_z",
+            "CASE WHEN s <> 0 THEN"
+            " (ABS(s) - 1) * (ABS(s) - 1) * 10000 * 18"
+            "   > 38416 * (n * (n - 1) * (2 * n + 5) - tie_term)"
+            " ELSE FALSE END AS significant_95",
+        )
+    )
+
+
+MANN_KENDALL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) - DATE '1970-01-01' AS x, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), s_agg AS (
+  SELECT CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                       WHEN b.c < a.c THEN -1 ELSE 0 END) AS HUGEINT) AS s
+  FROM daily a JOIN daily b ON b.x > a.x
+), ties AS (
+  SELECT c, CAST(COUNT(*) AS HUGEINT) AS t FROM daily GROUP BY c
+), var_agg AS (
+  SELECT CAST(SUM(t) AS HUGEINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS HUGEINT) AS tie_term
+  FROM ties
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS s_statistic,
+       CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+       CASE WHEN s > 0 THEN 1 WHEN s < 0 THEN -1 ELSE 0 END
+         AS trend_direction,
+       CASE WHEN s <> 0 AND n * (n - 1) * (2 * n + 5) > tie_term THEN
+         ROUND(CAST(ABS(s) - 1 AS DOUBLE)
+           / SQRT(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE)
+                  / 18.0), 6)
+       ELSE 0.0 END AS abs_z,
+       CASE WHEN s <> 0 THEN
+         (ABS(s) - 1) * (ABS(s) - 1) * 10000 * 18
+           > 38416 * (n * (n - 1) * (2 * n + 5) - tie_term)
+       ELSE FALSE END AS significant_95
+FROM s_agg CROSS JOIN var_agg
+"""

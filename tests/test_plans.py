@@ -111,6 +111,8 @@ _INTENTIONAL_NLJ = {
     "rolling_distinct_users_7d",  # 1-row max-day bound crossJoin
     "user_lifetime_survival_curve",  # 8-row day-spine inequality join
     "t_closeness_audit",          # 1-row corpus-total crossJoin
+    "theil_sen_daily_trend",      # |days|^2 pair theta join (wall-clock bounded)
+    "mann_kendall_trend",         # |days|^2 pair theta join + 1-row crossJoin
     "join_cardinality_estimate",  # 1-row per-side stat crossJoins
     "conformal_quality_threshold",  # 1-row threshold/coverage crossJoins
     "rfm_user_segments",          # 1-row dmax + tercile-edge crossJoins

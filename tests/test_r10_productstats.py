@@ -193,3 +193,65 @@ def test_epoch_plan_matches_bruteforce(spark, duck):
         # holding less than a third of the corpus
         if a * len(avail) < total * 3:
             assert r["epochs_ceil"] >= 2 or a >= alloc
+
+
+def test_theil_sen_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c"
+        f" FROM '{SF_DIR}/events.parquet' WHERE ts IS NOT NULL"
+        f" GROUP BY 1 ORDER BY 1"
+    ).df()
+    days = [(r.d.date().toordinal(), int(r.c)) for r in df.itertuples()]
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            num = days[j][1] - days[i][1]
+            den = days[j][0] - days[i][0]
+            slopes.append((num / den, num, den))
+    slopes.sort()
+    n_pairs = len(slopes)
+    med = slopes[(n_pairs + 1) // 2 - 1]
+
+    row = me.theil_sen_daily_trend(spark, SF_DIR).collect()[0]
+    assert row["n_pairs"] == n_pairs
+    assert (row["med_num"], row["med_den"]) == (med[1], med[2])
+    num, den = med[1], med[2]
+    expected = (
+        _half_up(num, den, 6) if num >= 0 else -_half_up(-num, den, 6)
+    )
+    assert row["slope_per_day"] == expected
+
+
+def test_mann_kendall_matches_bruteforce(spark, duck):
+    df = duck.sql(
+        f"SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c"
+        f" FROM '{SF_DIR}/events.parquet' WHERE ts IS NOT NULL"
+        f" GROUP BY 1 ORDER BY 1"
+    ).df()
+    cs = [int(r.c) for r in df.itertuples()]
+    n = len(cs)
+    s = sum(
+        (cs[j] > cs[i]) - (cs[j] < cs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    ties = Counter(cs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+
+    row = me.mann_kendall_trend(spark, SF_DIR).collect()[0]
+    assert row["n_days"] == n
+    assert row["s_statistic"] == s
+    assert row["var18"] == var18
+    assert row["trend_direction"] == (s > 0) - (s < 0)
+    if s != 0 and var18 > 0:
+        z = (abs(s) - 1) / math.sqrt(var18 / 18.0)
+        assert row["abs_z"] == round(z, 6)
+        assert row["significant_95"] == (
+            (abs(s) - 1) ** 2 * 10000 * 18 > 38416 * var18
+        )
+        # integer rule == float threshold away from the boundary
+        assert row["significant_95"] == (z > 1.96) or abs(z - 1.96) < 1e-9
+    else:
+        assert row["abs_z"] == 0.0
+        assert row["significant_95"] is False
