@@ -1781,3 +1781,112 @@ SELECT COUNT(*) AS input_rows,
        COUNT(DISTINCT event_id) AS emitted_rows
 FROM events
 """
+
+
+def streaming_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING first-touch funnel: the events table
+    replayed as FOUR micro-batches (maxFilesPerTrigger=1 over a
+    4-file source) through the per-user journey state operator
+    (streaming/ops.py:streaming_funnel_state); each user's FINAL
+    state row (max version from the update-mode memory sink) yields
+    the strict view -> click -> purchase conversion counts — the
+    cross-event user-journey semantic the reference's windowed
+    counts (spark/spark_streaming.py:50-65) cannot express, proven
+    to converge to the batch answer across arbitrary batch splits
+    (min-timestamps commute). Oracle: the batch first-touch funnel
+    in plain SQL."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import streaming_funnel_state
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="engine_stream_src_")
+    sink = f"funnel_{uuid.uuid4().hex[:8]}"
+    try:
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, event_type string, us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        query = (
+            streaming_funnel_state(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        # final state per user = its max-version update row
+        final = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("version", "t1", "t2", "t3")).alias("s"))
+            .select("s.t1", "s.t2", "s.t3")
+        )
+        flags = final.select(
+            F.col("t1").isNotNull().cast("int").alias("r1"),
+            (
+                F.col("t1").isNotNull()
+                & F.col("t2").isNotNull()
+                & (F.col("t2") > F.col("t1"))
+            ).cast("int").alias("r2"),
+            (
+                F.col("t1").isNotNull()
+                & F.col("t2").isNotNull()
+                & (F.col("t2") > F.col("t1"))
+                & F.col("t3").isNotNull()
+                & (F.col("t3") > F.col("t2"))
+            ).cast("int").alias("r3"),
+        )
+        return flags.agg(
+            F.sum("r1").alias("n1"),
+            F.sum("r2").alias("n2"),
+            F.sum("r3").alias("n3"),
+        ).selectExpr(
+            "stack(3, 1, 'view', n1, 2, 'click', n2, 3, 'purchase', n3)"
+            " AS (step, step_name, n_users)"
+        ).orderBy("step")
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'view') AS t1,
+         MIN(ts) FILTER (event_type = 'click') AS t2,
+         MIN(ts) FILTER (event_type = 'purchase') AS t3
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY user_id
+)
+SELECT 1 AS step, 'view' AS step_name,
+       CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_users
+FROM firsts
+UNION ALL
+SELECT 2, 'click',
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM firsts
+UNION ALL
+SELECT 3, 'purchase',
+       CAST(SUM(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+                          AND t3 IS NOT NULL AND t3 > t2
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM firsts
+ORDER BY step
+"""

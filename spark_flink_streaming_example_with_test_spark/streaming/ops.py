@@ -200,3 +200,65 @@ def running_user_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+FUNNEL_STATE_OUTPUT = (
+    "user_id long, t1 long, t2 long, t3 long, version long"
+)
+FUNNEL_STATE_SCHEMA = "t1 long, t2 long, t3 long, version long"
+
+_FUNNEL_STEP_COL = {"view": "t1", "click": "t2", "purchase": "t3"}
+
+
+def _funnel_state_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    t1, t2, t3, version = (
+        state.get if state.exists else (None, None, None, 0)
+    )
+    firsts = {"t1": t1, "t2": t2, "t3": t3}
+    for pdf in pdfs:
+        for step, col in _FUNNEL_STEP_COL.items():
+            us = pdf.loc[pdf["event_type"] == step, "us"]
+            if len(us):
+                m = int(us.min())
+                if firsts[col] is None or m < firsts[col]:
+                    firsts[col] = m
+    version += 1
+    state.update((firsts["t1"], firsts["t2"], firsts["t3"], version))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "t1": [firsts["t1"]],
+            "t2": [firsts["t2"]],
+            "t3": [firsts["t3"]],
+            "version": [version],
+        }
+    )
+
+
+def streaming_funnel_state(events: DataFrame) -> DataFrame:
+    """Cross-event USER-JOURNEY state on a stream: per user, the
+    first-touch frontier (first view / first click / first purchase
+    as epoch-micros longs) maintained incrementally across
+    micro-batches via applyInPandasWithState — the stateful form of
+    the batch first-touch funnel (measures.funnel_conversion_rates).
+    Minimum-timestamps are commutative across batches, so the state
+    converges to the batch answer regardless of arrival order; a
+    monotone per-user version counter lets the consumer select each
+    user's FINAL state row from an update-mode sink.
+
+    Scale: state is three nullable longs + a counter per user,
+    sharded by user_id in the state store (RocksDB at scale); Arrow
+    moves only each micro-batch's rows, never accumulated history.
+    Input columns: user_id long, event_type string, us long.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_state_fn,
+        outputStructType=FUNNEL_STATE_OUTPUT,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

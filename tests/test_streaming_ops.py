@@ -265,3 +265,63 @@ def test_interval_join_full_outer_rejects_overlapping_columns(spark):
             left, right, key="k", left_ts="a_ts", right_ts="b_ts",
             how="full_outer",
         )
+
+
+def test_streaming_funnel_state_converges_across_batch_splits(spark, tmp_path):
+    """The user-journey funnel state must converge to the batch
+    first-touch answer even when a user's steps arrive OUT OF ORDER
+    across micro-batches: user 1's click lands in batch 1, the
+    earlier view only in batch 2 — the conversion flag flips from
+    false to true, which only the final (max-version) state row may
+    decide. Also pins that multiple micro-batches really ran (the
+    version counter exceeds 1 for the split user)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import streaming_funnel_state
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    # batch 1: user 1 clicks at t=200; user 2 full journey in order
+    b1 = spark.createDataFrame(
+        [(1, "click", 200), (2, "view", 10), (2, "click", 20),
+         (2, "purchase", 30)],
+        "user_id long, event_type string, us long",
+    )
+    # batch 2: user 1's earlier view at t=100 arrives late -> converts
+    b2 = spark.createDataFrame(
+        [(1, "view", 100)], "user_id long, event_type string, us long"
+    )
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    sink = f"funnel_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_funnel_state(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["user_id"]: r
+        for r in spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("version", "t1", "t2", "t3")).alias("s"))
+        .select("user_id", "s.*")
+        .collect()
+    }
+    u1, u2 = final[1], final[2]
+    assert u1["version"] >= 2  # user 1's state spanned >= 2 batches
+    assert (u1["t1"], u1["t2"], u1["t3"]) == (100, 200, None)
+    assert u1["t2"] > u1["t1"]  # late view flipped the conversion
+    assert (u2["t1"], u2["t2"], u2["t3"]) == (10, 20, 30)
