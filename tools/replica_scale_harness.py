@@ -124,7 +124,11 @@ def main() -> None:
     unknown = [o for o in args.ops if o not in QUERIES]
     if unknown:
         raise SystemExit(f"unknown catalog queries: {unknown}")
-    shutil.rmtree(BASE, ignore_errors=True)
+    # remove only the mult dirs being (re)built — wiping all of BASE
+    # destroyed sibling fixtures other sweeps were still pointing at
+    # (building x128 silently deleted x4/x16/x64, round 10)
+    for mult in args.mults:
+        shutil.rmtree(f"{BASE}/x{mult}", ignore_errors=True)
     results: dict[str, list[float]] = {}
     if args.build_only:
         for mult in args.mults:
