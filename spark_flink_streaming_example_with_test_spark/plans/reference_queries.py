@@ -1890,3 +1890,123 @@ SELECT 3, 'purchase',
 FROM firsts
 ORDER BY step
 """
+
+
+def streaming_session_timeout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom sessionization with EVENT-TIME STATE
+    TIMEOUTS (streaming/ops.py:sessionize_with_event_time_timeout):
+    events replayed as four TIME-ORDERED micro-batches (range-split
+    by timestamp, written sequentially so file modification order =
+    event-time order and the watermark advances monotonically);
+    sessions close either by a successor event past the 30-min gap
+    (arrival order = time order, so deterministic) or by the
+    event-time timer once the watermark passes last + gap — the tail
+    flushes via Spark's no-data micro-batch after the bounded replay
+    drains. Deterministic emitted set: every non-final session of a
+    user, plus final sessions whose gap horizon (ms) lies strictly
+    below the final watermark max_ts_ms - 10s. The oracle mirrors
+    exactly that cutoff on the batch sessionization.
+
+    Returns the per-user emitted-session aggregate (count + total
+    events + max session length) so the result is a compact stable
+    frame."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import (
+        sessionize_with_event_time_timeout,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", F.unix_micros("ts").alias("us"))
+    )
+    qs = ev.agg(
+        *[
+            F.percentile_approx("us", q, 10000).alias(f"q{i}")
+            for i, q in enumerate((0.25, 0.5, 0.75), start=1)
+        ]
+    ).first()
+    src = tempfile.mkdtemp(prefix="engine_stream_src_")
+    sink = f"sess_to_{uuid.uuid4().hex[:8]}"
+    try:
+        bounds = [None, qs["q1"], qs["q2"], qs["q3"], None]
+        for i in range(4):
+            part = ev
+            if bounds[i] is not None:
+                part = part.filter(F.col("us") > bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.filter(F.col("us") <= bounds[i + 1])
+            part.coalesce(1).write.parquet(f"{src}/f{i + 1}")
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f*")
+            .withWatermark("ts", "10 seconds")
+        )
+        query = (
+            sessionize_with_event_time_timeout(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        return (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+                F.max(
+                    (F.col("session_end") - F.col("session_start"))
+                    / F.lit(1000000)
+                ).alias("max_session_s"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+STREAMING_SESSION_TIMEOUT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(FLOOR(EPOCH_US(ts)) AS BIGINT) AS us
+  FROM events WHERE ts IS NOT NULL
+), marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 1800000000
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), sessioned AS (
+  SELECT user_id, us,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, sid,
+         MIN(us) AS session_start, MAX(us) AS session_end,
+         COUNT(*) AS n_events,
+         MAX(sid) OVER (PARTITION BY user_id) AS last_sid,
+         (SELECT MAX(us) FROM ev) AS max_us
+  FROM sessioned GROUP BY user_id, sid
+), emitted AS (
+  SELECT * FROM sessions
+  WHERE sid <> last_sid
+     OR (session_end + 1800000000) // 1000 < max_us // 1000 - 10000
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       MAX(CAST(session_end - session_start AS DOUBLE) / 1000000)
+         AS max_session_s
+FROM emitted GROUP BY user_id ORDER BY user_id
+"""

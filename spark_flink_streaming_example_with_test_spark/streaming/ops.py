@@ -262,3 +262,75 @@ def streaming_funnel_state(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_TIMEOUT_OUTPUT = (
+    "user_id long, session_start long, session_end long, n_events long"
+)
+SESSION_TIMEOUT_STATE = "start_us long, last_us long, n long"
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def _session_timeout_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    closed: list[tuple[int, int, int]] = []
+    if state.hasTimedOut:
+        # event-time timer fired: the watermark passed last_us + gap
+        start, last, n = state.get
+        closed.append((start, last, n))
+        state.remove()
+    else:
+        start, last, n = state.get if state.exists else (None, None, 0)
+        us_sorted = sorted(
+            int(v) for pdf in pdfs for v in pdf["us"].tolist()
+        )
+        for v in us_sorted:
+            if start is None:
+                start, last, n = v, v, 1
+            elif v - last <= SESSION_GAP_US:
+                last, n = v, n + 1
+            else:  # gap exceeded by a successor event: close + reopen
+                closed.append((start, last, n))
+                start, last, n = v, v, 1
+        state.update((start, last, n))
+        # arm the event-time timer: fire when the watermark passes
+        # the session's gap horizon
+        state.setTimeoutTimestamp((last + SESSION_GAP_US) // 1000)
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+            }
+        )
+
+
+def sessionize_with_event_time_timeout(events: DataFrame) -> DataFrame:
+    """Custom 30-minute-gap sessionization with EVENT-TIME STATE
+    TIMEOUTS — the timer dimension of the arbitrary-stateful surface
+    (the built-in session_window form is streaming_session_windows_e2e;
+    this is the hand-rolled equivalent a pipeline writes when the
+    close action needs side effects or non-window emission). A
+    session closes two ways: a successor event of the SAME user
+    arrives past the gap (emitted immediately), or the event-time
+    timer fires once the watermark passes last_event + gap —
+    including via Spark's no-data micro-batches after a bounded
+    replay drains, which is what flushes the tail deterministically.
+
+    Input requires withWatermark upstream; columns: user_id long,
+    ts timestamp (watermarked), us long (exact micros).
+    State per user: (start, last, n) — three scalars, RocksDB-sharded
+    by user_id at scale; Arrow moves micro-batch rows only.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_timeout_fn,
+        outputStructType=SESSION_TIMEOUT_OUTPUT,
+        stateStructType=SESSION_TIMEOUT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

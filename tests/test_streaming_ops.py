@@ -325,3 +325,64 @@ def test_streaming_funnel_state_converges_across_batch_splits(spark, tmp_path):
     assert (u1["t1"], u1["t2"], u1["t3"]) == (100, 200, None)
     assert u1["t2"] > u1["t1"]  # late view flipped the conversion
     assert (u2["t1"], u2["t2"], u2["t3"]) == (10, 20, 30)
+
+
+def test_session_timeout_closes_by_gap_and_by_timer(spark, tmp_path):
+    """Both closure paths of the event-time-timeout sessionizer:
+    user 1's first session closes when a successor event past the
+    30-min gap ARRIVES (emitted in that data batch); user 2's only
+    session closes via the EVENT-TIME TIMER once the watermark
+    (max_ts - 10 s, advanced by batch 2's data and applied in the
+    trailing no-data micro-batch) passes its gap horizon. User 1's
+    final session stays captive — its horizon is above the final
+    watermark."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from spark_flink_streaming_example_with_test_spark.streaming.ops import (
+        sessionize_with_event_time_timeout,
+    )
+
+    h = 3_600_000_000  # 1h in micros
+    # batch 1 (t ~ hour 0): u1 two events 10 min apart; u2 one event
+    b1 = [(1, h), (1, h + 600_000_000), (2, h + 1)]
+    # batch 2 (t ~ hour 3): u1 reopens (gap closure of session 1);
+    # max ts pushes the final watermark far past u2's horizon
+    b2 = [(1, 4 * h)]
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2), start=1):
+        spark.createDataFrame(
+            [(u, us) for u, us in rows], "user_id long, us long"
+        ).select(
+            "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "us"
+        ).coalesce(1).write.parquet(str(src / f"f{i}"))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, us long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+        .withWatermark("ts", "10 seconds")
+    )
+    sink = f"sess_t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_with_event_time_timeout(stream)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.table(sink).collect()
+    }
+    # u1 session 1: closed by the gap successor, both events counted
+    assert rows[(1, h)]["n_events"] == 2
+    assert rows[(1, h)]["session_end"] == h + 600_000_000
+    # u2: closed by the event-time timer in the no-data batch
+    assert rows[(2, h + 1)]["n_events"] == 1
+    # u1's reopened session is captive (horizon above final watermark)
+    assert (1, 4 * h) not in rows
+    assert len(rows) == 2
