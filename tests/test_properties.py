@@ -876,3 +876,29 @@ def test_largest_remainder_allocation_sums_and_quota_rule(ns, frac):
 
         assert math.floor(exact) <= a <= math.ceil(exact)
         assert a <= n  # B <= N => never over-draws a stratum
+
+
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=200),
+    st.lists(st.integers(0, 4), min_size=1, max_size=30),
+)
+@settings(max_examples=200, deadline=None)
+def test_t_closeness_missing_mass_identity(corpus, group):
+    """t_closeness_audit's missing-mass identity — summing
+    |c_gs*n - c_s*n_g| over the group's PRESENT segments and adding
+    (n - present global mass) * n_g — equals the dense sum over the
+    full segment domain, for arbitrary corpus/group compositions
+    (the group is a sub-multiset of corpus + its own rows; segments
+    absent from the corpus contribute nothing)."""
+    from collections import Counter
+
+    glob = Counter(corpus) + Counter(group)
+    g = Counter(group)
+    n = sum(glob.values())
+    n_g = sum(g.values())
+    dense = sum(abs(g.get(s, 0) * n - glob[s] * n_g) for s in glob)
+    present = sum(abs(g[s] * n - glob[s] * n_g) for s in g)
+    present_mass = sum(glob[s] for s in g)
+    assert dense == present + (n - present_mass) * n_g
+    # TVD bound: num <= 2*n*n_g (TVD in [0, 1])
+    assert dense <= 2 * n * n_g
