@@ -902,3 +902,47 @@ def test_t_closeness_missing_mass_identity(corpus, group):
     assert dense == present + (n - present_mass) * n_g
     # TVD bound: num <= 2*n*n_g (TVD in [0, 1])
     assert dense <= 2 * n * n_g
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["view", "click"]),
+                  st.integers(0, 100)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_first_touch_funnel_is_contained_in_frontier_funnel(events):
+    """The two deliberate funnel variants are ordered: first-touch
+    (funnel_conversion_rates — first click strictly after first
+    view) converts a SUBSET of the users frontier attribution
+    (funnel_conversion_steps — ANY click after the first view)
+    converts, for every event history; and they differ exactly on
+    users whose earliest click precedes their first view while a
+    later click follows it."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, et, t in events:
+        by_user[u].append((et, t))
+    ft = fr = 0
+    diff_users = 0
+    for seq in by_user.values():
+        views = [t for et, t in seq if et == "view"]
+        clicks = [t for et, t in seq if et == "click"]
+        if not views:
+            continue
+        t1 = min(views)
+        ft_conv = bool(clicks) and min(clicks) > t1
+        fr_conv = any(c > t1 for c in clicks)
+        if ft_conv:
+            assert fr_conv  # containment
+            ft += 1
+        if fr_conv:
+            fr += 1
+        if fr_conv and not ft_conv:
+            assert min(clicks) <= t1  # the distinguishing history
+            diff_users += 1
+    assert ft <= fr
+    assert fr - ft == diff_users
