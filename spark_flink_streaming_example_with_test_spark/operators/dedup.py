@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.functions.numerics import half_up_ratio_col
+from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
 
@@ -82,16 +83,38 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str, min_tokens: int) -> Da
     return ensure_min_partitions(s1)
 
 
+def tokenized_docs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Public (id, toks) projection for callers that feed SEVERAL
+    shingle consumers from one corpus scan: compute this once,
+    persist it, and pass it as ``tokens=`` to ``shingle_sets`` /
+    ``hashed_shingle_sets`` (and the pair builders above them). Each
+    consumer then re-applies only its own length filter instead of
+    re-reading and re-splitting the corpus — at 100 TB that turns
+    four full text scans (the dedup-ladder capstone's minhash +
+    jaccard + containment + exact-substring legs) into one.
+    Identical results by construction: the grams derive from the
+    same token arrays either way."""
+    return _tokenized(df, id_col, text_col, 1)
+
+
 def shingle_sets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_len: int = 3,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingles array<string>) with distinct word n-grams —
     the string-shingle variant used where human-readable grams (or
-    SQL-oracle parity) matter."""
-    s1 = _tokenized(df, id_col, text_col, shingle_len)
+    SQL-oracle parity) matter. ``tokens`` (from ``tokenized_docs``)
+    skips the scan+split when the caller shares one token frame
+    across several shingle lengths."""
+    if tokens is None:
+        s1 = _tokenized(df, id_col, text_col, shingle_len)
+    else:
+        s1 = tokens.filter(F.size("toks") >= shingle_len)
 
     def gram_at(i):
         return F.concat_ws(
@@ -120,14 +143,18 @@ def hashed_shingle_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_len: int = 3,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(id, shingles array<long>): the MinHash-path variant that
     never materializes gram strings — tokens are xxhash64'd once and
     each gram hash combines ``shingle_len`` consecutive token hashes
     in a single fixed-width xxhash64 call. ~10x cheaper than string
     shingles (measured at sf0.1) with identical Jaccard structure
-    modulo 64-bit collisions."""
-    s1 = _tokenized(df, id_col, text_col, shingle_len)
+    modulo 64-bit collisions. ``tokens``: see ``shingle_sets``."""
+    if tokens is None:
+        s1 = _tokenized(df, id_col, text_col, shingle_len)
+    else:
+        s1 = tokens.filter(F.size("toks") >= shingle_len)
     th = F.transform("toks", lambda t: F.xxhash64(t))
     s2 = s1.select(
         F.col(id_col),
@@ -280,11 +307,13 @@ def minhash_near_duplicates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     threshold: float = 0.5,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dedup: hashed shingles -> MinHash -> LSH
     candidates -> exact-Jaccard verification >= threshold (Jaccard
     computed on the hashed shingle sets — identical up to 64-bit
-    collisions, far cheaper than string grams)."""
+    collisions, far cheaper than string grams). ``tokens``: see
+    ``shingle_sets``."""
     from pyspark import StorageLevel
 
     # The shingled frame feeds three consumers (signatures + both
@@ -292,8 +321,10 @@ def minhash_near_duplicates(
     # the tokenize/hash/gram chain — the dominant cost. Persisted
     # MEMORY_AND_DISK: at 100 TB this spills rather than OOMs, and
     # one materialization still beats three recomputes.
-    shingled = hashed_shingle_sets(df, id_col, text_col, shingle_len).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = register(
+        hashed_shingle_sets(
+            df, id_col, text_col, shingle_len, tokens=tokens
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sigs = minhash_signatures(shingled, id_col, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
@@ -306,6 +337,7 @@ def _gram_pair_intersections(
     text_col: str,
     shingle_len: int,
     max_doc_freq: int | None = DEFAULT_MAX_GRAM_DF,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of the exact-overlap family: distinct-gram
     intersection counts per candidate pair via an inverted-index join
@@ -330,8 +362,10 @@ def _gram_pair_intersections(
 
     # Two consumers (sizes + inverted index): persist so the gram
     # construction runs once.
-    shingled = shingle_sets(df, id_col, text_col, shingle_len).persist(
-        StorageLevel.MEMORY_AND_DISK
+    shingled = register(
+        shingle_sets(
+            df, id_col, text_col, shingle_len, tokens=tokens
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n"))
     inv = shingled.select(F.col(id_col), F.explode("shingles").alias("gram"))
@@ -371,8 +405,10 @@ def _gram_pair_intersections(
     # that call this repeatedly can reclaim eagerly via
     # spark.catalog.clearCache() between queries.
     w_gram = Window.partitionBy("gram")
-    inv_f = inv.withColumn("df", F.count("*").over(w_gram)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    inv_f = register(
+        inv.withColumn("df", F.count("*").over(w_gram)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     rare_inv = inv_f.filter(F.col("df") <= max_doc_freq)
     left = rare_inv.select(F.col(id_col).alias("id_a"), "gram")
@@ -426,6 +462,7 @@ def ngram_jaccard_pairs(
     shingle_len: int = 3,
     threshold: float = 0.4,
     max_doc_freq: int | None = DEFAULT_MAX_GRAM_DF,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard >= threshold via an
     inverted-index join: pairs are generated only when they share a
@@ -433,7 +470,7 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| - |A∩B|). The quadratic blowup is bounded by
     gram-frequency, which the shingle length controls."""
     pairs = _gram_pair_intersections(
-        df, id_col, text_col, shingle_len, max_doc_freq
+        df, id_col, text_col, shingle_len, max_doc_freq, tokens=tokens
     )
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     # Exact integer half-up emission; raw-double threshold compare
@@ -456,6 +493,7 @@ def containment_pairs(
     shingle_len: int = 5,
     threshold: float = 0.5,
     max_doc_freq: int | None = DEFAULT_MAX_GRAM_DF,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup via gram containment
     |A∩B| / min(|A|, |B|): catches a short document embedded inside a
@@ -465,7 +503,7 @@ def containment_pairs(
     ``ngram_jaccard_pairs`` — no cross join, candidate volume bounded
     by shared-gram frequency."""
     pairs = _gram_pair_intersections(
-        df, id_col, text_col, shingle_len, max_doc_freq
+        df, id_col, text_col, shingle_len, max_doc_freq, tokens=tokens
     )
     cont = F.col("inter") / F.least("n_a", "n_b")
     # The emitted score uses exact integer half-up rounding (per-row
@@ -489,6 +527,7 @@ def shared_gram_pairs(
     window_len: int = 8,
     min_shared: int = 1,
     max_doc_freq: int | None = DEFAULT_MAX_GRAM_DF,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-substring dedup signal (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): document pairs
@@ -497,7 +536,7 @@ def shared_gram_pairs(
     vanishingly rare, so ANY shared window is strong evidence of
     copied text even when whole-document similarity is low."""
     pairs = _gram_pair_intersections(
-        df, id_col, text_col, window_len, max_doc_freq
+        df, id_col, text_col, window_len, max_doc_freq, tokens=tokens
     )
     return pairs.filter(F.col("inter") >= min_shared).select(
         "id_a", "id_b", F.col("inter").alias("n_shared_windows")

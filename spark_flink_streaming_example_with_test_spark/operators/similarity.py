@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
+from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -576,7 +577,7 @@ def pq_train_codebook(
 
     subs = pq_subvectors(df, m=m, id_col=id_col, vec_col=vec_col, dim=dim)
     if iters > 0:
-        subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
+        subs = register(subs.persist(StorageLevel.MEMORY_AND_DISK))
     cents = subs.filter(F.col("__id") < k).select(
         "j", F.col("__id").cast("int").alias("cent_id"),
         F.col("sv").alias("cv"),

@@ -25,6 +25,7 @@ HOT_GRAM_DF_CAP = dd.DEFAULT_MAX_GRAM_DF
 # md5-nibble decode lives in functions/hashing.py (shared with
 # plans/analytics.py); kept under the historical private aliases.
 from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
+from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 from spark_flink_streaming_example_with_test_spark.functions.hashing import (  # noqa: E402
     md5_nibble as _md5_nibble,
     md5_nibble_sql as _md5_nibble_sql,
@@ -3285,9 +3286,25 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each count is the already-oracled query's own aggregate, and the
     oracle composes those verified SQL bodies verbatim, so this row
     set cross-checks the whole ladder's consistency in one gate
-    entry."""
+    entry.
+
+    The four shingle-based legs (minhash @3, jaccard @3,
+    containment @5, exact-substring @8) share ONE persisted token
+    frame (round-11, VERDICT r10 item #6): the corpus is scanned and
+    split once instead of four times — the 100 TB economy — while
+    each leg still derives its own gram length from the same token
+    arrays, so every leg's output (and the composed oracle) is
+    bit-identical to the standalone queries'."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # One action runs the whole 6-way union, so the persist
+    # materializes on the first leg and the other three reuse it
+    # (LRU-released, same documented reliance as the gram index).
+    tok = register(
+        dd.tokenized_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     def tally(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").alias("n_flagged")).select(
@@ -3308,19 +3325,23 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_dups
         .unionAll(tally(
             "minhash_lsh_pairs_050",
-            dd.minhash_near_duplicates(docs, threshold=0.5),
+            dd.minhash_near_duplicates(docs, threshold=0.5, tokens=tok),
         ))
         .unionAll(tally(
             "ngram_jaccard_pairs_040",
-            dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.4),
+            dd.ngram_jaccard_pairs(
+                docs, shingle_len=3, threshold=0.4, tokens=tok
+            ),
         ))
         .unionAll(tally(
             "containment_pairs_050",
-            dd.containment_pairs(docs, shingle_len=5, threshold=0.5),
+            dd.containment_pairs(
+                docs, shingle_len=5, threshold=0.5, tokens=tok
+            ),
         ))
         .unionAll(tally(
             "exact_substring_pairs_w8",
-            dd.shared_gram_pairs(docs, window_len=8),
+            dd.shared_gram_pairs(docs, window_len=8, tokens=tok),
         ))
         .unionAll(tally(
             "embedding_cosine_drops_030",
