@@ -136,15 +136,25 @@ def main() -> None:
             print(f"built {d}", flush=True)
         spark.stop()
         return
+    from spark_flink_streaming_example_with_test_spark.functions.persistence import unpersist_after
+
     try:
         for mult in args.mults:
             d = build_replicas(spark, mult)
             for op in args.ops:
                 fn = QUERIES[op].fn
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                t0 = time.time()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                dt = round(time.time() - t0, 2)
+                # unpersist_after: release the gram/token caches each
+                # query registers, so a long multi-query sweep at big
+                # mults doesn't accumulate ~N queries' worth of
+                # persisted blocks (LRU would evict eventually, but
+                # eviction pressure skews the timings we're here to
+                # take).
+                with unpersist_after():
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                with unpersist_after():
+                    t0 = time.time()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    dt = round(time.time() - t0, 2)
                 results.setdefault(op, []).append(dt)
                 print(f"x{mult} {op}: {dt}s", flush=True)
         header = " | ".join(f"{m}x" for m in args.mults)
