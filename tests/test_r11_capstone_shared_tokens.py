@@ -91,3 +91,47 @@ def test_short_docs_filtered_identically(spark):
         for row in shared.collect():
             for g in row.shingles:
                 assert len(g.split(" ")) == n
+
+
+# ---------------------------------------------------------------------------
+# Property: shared-token equivalence on ADVERSARIAL corpora — tiny
+# alphabet (forced gram collisions), empty strings, docs straddling
+# every shingle-length boundary. The fixture tests above prove the
+# real corpus; this proves the class.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=11).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_property_shared_tokens_equivalence(spark, texts):
+    """For arbitrary tiny-alphabet corpora, every builder in the
+    shingle family emits IDENTICAL rows whether it tokenizes for
+    itself or consumes a shared tokenized_docs frame."""
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    tok = dd.tokenized_docs(df)
+    for n in (2, 3, 5):
+        assert _rows(dd.shingle_sets(df, shingle_len=n)) == _rows(
+            dd.shingle_sets(df, shingle_len=n, tokens=tok)
+        )
+    assert _rows(dd.hashed_shingle_sets(df, shingle_len=3)) == _rows(
+        dd.hashed_shingle_sets(df, shingle_len=3, tokens=tok)
+    )
+    assert _rows(
+        dd.ngram_jaccard_pairs(df, shingle_len=2, threshold=0.0)
+    ) == _rows(
+        dd.ngram_jaccard_pairs(df, shingle_len=2, threshold=0.0, tokens=tok)
+    )
