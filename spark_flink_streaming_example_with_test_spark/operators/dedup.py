@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.functions.numerics import half_up_ratio_col
-from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
+from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
 
 DEFAULT_NUM_HASHES = 32
