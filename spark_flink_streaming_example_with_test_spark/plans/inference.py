@@ -1,0 +1,1167 @@
+"""Round-11 batch: statistical-inference & parameter-planning
+operators — the hypothesis-testing and tuning side of a 100 TB
+curation pipeline. The measures/evalstats modules grade point
+estimates; these queries answer the *decision* questions a data team
+asks before acting on them: are two quality signals associated
+(Kendall tau-b), do k sources share a length distribution
+(Kruskal-Wallis) and a variance (Brown-Forsythe Levene), how much
+vocabulary remains unseen (Chao1 / Good-Turing), do two filters
+disagree beyond noise (McNemar), how uncertain is a mean
+(deterministic multiplier bootstrap), which MinHash band/row split
+hits the recall target (LSH S-curve planning), is the doc-link graph
+degree-assortative, and how far is each source's token distribution
+from the corpus in the *symmetric, bounded* sense (Jensen-Shannon).
+
+Reference parity note: the reference pipeline
+(spark/spark_practice/main.py, flink/flink-practice/.../DataStreamJob.java)
+has no statistics surface — this module is gap-map §2.6 extension
+surface mandated by SURVEY.md §2's north-star list, not a port.
+
+Numeric-emission posture (NUMERICS.md): ratios of integers go
+through the shared exact half-up helpers (functions/numerics.py);
+sums that can pass int64 accumulate DECIMAL(38,0) Spark-side /
+HUGEINT oracle-side; rank statistics use the aggregated VALUE-frame
+construction (windows bounded by value cardinality, never row
+count — the sanctioned Spearman/Mann-Whitney shape); irrational
+emissions (sqrt denominators, log2 sums) follow the
+spearman/source_token_kl posture: mirrored expression text, one
+coarse ROUND, and a positivity guard per factor. Group-quantized
+contributions (Levene) follow the Flesch "quantize-then-aggregate,
+mirrored in both engines" rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
+from spark_flink_streaming_example_with_test_spark.operators import dedup as dd
+from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------
+# 1. Kendall tau-b over decile-bucketed length/token association
+# ---------------------------------------------------------------------
+
+def kendall_tau_decile_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between document character length and token
+    count, computed over DECILE buckets — the rank-association twin
+    of spearman_chars_tokens for the case where the analyst wants a
+    concordance statistic that is robust to the exact rank geometry.
+
+    Scale shape: Kendall is inherently pairwise (O(n^2) naively);
+    bucketing both variables to deciles first collapses the pair
+    space to the JOINT-CELL frame (<= 100 cells), whose self-join is
+    <= 10^4 rows regardless of corpus size. Decile assignment comes
+    from the aggregated value frames (cumulative counts over distinct
+    values — the Spearman window shape), so no per-row sort ever
+    happens. Concordant/discordant products accumulate
+    DECIMAL(38,0)/HUGEINT (cnt_i * cnt_j <= N^2, exact to ~1e19
+    docs); tie-pair counts use (c*(c-1)) div 2 which is exact (the
+    product is always even). The final tau-b division has an
+    irrational sqrt denominator, so the single 6-dp ROUND cannot sit
+    on a decimal half boundary (spearman posture), with per-factor
+    positivity guards.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    base = docs.select(
+        F.col("n_chars").alias("x"),
+        F.size(F.split(F.lower("text"), " ")).alias("y"),
+    )
+    n = base.agg(F.count("*").alias("n_total"))
+
+    def decile_map(col: str) -> DataFrame:
+        per = base.groupBy(col).agg(F.count("*").alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            per.withColumn(
+                "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            )
+            .crossJoin(F.broadcast(n))
+            .selectExpr(
+                col,
+                f"CAST((cum_before * 10) DIV n_total AS INT) AS b_{col}",
+            )
+        )
+
+    cells = (
+        base.join(decile_map("x"), "x")
+        .join(decile_map("y"), "y")
+        .groupBy("b_x", "b_y")
+        .agg(F.count("*").alias("cnt"))
+    )
+    c1 = cells.selectExpr(
+        "b_x AS bx1", "b_y AS by1", "CAST(cnt AS DECIMAL(38,0)) AS c1"
+    )
+    c2 = cells.selectExpr("b_x AS bx2", "b_y AS by2", "cnt AS c2")
+    pair = c1.join(F.broadcast(c2), F.expr("bx1 < bx2"))
+    cd = pair.agg(
+        F.sum(F.expr("CASE WHEN by1 < by2 THEN c1 * c2 END")).alias("conc"),
+        F.sum(F.expr("CASE WHEN by1 > by2 THEN c1 * c2 END")).alias("disc"),
+    )
+    mx = cells.groupBy("b_x").agg(F.sum("cnt").alias("m"))
+    my = cells.groupBy("b_y").agg(F.sum("cnt").alias("m"))
+    tie_expr = "SUM((CAST(m AS DECIMAL(38,0)) * (m - 1)) DIV 2)"
+    tx = mx.selectExpr(f"{tie_expr} AS x_ties")
+    ty = my.selectExpr(f"{tie_expr} AS y_ties")
+    ncells = cells.agg(F.count("*").alias("n_cells"))
+    out = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ncells))
+    )
+    return out.selectExpr(
+        "CAST(n_total AS BIGINT) AS n_docs",
+        "n_cells",
+        "CAST(COALESCE(conc, 0) AS BIGINT) AS concordant",
+        "CAST(COALESCE(disc, 0) AS BIGINT) AS discordant",
+        "CAST(x_ties AS BIGINT) AS x_tie_pairs",
+        "CAST(y_ties AS BIGINT) AS y_tie_pairs",
+        "CASE WHEN (CAST(n_total AS DECIMAL(38,0)) * (n_total - 1)) DIV 2"
+        "          - x_ties > 0"
+        "      AND (CAST(n_total AS DECIMAL(38,0)) * (n_total - 1)) DIV 2"
+        "          - y_ties > 0"
+        " THEN ROUND(CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE)"
+        "  / (SQRT(CAST((CAST(n_total AS DECIMAL(38,0)) * (n_total - 1))"
+        "          DIV 2 - x_ties AS DOUBLE))"
+        "   * SQRT(CAST((CAST(n_total AS DECIMAL(38,0)) * (n_total - 1))"
+        "          DIV 2 - y_ties AS DOUBLE))), 6)"
+        " ELSE 0.0 END AS kendall_tau_b",
+    )
+
+
+KENDALL_TAU_ORACLE = """
+WITH base AS (
+  SELECT n_chars AS x, LEN(STRING_SPLIT(LOWER(text), ' ')) AS y
+  FROM documents WHERE text IS NOT NULL
+), n AS (SELECT COUNT(*) AS n_total FROM base),
+dx AS (
+  SELECT x, CAST((COALESCE(SUM(cnt) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+             // (SELECT n_total FROM n) AS INT) AS b_x
+  FROM (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x)
+), dy AS (
+  SELECT y, CAST((COALESCE(SUM(cnt) OVER (ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 10)
+             // (SELECT n_total FROM n) AS INT) AS b_y
+  FROM (SELECT y, COUNT(*) AS cnt FROM base GROUP BY y)
+), cells AS (
+  SELECT b_x, b_y, COUNT(*) AS cnt
+  FROM base JOIN dx USING (x) JOIN dy USING (y)
+  GROUP BY 1, 2
+), cd AS (
+  SELECT SUM(CASE WHEN a.b_y < b.b_y
+                  THEN CAST(a.cnt AS HUGEINT) * b.cnt END) AS conc,
+         SUM(CASE WHEN a.b_y > b.b_y
+                  THEN CAST(a.cnt AS HUGEINT) * b.cnt END) AS disc
+  FROM cells a JOIN cells b ON a.b_x < b.b_x
+), tx AS (
+  SELECT SUM((CAST(m AS HUGEINT) * (m - 1)) // 2) AS x_ties
+  FROM (SELECT SUM(cnt) AS m FROM cells GROUP BY b_x)
+), ty AS (
+  SELECT SUM((CAST(m AS HUGEINT) * (m - 1)) // 2) AS y_ties
+  FROM (SELECT SUM(cnt) AS m FROM cells GROUP BY b_y)
+), nc AS (SELECT COUNT(*) AS n_cells FROM cells)
+SELECT CAST(n_total AS BIGINT) AS n_docs,
+       n_cells,
+       CAST(COALESCE(conc, 0) AS BIGINT) AS concordant,
+       CAST(COALESCE(disc, 0) AS BIGINT) AS discordant,
+       CAST(x_ties AS BIGINT) AS x_tie_pairs,
+       CAST(y_ties AS BIGINT) AS y_tie_pairs,
+       CASE WHEN (CAST(n_total AS HUGEINT) * (n_total - 1)) // 2
+                 - x_ties > 0
+             AND (CAST(n_total AS HUGEINT) * (n_total - 1)) // 2
+                 - y_ties > 0
+        THEN ROUND(CAST(COALESCE(conc, 0) - COALESCE(disc, 0) AS DOUBLE)
+         / (SQRT(CAST((CAST(n_total AS HUGEINT) * (n_total - 1))
+                 // 2 - x_ties AS DOUBLE))
+          * SQRT(CAST((CAST(n_total AS HUGEINT) * (n_total - 1))
+                 // 2 - y_ties AS DOUBLE))), 6)
+        ELSE 0.0 END AS kendall_tau_b
+FROM cd CROSS JOIN tx CROSS JOIN ty CROSS JOIN n CROSS JOIN nc
+"""
+
+
+# ---------------------------------------------------------------------
+# 2. Kruskal-Wallis H across sources
+# ---------------------------------------------------------------------
+
+def kruskal_wallis_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test: do the k sources draw document
+    lengths (n_chars) from the same distribution? Per-source rows
+    carry the exact integer rank evidence (n, doubled rank sum, mean
+    rank) and every row carries the global H statistic, its tie
+    correction, and the corrected H — the k-group generalization of
+    the Mann-Whitney AUC already in evalstats.py.
+
+    Exactness + scale shape: tie-averaged DOUBLED ranks come from
+    the n_chars VALUE frame (2r = 2*cum_before + cnt + 1, an exact
+    integer; the one ordered window runs over distinct lengths, not
+    docs). Per-source rank-square contributions are quantized to
+    integer ppm with the shared half-up construction and then
+    summed — mirrored in the oracle, so quantization is part of the
+    statistic's definition (Flesch posture). The DECIMAL(38,0)
+    envelope: sum_i (2R_i)^2 * 2e6 stays exact to ~1e7 docs
+    (documented, not silent; at 100 TB pre-aggregate per shard and
+    rescale ranks by a common power of ten). H >= 0, so the +1e6-ppm
+    subtraction floor-guards at zero only against the final
+    half-up's <=0.5e-6 rounding slack.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", F.col("n_chars").alias("x"))
+    vf = base.groupBy("x").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranks = vf.select(
+        "x",
+        "cnt",
+        (
+            2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    per_src = (
+        base.groupBy("source", "x")
+        .agg(F.count("*").alias("cs"))
+        .join(ranks.select("x", "r2"), "x")
+        .groupBy("source")
+        .agg(
+            F.sum("cs").alias("n_i"),
+            F.sum(F.col("cs").cast("decimal(38,0)") * F.col("r2")).alias(
+                "r2sum"
+            ),
+        )
+    )
+    # integer-ppm quantized contribution R_i^2 / n_i = r2sum^2/(4 n_i)
+    contrib = per_src.selectExpr(
+        "source",
+        "n_i",
+        "r2sum",
+        "(r2sum * r2sum * 2000000 + 4 * n_i) DIV (8 * n_i) AS c_ppm",
+    )
+    tot = contrib.agg(
+        F.sum("n_i").cast("decimal(38,0)").alias("n_tot"),
+        F.count("*").alias("k_groups"),
+        F.sum("c_ppm").alias("s_ppm"),
+    )
+    ties = vf.selectExpr(
+        "SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie_sum"
+    )
+    scal = tot.crossJoin(F.broadcast(ties)).selectExpr(
+        "n_tot",
+        "k_groups",
+        "tie_sum",
+        # integer ppm of 12T/(N(N+1)), minus 3(N+1) in ppm, floored at 0
+        "GREATEST((24000000 * CAST(s_ppm AS DECIMAL(38,0))"
+        " + n_tot * (n_tot + 1) * 1000000)"
+        " DIV (2 * n_tot * (n_tot + 1) * 1000000)"
+        " - 3 * (n_tot + 1) * 1000000, 0) AS h_ppm",
+        "n_tot * n_tot * n_tot - n_tot AS denom_tc",
+    )
+    out = per_src.crossJoin(F.broadcast(scal))
+    return out.selectExpr(
+        "source",
+        "CAST(n_i AS BIGINT) AS n_docs_src",
+        nm.half_up_spark_sql("r2sum", "2 * n_i", 6) + " AS mean_rank",
+        "CAST(n_tot AS BIGINT) AS n_total",
+        "k_groups AS n_groups",
+        "CAST(h_ppm AS DOUBLE) / 1e6 AS h_stat",
+        nm.half_up_spark_sql("denom_tc - tie_sum", "denom_tc", 6)
+        + " AS tie_correction",
+        nm.half_up_spark_sql(
+            "CAST(h_ppm AS DECIMAL(38,0)) * denom_tc",
+            "(denom_tc - tie_sum) * 1000000",
+            6,
+        )
+        + " AS h_corrected",
+    ).orderBy("source")
+
+
+KRUSKAL_WALLIS_ORACLE = """
+WITH base AS (SELECT source, n_chars AS x FROM documents),
+vf AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x),
+ranks AS (
+  SELECT x, cnt,
+         2 * COALESCE(SUM(cnt) OVER (ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS r2
+  FROM vf
+), per_src AS (
+  SELECT source, SUM(cs) AS n_i,
+         SUM(CAST(cs AS HUGEINT) * r2) AS r2sum
+  FROM (SELECT source, x, COUNT(*) AS cs FROM base GROUP BY 1, 2)
+  JOIN ranks USING (x)
+  GROUP BY source
+), contrib AS (
+  SELECT source, n_i, r2sum,
+         (r2sum * r2sum * 2000000 + 4 * n_i) // (8 * n_i) AS c_ppm
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS n_tot, COUNT(*) AS k_groups,
+         SUM(c_ppm) AS s_ppm
+  FROM contrib
+), ties AS (
+  SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_sum FROM vf
+), scal AS (
+  SELECT n_tot, k_groups, tie_sum,
+         GREATEST((24000000 * s_ppm + n_tot * (n_tot + 1) * 1000000)
+          // (2 * n_tot * (n_tot + 1) * 1000000)
+          - 3 * (n_tot + 1) * 1000000, 0) AS h_ppm,
+         n_tot * n_tot * n_tot - n_tot AS denom_tc
+  FROM tot CROSS JOIN ties
+)
+SELECT source,
+       CAST(n_i AS BIGINT) AS n_docs_src,
+       ((r2sum * 2000000 + 2 * n_i) // (2 * (2 * n_i))) / 1e6
+         AS mean_rank,
+       CAST(n_tot AS BIGINT) AS n_total,
+       k_groups AS n_groups,
+       CAST(h_ppm AS DOUBLE) / 1e6 AS h_stat,
+       (((denom_tc - tie_sum) * 2000000 + denom_tc)
+        // (2 * denom_tc)) / 1e6 AS tie_correction,
+       ((h_ppm * denom_tc * 2000000 + (denom_tc - tie_sum) * 1000000)
+        // (2 * ((denom_tc - tie_sum) * 1000000))) / 1e6 AS h_corrected
+FROM per_src CROSS JOIN scal
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 3. Chao1 vocabulary richness / Good-Turing unseen mass
+# ---------------------------------------------------------------------
+
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source BIGRAM-richness estimators: observed bigram
+    vocabulary, singleton/doubleton counts, the bias-corrected Chao1
+    estimate of TOTAL (seen + unseen) bigram vocabulary
+    V + f1*(f1-1)/(2*(f2+1)), and the Good-Turing estimate of unseen
+    probability mass f1/n — the "how much more data until the
+    vocabulary saturates" planning number that complements
+    heaps_law_exponent's growth-rate view. Bigrams, not unigrams,
+    deliberately: the synthetic corpus's unigram vocabulary is
+    closed (f1 ~ 0 at every scale, Chao1 degenerates to V), while
+    its bigram frequency-of-frequencies has the long singleton tail
+    the estimator exists for — the same reasoning a real corpus
+    audit applies when the tokenizer vocabulary is fixed.
+
+    Scale shape: one (source, bigram) reduction of the bigram
+    stream, then a frequency-of-frequencies aggregate per source —
+    the second aggregate runs over the TYPE frame (|vocab| rows),
+    never the token stream. All counts integer; the two ratios are
+    exact half-up emissions (bias-corrected Chao1 denominator f2+1
+    is always positive, so no divide-by-zero branch is needed — the
+    reason that form is preferred over the classic f1^2/(2 f2)).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = F.split(F.lower("text"), " ")
+    grams = docs.select("source", w.alias("w")).filter(
+        F.size("w") >= 2
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> concat(element_at(w, i), ' ',"
+                " element_at(w, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    st = grams.groupBy("source", "gram").agg(F.count("*").alias("c"))
+    per = st.groupBy("source").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("f2"),
+    )
+    return per.selectExpr(
+        "source",
+        "n_bigrams",
+        "vocab",
+        "f1 AS f1_singletons",
+        "f2 AS f2_doubletons",
+        "vocab + "
+        + nm.half_up_spark_sql(
+            "CAST(f1 AS DECIMAL(38,0)) * (f1 - 1)", "2 * (f2 + 1)", 4
+        )
+        + " AS chao1_est",
+        nm.half_up_spark_sql("f1", "n_bigrams", 6) + " AS gt_unseen_mass",
+    ).orderBy("source")
+
+
+CHAO1_ORACLE = """
+WITH toks AS (
+  SELECT source, STRING_SPLIT(LOWER(text), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT source,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS gram
+  FROM toks WHERE LEN(w) >= 2
+), st AS (
+  SELECT source, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+), per AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         COUNT(*) AS vocab,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM st GROUP BY source
+)
+SELECT source, n_bigrams, vocab,
+       f1 AS f1_singletons,
+       f2 AS f2_doubletons,
+       vocab + ((CAST(f1 AS HUGEINT) * (f1 - 1) * 20000 + 2 * (f2 + 1))
+                // (2 * (2 * (f2 + 1)))) / 1e4 AS chao1_est,
+       ((f1 * 2000000 + n_bigrams) // (2 * n_bigrams)) / 1e6
+         AS gt_unseen_mass
+FROM per
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 4. Brown-Forsythe Levene test (variance homogeneity across sources)
+# ---------------------------------------------------------------------
+
+def levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test: do the k sources have the same
+    length SPREAD (not just location)? Uses median-centered absolute
+    deviations (the robust Brown-Forsythe variant), per-source rows
+    with exact integer evidence (n, median, mean |dev|) plus the
+    global W statistic on every row.
+
+    Exactness + scale shape: per-source medians are
+    PERCENTILE_DISC(0.5) over the per-source VALUE frame (one
+    partitioned window over distinct lengths). Deviations are exact
+    integers. The between-group term quantizes each group's
+    mean-deviation gap to integer ppm FIRST (mirrored — Flesch
+    posture), so its DECIMAL accumulation n_i * d_ppm^2 is exact far
+    past 1e9 docs; the within term quantizes
+    (SS_i*n_i - S_i^2)/n_i >= 0 (Cauchy-Schwarz) the same way. One
+    final half-up emits W.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", F.col("n_chars").alias("x"))
+    vf = base.groupBy("source", "x").agg(F.count("*").alias("cnt"))
+    wsrc = Window.partitionBy("source").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("source")
+    med = (
+        vf.withColumn("cum", F.sum("cnt").over(wsrc))
+        .withColumn("n_i", F.sum("cnt").over(wall))
+        .filter(F.col("cum") * 2 >= F.col("n_i"))
+        .groupBy("source")
+        .agg(F.min("x").alias("med"))
+    )
+    dev = base.join(F.broadcast(med), "source").select(
+        "source", F.abs(F.col("x") - F.col("med")).alias("z"), "med"
+    )
+    per = dev.groupBy("source", "med").agg(
+        F.count("*").alias("n_i"),
+        F.sum(F.col("z").cast("decimal(38,0)")).alias("s_i"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("ss_i"),
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("decimal(38,0)").alias("n_tot"),
+        F.count("*").alias("k_groups"),
+        F.sum("s_i").alias("s_tot"),
+    )
+    q = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "med",
+        "n_i",
+        "s_i",
+        "n_tot",
+        "k_groups",
+        # group mean |dev| and global mean |dev| quantized to int ppm
+        "(2000000 * s_i + n_i) DIV (2 * n_i)"
+        " - (2000000 * s_tot + n_tot) DIV (2 * n_tot) AS d_ppm",
+        "(2000000 * (ss_i * n_i - s_i * s_i) + n_i) DIV (2 * n_i)"
+        " AS w_ppm",
+    )
+    scal = q.agg(
+        F.sum(
+            F.expr("CAST(n_i AS DECIMAL(38,0)) * d_ppm * d_ppm")
+        ).alias("a_q"),
+        F.sum(F.col("w_ppm").cast("decimal(38,0)")).alias("b_q"),
+        F.max("n_tot").alias("n_tot"),
+        F.max("k_groups").alias("k_groups"),
+    ).selectExpr(
+        "n_tot",
+        "k_groups",
+        "CASE WHEN b_q > 0 AND k_groups > 1 THEN "
+        + nm.half_up_spark_sql(
+            "(n_tot - k_groups) * a_q", "(k_groups - 1) * b_q * 1000000", 6
+        )
+        + " ELSE 0.0 END AS levene_w",
+    )
+    return (
+        per.crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "source",
+            "CAST(n_i AS BIGINT) AS n_docs_src",
+            "med AS median_chars",
+            nm.half_up_spark_sql("s_i", "n_i", 6) + " AS mean_absdev",
+            "CAST(n_tot AS BIGINT) AS n_total",
+            "k_groups AS n_groups",
+            "levene_w",
+        )
+        .orderBy("source")
+    )
+
+
+LEVENE_ORACLE = """
+WITH base AS (SELECT source, n_chars AS x FROM documents),
+vf AS (SELECT source, x, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+med AS (
+  SELECT source, MIN(x) AS med FROM (
+    SELECT source, x,
+           SUM(cnt) OVER (PARTITION BY source ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           SUM(cnt) OVER (PARTITION BY source) AS n_i
+    FROM vf
+  ) WHERE cum * 2 >= n_i GROUP BY source
+), dev AS (
+  SELECT base.source, ABS(x - med) AS z, med
+  FROM base JOIN med ON base.source = med.source
+), per AS (
+  SELECT source, med, COUNT(*) AS n_i,
+         SUM(CAST(z AS HUGEINT)) AS s_i,
+         SUM(CAST(z AS HUGEINT) * z) AS ss_i
+  FROM dev GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS n_tot, COUNT(*) AS k_groups,
+         SUM(s_i) AS s_tot
+  FROM per
+), q AS (
+  SELECT source, med, n_i, s_i, n_tot, k_groups,
+         (2000000 * s_i + n_i) // (2 * n_i)
+         - (2000000 * s_tot + n_tot) // (2 * n_tot) AS d_ppm,
+         (2000000 * (ss_i * n_i - s_i * s_i) + n_i) // (2 * n_i) AS w_ppm
+  FROM per CROSS JOIN tot
+), scal AS (
+  SELECT MAX(n_tot) AS n_tot, MAX(k_groups) AS k_groups,
+         CASE WHEN SUM(w_ppm) > 0 AND MAX(k_groups) > 1 THEN
+           (((MAX(n_tot) - MAX(k_groups)) * SUM(n_i * d_ppm * d_ppm)
+             * 2000000 + (MAX(k_groups) - 1) * SUM(w_ppm) * 1000000)
+            // (2 * ((MAX(k_groups) - 1) * SUM(w_ppm) * 1000000))) / 1e6
+         ELSE 0.0 END AS levene_w
+  FROM q
+)
+SELECT source,
+       CAST(n_i AS BIGINT) AS n_docs_src,
+       med AS median_chars,
+       ((2000000 * s_i + n_i) // (2 * n_i)) / 1e6 AS mean_absdev,
+       CAST(n_tot AS BIGINT) AS n_total,
+       k_groups AS n_groups,
+       levene_w
+FROM per CROSS JOIN scal
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 5. McNemar paired-filter agreement test
+# ---------------------------------------------------------------------
+
+def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar test over two paired quality filters applied to the
+    SAME documents — filter A "long enough" (n_chars >= 300) vs
+    filter B "token-rich enough" (>= 55 whitespace tokens), both at
+    the corpus medians. The chi-square statistic (b-c)^2/(b+c) on the
+    discordant cells answers "do the two filters reject *different*
+    documents beyond noise?" — the decision test for replacing an
+    expensive filter with a cheap proxy. Emits the full 2x2 table,
+    the raw statistic, and the Edwards continuity-corrected variant.
+
+    Scale shape: a single scan, one 4-way conditional aggregate, no
+    shuffle beyond the 1-row final combine. All integers; two exact
+    half-up emissions ((b-c)^2 >= 0 keeps the numerator in the
+    supported range of the shared helper).
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    flags = docs.select(
+        (F.col("n_chars") >= 300).alias("a"),
+        (F.size(F.split(F.lower("text"), " ")) >= 55).alias("b"),
+    )
+    agg = flags.agg(
+        F.sum(F.expr("CASE WHEN a AND b THEN 1 ELSE 0 END")).alias(
+            "n_both"
+        ),
+        F.sum(F.expr("CASE WHEN a AND NOT b THEN 1 ELSE 0 END")).alias(
+            "n_a_only"
+        ),
+        F.sum(F.expr("CASE WHEN b AND NOT a THEN 1 ELSE 0 END")).alias(
+            "n_b_only"
+        ),
+        F.sum(
+            F.expr("CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END")
+        ).alias("n_neither"),
+    )
+    return agg.selectExpr(
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        "CASE WHEN n_a_only + n_b_only > 0 THEN "
+        + nm.half_up_spark_sql(
+            "CAST(n_a_only - n_b_only AS DECIMAL(38,0))"
+            " * (n_a_only - n_b_only)",
+            "n_a_only + n_b_only",
+            6,
+        )
+        + " ELSE 0.0 END AS mcnemar_chi2",
+        "CASE WHEN n_a_only + n_b_only > 0 THEN "
+        + nm.half_up_spark_sql(
+            "GREATEST(ABS(CAST(n_a_only - n_b_only AS DECIMAL(38,0))) - 1,"
+            " 0) * GREATEST(ABS(CAST(n_a_only - n_b_only"
+            " AS DECIMAL(38,0))) - 1, 0)",
+            "n_a_only + n_b_only",
+            6,
+        )
+        + " ELSE 0.0 END AS mcnemar_cc",
+    )
+
+
+MCNEMAR_ORACLE = """
+WITH flags AS (
+  SELECT (n_chars >= 300) AS a,
+         (LEN(STRING_SPLIT(LOWER(text), ' ')) >= 55) AS b
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n_both,
+         SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n_a_only,
+         SUM(CASE WHEN b AND NOT a THEN 1 ELSE 0 END) AS n_b_only,
+         SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n_neither
+  FROM flags
+)
+SELECT n_both, n_a_only, n_b_only, n_neither,
+       CASE WHEN n_a_only + n_b_only > 0 THEN
+         ((CAST(n_a_only - n_b_only AS HUGEINT) * (n_a_only - n_b_only)
+           * 2000000 + (n_a_only + n_b_only))
+          // (2 * (n_a_only + n_b_only))) / 1e6
+       ELSE 0.0 END AS mcnemar_chi2,
+       CASE WHEN n_a_only + n_b_only > 0 THEN
+         ((GREATEST(ABS(CAST(n_a_only - n_b_only AS HUGEINT)) - 1, 0)
+           * GREATEST(ABS(CAST(n_a_only - n_b_only AS HUGEINT)) - 1, 0)
+           * 2000000 + (n_a_only + n_b_only))
+          // (2 * (n_a_only + n_b_only))) / 1e6
+       ELSE 0.0 END AS mcnemar_cc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 6. MinHash LSH band/row planning from the observed similarity profile
+# ---------------------------------------------------------------------
+
+# One shared set of S-curve constants for k = 16 minhash signatures:
+# for each (bands, rows_per_band) factorization, the collision
+# probability 1 - (1 - s^r)^b at each similarity-decile midpoint and
+# the curve's threshold s* = (1/b)^(1/r). Generated once in Python
+# and inlined as INTEGER ppm literals into BOTH engines' plans (the
+# NDCG shared-literal pattern), so no libm call sits on the parity
+# path.
+_LSH_K = 16
+_LSH_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]
+
+
+def _lsh_plan_rows() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for b, r in _LSH_CONFIGS:
+        assert b * r == _LSH_K
+        s_star_ppm = round((1.0 / b) ** (1.0 / r) * 1e6)
+        for m in range(10):
+            s = (m * 1000 + 500) / 1e4  # decile midpoint
+            p_ppm = round((1.0 - (1.0 - s**r) ** b) * 1e6)
+            rows.append((b, r, s_star_ppm, m, p_ppm))
+    return rows
+
+
+def lsh_band_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planning: for every band/row split of a
+    16-hash signature, the S-curve threshold s* and — against the
+    CORPUS'S OWN observed pair-similarity histogram — the expected
+    candidate-pair volume and the expected recall among true
+    near-duplicates (3-gram Jaccard >= 0.7). This is the query a
+    pipeline owner runs BEFORE picking dedup_minhash_lsh's (b, r):
+    the same S-curve math, evaluated on measured data instead of a
+    guessed similarity distribution.
+
+    Scale shape: the observed histogram reuses the df-capped
+    inverted-index pair frame (operators/dedup.py:ngram_jaccard_pairs
+    at audit threshold 0.2 — the planning estimate conditions on
+    that candidate population, stated not hidden), collapsed to 10
+    decile buckets; everything after is a 50-row literal join. The
+    S-curve constants are shared integer-ppm literals (module
+    header), exp-candidate/recall sums accumulate
+    DECIMAL(38,0)/HUGEINT, two exact half-up emissions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.2)
+    hist = (
+        pairs.selectExpr(
+            "LEAST(9, CAST(ROUND(jaccard * 10000, 0) AS INT) DIV 1000)"
+            " AS bucket"
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = hist.agg(F.sum("cnt").alias("n_pairs_scored"))
+    cfg = spark.createDataFrame(
+        _lsh_plan_rows(),
+        "bands INT, rows_per_band INT, s_star_ppm BIGINT,"
+        " bucket INT, p_ppm BIGINT",
+    )
+    joined = cfg.join(F.broadcast(hist), "bucket", "left").fillna(
+        0, subset=["cnt"]
+    )
+    per = joined.groupBy("bands", "rows_per_band", "s_star_ppm").agg(
+        F.sum(
+            F.col("p_ppm").cast("decimal(38,0)") * F.col("cnt")
+        ).alias("cand_num"),
+        F.sum(
+            F.expr(
+                "CASE WHEN bucket >= 7 THEN"
+                " CAST(p_ppm AS DECIMAL(38,0)) * cnt ELSE 0 END"
+            )
+        ).alias("rec_num"),
+        F.sum(
+            F.expr("CASE WHEN bucket >= 7 THEN cnt ELSE 0 END")
+        ).alias("rec_den"),
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .selectExpr(
+            "bands",
+            "rows_per_band",
+            "CAST(s_star_ppm AS DOUBLE) / 1e6 AS s_star",
+            "n_pairs_scored",
+            nm.half_up_spark_sql("cand_num", "1000000", 2)
+            + " AS exp_candidates",
+            "CASE WHEN rec_den > 0 THEN "
+            + nm.half_up_spark_sql("rec_num", "rec_den * 1000000", 6)
+            + " ELSE 0.0 END AS recall_at_07",
+        )
+        .orderBy(F.desc("bands"))
+    )
+
+
+_LSH_CFG_VALUES = ",\n  ".join(
+    f"({b}, {r}, {s}, {m}, {p})" for b, r, s, m, p in _lsh_plan_rows()
+)
+
+LSH_BAND_PLANNING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  -- df cap mirror (operators/dedup.py DEFAULT_MAX_GRAM_DF)
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
+), bp AS (
+  SELECT (CAST(inter AS HUGEINT) * 20000 + (sa.n + sb.n - inter))
+           // (2 * (sa.n + sb.n - inter)) AS jac_bp
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+), hist AS (
+  SELECT LEAST(9, CAST(jac_bp AS INT) // 1000) AS bucket,
+         COUNT(*) AS cnt
+  FROM bp GROUP BY 1
+), total AS (SELECT SUM(cnt) AS n_pairs_scored FROM hist),
+cfg(bands, rows_per_band, s_star_ppm, bucket, p_ppm) AS (
+  VALUES {_LSH_CFG_VALUES}
+), joined AS (
+  SELECT cfg.*, COALESCE(hist.cnt, 0) AS cnt
+  FROM cfg LEFT JOIN hist USING (bucket)
+), per AS (
+  SELECT bands, rows_per_band, s_star_ppm,
+         SUM(CAST(p_ppm AS HUGEINT) * cnt) AS cand_num,
+         SUM(CASE WHEN bucket >= 7
+                  THEN CAST(p_ppm AS HUGEINT) * cnt ELSE 0 END)
+           AS rec_num,
+         SUM(CASE WHEN bucket >= 7 THEN cnt ELSE 0 END) AS rec_den
+  FROM joined GROUP BY 1, 2, 3
+)
+SELECT bands, rows_per_band,
+       CAST(s_star_ppm AS DOUBLE) / 1e6 AS s_star,
+       CAST(n_pairs_scored AS BIGINT) AS n_pairs_scored,
+       ((cand_num * 200 + 1000000) // (2 * 1000000)) / 1e2
+         AS exp_candidates,
+       CASE WHEN rec_den > 0 THEN
+         ((rec_num * 2000000 + rec_den * 1000000)
+          // (2 * (rec_den * 1000000))) / 1e6
+       ELSE 0.0 END AS recall_at_07
+FROM per CROSS JOIN total
+ORDER BY bands DESC
+"""
+
+
+# ---------------------------------------------------------------------
+# 7. Deterministic multiplier bootstrap CI for the event-value mean
+# ---------------------------------------------------------------------
+
+def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplier-bootstrap confidence interval for the mean event
+    value: 64 replicates, each reweighting every event by an
+    INDEPENDENT deterministic Binomial(4, 1/4) multiplier (mean 1)
+    derived from md5(replicate, event_id) — the generalized
+    (wild/multiplier) bootstrap with a hash in place of an RNG, so
+    the interval is identical across engines, runs, and cluster
+    sizes. The 90% CI is the 5th/95th PERCENTILE_DISC of the 64
+    replicate means.
+
+    Scale shape: the 64x row blowup is MAP-SIDE ONLY (explode
+    feeding straight into a partial aggregate — the shuffle carries
+    64 partial rows per partition, never 64x the data); replicate
+    means are exact integer micro-units via one half-up division
+    each (weighted sums accumulate DECIMAL(38,0)/HUGEINT); the
+    percentile pick is one ordered window over exactly 64 rows.
+    Value quantization is the repo-wide micros idiom.
+    """
+    from spark_flink_streaming_example_with_test_spark.functions.hashing import (
+        md5_nibble,
+    )
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    vm = F.round(F.round("value", 6) * 1_000_000.0, 0).cast("long")
+    base = events.select("event_id", vm.alias("vm"))
+    point = base.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("vm").cast("decimal(38,0)")).alias("sum_vm"),
+    )
+    reps = base.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(63)))
+    )
+    h = F.md5(
+        F.concat(
+            F.lit("boot#"),
+            F.col("rep").cast("string"),
+            F.lit("#"),
+            F.col("event_id").cast("string"),
+        )
+    )
+    v8 = (md5_nibble(h, 1) * 16 + md5_nibble(h, 2)).alias("v8")
+    wexpr = (
+        "CAST(v8 DIV 64 = 0 AS INT) + CAST((v8 DIV 16) % 4 = 0 AS INT)"
+        " + CAST((v8 DIV 4) % 4 = 0 AS INT) + CAST(v8 % 4 = 0 AS INT)"
+    )
+    per_rep = (
+        reps.select("rep", "vm", v8)
+        .selectExpr("rep", "vm", f"{wexpr} AS w")
+        .groupBy("rep")
+        .agg(
+            F.sum("w").alias("wsum"),
+            F.sum(
+                F.col("w").cast("decimal(38,0)") * F.col("vm")
+            ).alias("wx"),
+        )
+        .filter(F.col("wsum") > 0)
+        .selectExpr(
+            "rep", "(2 * wx + wsum) DIV (2 * wsum) AS rep_mean_micros"
+        )
+    )
+    wnd = Window.orderBy("rep_mean_micros", "rep")
+    ranked = per_rep.withColumn("rn", F.row_number().over(wnd))
+    ci = ranked.agg(
+        F.count("*").alias("n_replicates"),
+        F.min(
+            F.when(F.col("rn") == 4, F.col("rep_mean_micros"))
+        ).alias("lo_micros"),
+        F.min(
+            F.when(F.col("rn") == 61, F.col("rep_mean_micros"))
+        ).alias("hi_micros"),
+    )
+    return ci.crossJoin(F.broadcast(point)).selectExpr(
+        "n_events",
+        "n_replicates",
+        nm.half_up_spark_sql("sum_vm", "n_events * 1000000", 6)
+        + " AS mean_value",
+        "CAST(lo_micros AS DOUBLE) / 1e6 AS boot_ci_lo",
+        "CAST(hi_micros AS DOUBLE) / 1e6 AS boot_ci_hi",
+    )
+
+
+BOOTSTRAP_MEAN_CI_ORACLE = """
+WITH base AS (
+  SELECT event_id,
+         CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL
+), point AS (
+  SELECT COUNT(*) AS n_events, SUM(CAST(vm AS HUGEINT)) AS sum_vm
+  FROM base
+), reps AS (
+  SELECT rep, vm,
+         MD5('boot#' || CAST(rep AS VARCHAR) || '#'
+             || CAST(event_id AS VARCHAR)) AS h
+  FROM base CROSS JOIN (SELECT UNNEST(RANGE(0, 64)) AS rep)
+), wts AS (
+  SELECT rep, vm,
+         (ASCII(SUBSTR(h, 1, 1))
+          - CASE WHEN ASCII(SUBSTR(h, 1, 1)) >= 97 THEN 87 ELSE 48 END)
+         * 16 +
+         (ASCII(SUBSTR(h, 2, 1))
+          - CASE WHEN ASCII(SUBSTR(h, 2, 1)) >= 97 THEN 87 ELSE 48 END)
+           AS v8
+  FROM reps
+), per_rep AS (
+  SELECT rep,
+         (2 * SUM(CAST(CAST(v8 // 64 = 0 AS INT)
+                   + CAST((v8 // 16) % 4 = 0 AS INT)
+                   + CAST((v8 // 4) % 4 = 0 AS INT)
+                   + CAST(v8 % 4 = 0 AS INT) AS HUGEINT) * vm)
+          + SUM(CAST(v8 // 64 = 0 AS INT) + CAST((v8 // 16) % 4 = 0 AS INT)
+                + CAST((v8 // 4) % 4 = 0 AS INT) + CAST(v8 % 4 = 0 AS INT)))
+         // (2 * SUM(CAST(v8 // 64 = 0 AS INT)
+                     + CAST((v8 // 16) % 4 = 0 AS INT)
+                     + CAST((v8 // 4) % 4 = 0 AS INT)
+                     + CAST(v8 % 4 = 0 AS INT)))
+           AS rep_mean_micros
+  FROM wts
+  GROUP BY rep
+  HAVING SUM(CAST(v8 // 64 = 0 AS INT) + CAST((v8 // 16) % 4 = 0 AS INT)
+             + CAST((v8 // 4) % 4 = 0 AS INT)
+             + CAST(v8 % 4 = 0 AS INT)) > 0
+), ranked AS (
+  SELECT rep_mean_micros,
+         ROW_NUMBER() OVER (ORDER BY rep_mean_micros, rep) AS rn
+  FROM per_rep
+), ci AS (
+  SELECT COUNT(*) AS n_replicates,
+         MIN(CASE WHEN rn = 4 THEN rep_mean_micros END) AS lo_micros,
+         MIN(CASE WHEN rn = 61 THEN rep_mean_micros END) AS hi_micros
+  FROM ranked
+)
+SELECT n_events, n_replicates,
+       ((2 * sum_vm * 1000000 + n_events * 1000000)
+        // (2 * (n_events * 1000000))) / 1e6 AS mean_value,
+       CAST(lo_micros AS DOUBLE) / 1e6 AS boot_ci_lo,
+       CAST(hi_micros AS DOUBLE) / 1e6 AS boot_ci_hi
+FROM ci CROSS JOIN point
+"""
+
+
+# ---------------------------------------------------------------------
+# 8. Degree assortativity of the doc-link graph
+# ---------------------------------------------------------------------
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the shared ring+chord doc graph: the
+    Pearson correlation of endpoint degrees over all DIRECTED edge
+    orientations (Newman's r) — positive means hubs link to hubs
+    (crawl frontiers, citation cores), negative means hub-and-spoke.
+    Completes the graph-audit family (PageRank / triangles / k-core
+    / CC) with the one number that says which regime the corpus'
+    link structure is in.
+
+    Scale shape: degree frame is node-sized; the edge->degree joins
+    are the standard two hash joins (broadcastable when the degree
+    frame fits); moments accumulate DECIMAL(38,0)/HUGEINT with the
+    spearman sqrt-denominator emission posture (per-factor
+    positivity guards; degree products bound the decimals to ~1e9
+    nodes at max degree ~1e4).
+    """
+    from spark_flink_streaming_example_with_test_spark.plans.analytics import (
+        _ring_chord_edges,
+    )
+
+    edges = _ring_chord_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    adj = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").alias("deg"))
+    du = deg.selectExpr("u", "deg AS dx")
+    dv = deg.selectExpr("u AS v", "deg AS dy")
+    pairs = adj.join(du, "u").join(dv, "v")
+    agg = pairs.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("dx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("dy").cast("decimal(38,0)")).alias("sy"),
+        F.sum(
+            F.col("dx").cast("decimal(38,0)") * F.col("dx")
+        ).alias("sxx"),
+        F.sum(
+            F.col("dy").cast("decimal(38,0)") * F.col("dy")
+        ).alias("syy"),
+        F.sum(
+            F.col("dx").cast("decimal(38,0)") * F.col("dy")
+        ).alias("sxy"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_directed_edges",
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN"
+        " ROUND(CAST(n * sxy - sx * sy AS DOUBLE)"
+        "  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
+        "     * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)"
+        " ELSE 0.0 END AS assortativity",
+    )
+
+
+DEGREE_ASSORTATIVITY_ORACLE = """
+WITH n AS (SELECT COUNT(*) AS n FROM documents),
+fam AS (
+  SELECT doc_id AS src, (doc_id + 1) % n.n AS dst FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id + 2) % n.n FROM documents CROSS JOIN n
+  UNION ALL
+  SELECT doc_id, (doc_id * 3 + 7) % n.n FROM documents CROSS JOIN n
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM fam WHERE LEAST(src, dst) < GREATEST(src, dst)
+), adj AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT u, COUNT(*) AS deg FROM adj GROUP BY u
+), pairs AS (
+  SELECT du.deg AS dx, dv.deg AS dy
+  FROM adj JOIN deg du ON adj.u = du.u JOIN deg dv ON adj.v = dv.u
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(dx AS HUGEINT)) AS sx,
+         SUM(CAST(dy AS HUGEINT)) AS sy,
+         SUM(CAST(dx AS HUGEINT) * dx) AS sxx,
+         SUM(CAST(dy AS HUGEINT) * dy) AS syy,
+         SUM(CAST(dx AS HUGEINT) * dy) AS sxy
+  FROM pairs
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+          / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+             * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+       ELSE 0.0 END AS assortativity
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 9. Jensen-Shannon divergence: source token distribution vs corpus
+# ---------------------------------------------------------------------
+
+def jsd_source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence (bits) between the
+    source's unigram distribution and the pooled corpus distribution
+    — the SYMMETRIC, [0,1]-bounded companion to source_token_kl for
+    mixture re-weighting decisions (KL explodes on rare-token
+    sources; JSD stays comparable across sources).
+
+    The absent-token term has a closed form: for tokens the source
+    never emits, p=0 and the integrand reduces to q*log2(q/(q/2)) =
+    q, so that side contributes (1 - coverage)/2 exactly, where
+    coverage is the corpus mass of the source's observed tokens —
+    no anti-join against the full vocabulary is ever materialized.
+
+    Scale shape: identical to source_token_kl (one (source, token)
+    reduction, token-keyed corpus join, broadcast totals); log2
+    emission follows that query's posture (mirrored expression text,
+    one 4-dp ROUND — the precedent green since r05).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    src_tot = st.groupBy("source").agg(F.sum("c").alias("n_s"))
+    corpus = st.groupBy("token").agg(F.sum("c").alias("cc"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("n_c"))
+    p = F.col("c") / F.col("n_s")
+    q = F.col("cc") / F.col("n_c")
+    m = (p + q) / F.lit(2.0)
+    agg = (
+        st.join(corpus, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(corpus_tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum(
+                F.lit(0.5) * (p * F.log2(p / m) + q * F.log2(q / m))
+            ).alias("present"),
+            F.sum("cc").alias("cov_num"),
+            F.max("n_c").alias("n_c"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_types",
+        F.round(
+            F.col("present")
+            + F.lit(0.5) * (F.lit(1.0) - F.col("cov_num") / F.col("n_c")),
+            4,
+        ).alias("jsd_bits"),
+    ).orderBy("source")
+
+
+JSD_SOURCE_ORACLE = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, SUM(c) AS n_s FROM st GROUP BY source
+), corpus AS (
+  SELECT token, SUM(c) AS cc FROM st GROUP BY token
+), corpus_tot AS (
+  SELECT SUM(cc) AS n_c FROM corpus
+), agg AS (
+  SELECT st.source, COUNT(*) AS n_types,
+         SUM(0.5 * ((st.c * 1.0 / n_s)
+                    * LOG2((st.c * 1.0 / n_s)
+                           / (((st.c * 1.0 / n_s)
+                               + (cc * 1.0 / n_c)) / 2.0))
+                    + (cc * 1.0 / n_c)
+                    * LOG2((cc * 1.0 / n_c)
+                           / (((st.c * 1.0 / n_s)
+                               + (cc * 1.0 / n_c)) / 2.0))))
+           AS present,
+         SUM(cc) AS cov_num,
+         MAX(n_c) AS n_c
+  FROM st
+  JOIN corpus USING (token)
+  JOIN src_tot ON st.source = src_tot.source
+  CROSS JOIN corpus_tot
+  GROUP BY st.source
+)
+SELECT source, n_types,
+       ROUND(present + 0.5 * (1.0 - cov_num * 1.0 / n_c), 4) AS jsd_bits
+FROM agg
+ORDER BY source
+"""
