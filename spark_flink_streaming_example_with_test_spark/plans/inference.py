@@ -202,15 +202,20 @@ def kruskal_wallis_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness + scale shape: tie-averaged DOUBLED ranks come from
     the n_chars VALUE frame (2r = 2*cum_before + cnt + 1, an exact
     integer; the one ordered window runs over distinct lengths, not
-    docs). Per-source rank-square contributions are quantized to
-    integer ppm with the shared half-up construction and then
-    summed — mirrored in the oracle, so quantization is part of the
-    statistic's definition (Flesch posture). The DECIMAL(38,0)
-    envelope: sum_i (2R_i)^2 * 2e6 stays exact to ~1e7 docs
-    (documented, not silent; at 100 TB pre-aggregate per shard and
-    rescale ranks by a common power of ten). H >= 0, so the +1e6-ppm
-    subtraction floor-guards at zero only against the final
-    half-up's <=0.5e-6 rounding slack.
+    docs). Each source's MEAN RANK is quantized to one integer-ppm
+    value (the emitted mean_rank column times 1e6) and the
+    rank-square term accumulates n_i * mr_ppm^2 in
+    DECIMAL(38,0)/HUGEINT — quantization is part of the statistic's
+    definition, mirrored in the oracle (Flesch posture). The
+    quantized tie-corrected form divides by the EMITTED 6-dp tie
+    correction (h_corrected = h_stat / tie_correction at ppm
+    precision), same rule. Overflow envelope: 24 * sum_i n_i *
+    mr_ppm^2 < 1e38 holds to ~1.6e8 docs, and no intermediate ever
+    sits in int64 (the 16x-replica sweep caught the previous
+    rank-sum-square form overflowing BIGINT at 80k docs — this
+    construction is the fix). H >= 0, so the ppm subtraction
+    floor-guards at zero only against the half-up's <=0.5e-6
+    rounding slack.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select("source", F.col("n_chars").alias("x"))
@@ -237,17 +242,20 @@ def kruskal_wallis_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # integer-ppm quantized contribution R_i^2 / n_i = r2sum^2/(4 n_i)
+    # integer-ppm quantized mean rank R_i/n_i = r2sum/(2 n_i); the
+    # rank-square term R_i^2/n_i = n_i * (R_i/n_i)^2 accumulates on
+    # the quantized mean (units 1e-12), never in int64
     contrib = per_src.selectExpr(
         "source",
         "n_i",
-        "r2sum",
-        "(r2sum * r2sum * 2000000 + 4 * n_i) DIV (8 * n_i) AS c_ppm",
+        "(r2sum * 2000000 + 2 * n_i) DIV (4 * n_i) AS mr_ppm",
     )
     tot = contrib.agg(
-        F.sum("n_i").cast("decimal(38,0)").alias("n_tot"),
+        F.sum(F.col("n_i").cast("decimal(38,0)")).alias("n_tot"),
         F.count("*").alias("k_groups"),
-        F.sum("c_ppm").alias("s_ppm"),
+        F.sum(
+            F.expr("CAST(n_i AS DECIMAL(38,0)) * mr_ppm * mr_ppm")
+        ).alias("s12"),
     )
     ties = vf.selectExpr(
         "SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) AS tie_sum"
@@ -255,30 +263,28 @@ def kruskal_wallis_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     scal = tot.crossJoin(F.broadcast(ties)).selectExpr(
         "n_tot",
         "k_groups",
-        "tie_sum",
-        # integer ppm of 12T/(N(N+1)), minus 3(N+1) in ppm, floored at 0
-        "GREATEST((24000000 * CAST(s_ppm AS DECIMAL(38,0))"
-        " + n_tot * (n_tot + 1) * 1000000)"
+        # integer ppm of 12T/(N(N+1)) with T = s12/1e12, minus
+        # 3(N+1) in ppm, floored at 0
+        "GREATEST((24 * s12 + n_tot * (n_tot + 1) * 1000000)"
         " DIV (2 * n_tot * (n_tot + 1) * 1000000)"
         " - 3 * (n_tot + 1) * 1000000, 0) AS h_ppm",
-        "n_tot * n_tot * n_tot - n_tot AS denom_tc",
+        # quantized tie correction in ppm (its 6-dp form is emitted)
+        "(2000000 * (n_tot * n_tot * n_tot - n_tot - tie_sum)"
+        " + (n_tot * n_tot * n_tot - n_tot))"
+        " DIV (2 * (n_tot * n_tot * n_tot - n_tot)) AS tc_ppm",
     )
-    out = per_src.crossJoin(F.broadcast(scal))
+    out = contrib.crossJoin(F.broadcast(scal))
     return out.selectExpr(
         "source",
         "CAST(n_i AS BIGINT) AS n_docs_src",
-        nm.half_up_spark_sql("r2sum", "2 * n_i", 6) + " AS mean_rank",
+        "CAST(mr_ppm AS DOUBLE) / 1e6 AS mean_rank",
         "CAST(n_tot AS BIGINT) AS n_total",
         "k_groups AS n_groups",
         "CAST(h_ppm AS DOUBLE) / 1e6 AS h_stat",
-        nm.half_up_spark_sql("denom_tc - tie_sum", "denom_tc", 6)
-        + " AS tie_correction",
-        nm.half_up_spark_sql(
-            "CAST(h_ppm AS DECIMAL(38,0)) * denom_tc",
-            "(denom_tc - tie_sum) * 1000000",
-            6,
-        )
-        + " AS h_corrected",
+        "CAST(tc_ppm AS DOUBLE) / 1e6 AS tie_correction",
+        "CASE WHEN tc_ppm > 0 THEN "
+        + nm.half_up_spark_sql("h_ppm", "tc_ppm", 6)
+        + " ELSE 0.0 END AS h_corrected",
     ).orderBy("source")
 
 
@@ -298,35 +304,36 @@ ranks AS (
   JOIN ranks USING (x)
   GROUP BY source
 ), contrib AS (
-  SELECT source, n_i, r2sum,
-         (r2sum * r2sum * 2000000 + 4 * n_i) // (8 * n_i) AS c_ppm
+  SELECT source, n_i,
+         (r2sum * 2000000 + 2 * n_i) // (4 * n_i) AS mr_ppm
   FROM per_src
 ), tot AS (
   SELECT CAST(SUM(n_i) AS HUGEINT) AS n_tot, COUNT(*) AS k_groups,
-         SUM(c_ppm) AS s_ppm
+         SUM(CAST(n_i AS HUGEINT) * mr_ppm * mr_ppm) AS s12
   FROM contrib
 ), ties AS (
   SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS tie_sum FROM vf
 ), scal AS (
-  SELECT n_tot, k_groups, tie_sum,
-         GREATEST((24000000 * s_ppm + n_tot * (n_tot + 1) * 1000000)
+  SELECT n_tot, k_groups,
+         GREATEST((24 * s12 + n_tot * (n_tot + 1) * 1000000)
           // (2 * n_tot * (n_tot + 1) * 1000000)
           - 3 * (n_tot + 1) * 1000000, 0) AS h_ppm,
-         n_tot * n_tot * n_tot - n_tot AS denom_tc
+         (2000000 * (n_tot * n_tot * n_tot - n_tot - tie_sum)
+          + (n_tot * n_tot * n_tot - n_tot))
+         // (2 * (n_tot * n_tot * n_tot - n_tot)) AS tc_ppm
   FROM tot CROSS JOIN ties
 )
 SELECT source,
        CAST(n_i AS BIGINT) AS n_docs_src,
-       ((r2sum * 2000000 + 2 * n_i) // (2 * (2 * n_i))) / 1e6
-         AS mean_rank,
+       CAST(mr_ppm AS DOUBLE) / 1e6 AS mean_rank,
        CAST(n_tot AS BIGINT) AS n_total,
        k_groups AS n_groups,
        CAST(h_ppm AS DOUBLE) / 1e6 AS h_stat,
-       (((denom_tc - tie_sum) * 2000000 + denom_tc)
-        // (2 * denom_tc)) / 1e6 AS tie_correction,
-       ((h_ppm * denom_tc * 2000000 + (denom_tc - tie_sum) * 1000000)
-        // (2 * ((denom_tc - tie_sum) * 1000000))) / 1e6 AS h_corrected
-FROM per_src CROSS JOIN scal
+       CAST(tc_ppm AS DOUBLE) / 1e6 AS tie_correction,
+       CASE WHEN tc_ppm > 0 THEN
+         ((h_ppm * 2000000 + tc_ppm) // (2 * tc_ppm)) / 1e6
+       ELSE 0.0 END AS h_corrected
+FROM contrib CROSS JOIN scal
 ORDER BY source
 """
 
