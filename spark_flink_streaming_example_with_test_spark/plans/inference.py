@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
+from spark_flink_streaming_example_with_test_spark.functions.hashing import (
+    md5_nibble,
+    md5_nibble_sql,
+)
 from spark_flink_streaming_example_with_test_spark.operators import dedup as dd
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
@@ -852,10 +856,6 @@ def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile pick is one ordered window over exactly 64 rows.
     Value quantization is the repo-wide micros idiom.
     """
-    from spark_flink_streaming_example_with_test_spark.functions.hashing import (
-        md5_nibble,
-    )
-
     events = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
@@ -1171,4 +1171,732 @@ SELECT source, n_types,
        ROUND(present + 0.5 * (1.0 - cov_num * 1.0 / n_c), 4) AS jsd_bits
 FROM agg
 ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 10. Cramer's V effect size for source x lang
+# ---------------------------------------------------------------------
+
+def cramers_v_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V — the [0,1]-normalized effect size of the source x
+    lang association. chi_square_source_lang (evalstats.py) emits the
+    cell-level contributions for localization; this query emits the
+    ONE comparable number a mixture dashboard tracks over time
+    (chi-square totals grow with N even when the association is
+    constant; V does not).
+
+    Scale shape: same three marginal aggregations + marginal-sized
+    zero-including grid as the cell query. Per-cell contributions are
+    quantized to integer ppm (mirrored — the cell query emits the
+    same 6-dp values) and summed in DECIMAL(38,0)/HUGEINT; the final
+    V = sqrt(chi2 / (N * (min(r,c) - 1))) has an irrational sqrt of
+    a rational, so the single 6-dp ROUND cannot sit on a half
+    boundary (spearman posture), with a positivity guard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("source", "lang").agg(F.count("*").alias("observed"))
+    rt = docs.groupBy("source").agg(F.count("*").alias("row_tot"))
+    ct = docs.groupBy("lang").agg(F.count("*").alias("col_tot"))
+    tot = docs.agg(F.count("*").alias("n_total"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(tot))
+    cells = (
+        grid.join(obs, ["source", "lang"], "left")
+        .fillna(0, subset=["observed"])
+        .selectExpr(
+            "n_total",
+            "CAST(observed AS DECIMAL(38,0)) * n_total"
+            " - CAST(row_tot AS DECIMAL(38,0)) * col_tot AS diff",
+            "CAST(n_total AS DECIMAL(38,0)) * row_tot * col_tot AS denom",
+        )
+        .selectExpr(
+            "n_total",
+            "(2000000 * diff * diff + denom) DIV (2 * denom) AS c_ppm",
+        )
+    )
+    dims = rt.agg(F.count("*").alias("n_sources")).crossJoin(
+        F.broadcast(ct.agg(F.count("*").alias("n_langs")))
+    )
+    agg = cells.groupBy("n_total").agg(
+        F.sum(F.col("c_ppm").cast("decimal(38,0)")).alias("chi2_ppm")
+    )
+    return agg.crossJoin(F.broadcast(dims)).selectExpr(
+        "n_total",
+        "n_sources",
+        "n_langs",
+        "CAST(chi2_ppm AS DOUBLE) / 1e6 AS chi2_total",
+        "CASE WHEN LEAST(n_sources, n_langs) > 1 AND chi2_ppm > 0 THEN"
+        " ROUND(SQRT(CAST(chi2_ppm AS DOUBLE)"
+        "  / (CAST(n_total AS DOUBLE)"
+        "     * (LEAST(n_sources, n_langs) - 1) * 1e6)), 6)"
+        " ELSE 0.0 END AS cramers_v",
+    )
+
+
+CRAMERS_V_ORACLE = """
+WITH rt AS (SELECT source, COUNT(*) AS row_tot FROM documents GROUP BY 1),
+ct AS (SELECT lang, COUNT(*) AS col_tot FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_total FROM documents),
+obs AS (SELECT source, lang, COUNT(*) AS observed
+        FROM documents GROUP BY 1, 2),
+cells AS (
+  SELECT n_total,
+         (2000000 * (CAST(COALESCE(observed, 0) AS HUGEINT) * n_total
+                     - CAST(row_tot AS HUGEINT) * col_tot)
+                  * (CAST(COALESCE(observed, 0) AS HUGEINT) * n_total
+                     - CAST(row_tot AS HUGEINT) * col_tot)
+          + CAST(n_total AS HUGEINT) * row_tot * col_tot)
+         // (2 * (CAST(n_total AS HUGEINT) * row_tot * col_tot)) AS c_ppm
+  FROM rt CROSS JOIN ct CROSS JOIN tot
+  LEFT JOIN obs USING (source, lang)
+), dims AS (
+  SELECT (SELECT COUNT(*) FROM rt) AS n_sources,
+         (SELECT COUNT(*) FROM ct) AS n_langs
+), agg AS (
+  SELECT n_total, SUM(c_ppm) AS chi2_ppm FROM cells GROUP BY n_total
+)
+SELECT n_total, n_sources, n_langs,
+       CAST(chi2_ppm AS DOUBLE) / 1e6 AS chi2_total,
+       CASE WHEN LEAST(n_sources, n_langs) > 1 AND chi2_ppm > 0 THEN
+         ROUND(SQRT(CAST(chi2_ppm AS DOUBLE)
+          / (CAST(n_total AS DOUBLE)
+             * (LEAST(n_sources, n_langs) - 1) * 1e6)), 6)
+       ELSE 0.0 END AS cramers_v
+FROM agg CROSS JOIN dims
+"""
+
+
+# ---------------------------------------------------------------------
+# 11. Cochran's Q over three paired binary filters
+# ---------------------------------------------------------------------
+
+def cochran_q_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q — the k=3 generalization of McNemar: do three
+    paired quality filters (length >= 300 chars, >= 55 tokens,
+    mentions the 'spark' token) pass the SAME fraction of documents?
+    The pre-flight before treating k cheap filters as
+    interchangeable gates.
+
+    Scale shape: one scan, per-doc row-sum R in {0..3} folded into
+    four exact integer sufficient statistics (filter totals, sum R,
+    sum R^2) — a single 1-row combine, no shuffle of doc rows. Both
+    Q's numerator k*sum(C_j^2) - T^2 and denominator k*T - sum(R^2)
+    are non-negative by Cauchy-Schwarz / R <= k, so the one half-up
+    emission stays in the shared helper's supported range.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = F.split(F.lower("text"), " ")
+    flags = docs.select(
+        (F.col("n_chars") >= 300).cast("int").alias("a"),
+        (F.size(w) >= 55).cast("int").alias("b"),
+        F.array_contains(w, "spark").cast("int").alias("c"),
+    ).withColumn("r", F.col("a") + F.col("b") + F.col("c"))
+    agg = flags.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("a").alias("c_a"),
+        F.sum("b").alias("c_b"),
+        F.sum("c").alias("c_c"),
+        F.sum(F.col("r").cast("decimal(38,0)")).alias("t_sum"),
+        F.sum(
+            F.col("r").cast("decimal(38,0)") * F.col("r")
+        ).alias("r_sq_sum"),
+    )
+    return agg.selectExpr(
+        "n_docs",
+        "c_a",
+        "c_b",
+        "c_c",
+        "CASE WHEN 3 * t_sum - r_sq_sum > 0 THEN "
+        + nm.half_up_spark_sql(
+            "2 * (3 * (CAST(c_a AS DECIMAL(38,0)) * c_a"
+            "          + CAST(c_b AS DECIMAL(38,0)) * c_b"
+            "          + CAST(c_c AS DECIMAL(38,0)) * c_c)"
+            "     - t_sum * t_sum)",
+            "3 * t_sum - r_sq_sum",
+            6,
+        )
+        + " ELSE 0.0 END AS cochran_q",
+    )
+
+
+COCHRAN_Q_ORACLE = """
+WITH flags AS (
+  SELECT CAST(n_chars >= 300 AS INT) AS a,
+         CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) >= 55 AS INT) AS b,
+         CAST(LIST_CONTAINS(STRING_SPLIT(LOWER(text), ' '), 'spark')
+              AS INT) AS c
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(a) AS c_a, SUM(b) AS c_b, SUM(c) AS c_c,
+         SUM(CAST(a + b + c AS HUGEINT)) AS t_sum,
+         SUM(CAST(a + b + c AS HUGEINT) * (a + b + c)) AS r_sq_sum
+  FROM flags
+)
+SELECT n_docs, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       CAST(c_c AS BIGINT) AS c_c,
+       CASE WHEN 3 * t_sum - r_sq_sum > 0 THEN
+         ((2 * (3 * (CAST(c_a AS HUGEINT) * c_a
+                     + CAST(c_b AS HUGEINT) * c_b
+                     + CAST(c_c AS HUGEINT) * c_c)
+                - t_sum * t_sum) * 2000000
+           + (3 * t_sum - r_sq_sum))
+          // (2 * (3 * t_sum - r_sq_sum))) / 1e6
+       ELSE 0.0 END AS cochran_q
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 12. Wald-Wolfowitz runs test on the daily event series
+# ---------------------------------------------------------------------
+
+def runs_test_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the daily event-count series
+    random around its median, or does it trend/cluster? Days at the
+    median are dropped (standard practice); a run is a maximal block
+    of consecutive same-sign days; z compares the observed run count
+    to the exact mean/variance under randomness. The nonparametric
+    companion to CUSUM (level shift) and Mann-Kendall (monotone
+    trend) — runs detects ANY serial dependence.
+
+    Scale shape: |events| collapses to the |days| frame map-side;
+    the median comes from the day-count VALUE frame; the run count
+    is one lag over the bounded days frame. All counts exact
+    integers; z's denominator is an irrational sqrt of integers
+    (spearman posture, guarded).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("c")
+    )
+    vf = daily.groupBy("c").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    nd = daily.agg(F.count("*").alias("n_days"))
+    med = (
+        vf.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("cum") * 2 >= F.col("n_days"))
+        .agg(F.min("c").alias("med"))
+    )
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("c") != F.col("med"))
+        .select("d", (F.col("c") > F.col("med")).cast("int").alias("s"))
+    )
+    wd = Window.orderBy("d")
+    runs = signed.withColumn("prev", F.lag("s").over(wd)).agg(
+        F.sum(F.expr("CASE WHEN prev IS NULL OR s != prev THEN 1"
+                     " ELSE 0 END")).alias("n_runs"),
+        F.sum("s").alias("n_above"),
+        F.sum(F.expr("1 - s")).alias("n_below"),
+    )
+    return runs.selectExpr(
+        "n_above + n_below AS n_days_used",
+        "n_above",
+        "n_below",
+        "n_runs",
+        "CASE WHEN n_above > 0 AND n_below > 0"
+        "      AND 2 * n_above * n_below"
+        "          * (2 * n_above * n_below - n_above - n_below) > 0"
+        " THEN ROUND(CAST(n_runs * (n_above + n_below)"
+        "       - (n_above + n_below) - 2 * n_above * n_below AS DOUBLE)"
+        "  / SQRT(CAST(2 * n_above * n_below"
+        "       * (2 * n_above * n_below - n_above - n_below)"
+        "         AS DOUBLE))"
+        "  * SQRT(CAST(n_above + n_below - 1 AS DOUBLE))"
+        "  / CAST(n_above + n_below AS DOUBLE), 6)"
+        " ELSE 0.0 END AS runs_z",
+    )
+
+
+RUNS_TEST_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), vf AS (SELECT c, COUNT(*) AS cnt FROM daily GROUP BY c),
+nd AS (SELECT COUNT(*) AS n_days FROM daily),
+med AS (
+  SELECT MIN(c) AS med FROM (
+    SELECT c, SUM(cnt) OVER (ORDER BY c
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM vf
+  ) CROSS JOIN nd WHERE cum * 2 >= n_days
+), signed_days AS (
+  SELECT d, CAST(c > med AS INT) AS s
+  FROM daily CROSS JOIN med WHERE c != med
+), runs AS (
+  SELECT SUM(CASE WHEN prev IS NULL OR s != prev THEN 1 ELSE 0 END)
+           AS n_runs,
+         SUM(s) AS n_above, SUM(1 - s) AS n_below
+  FROM (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM signed_days)
+)
+SELECT CAST(n_above + n_below AS BIGINT) AS n_days_used,
+       CAST(n_above AS BIGINT) AS n_above,
+       CAST(n_below AS BIGINT) AS n_below,
+       CAST(n_runs AS BIGINT) AS n_runs,
+       CASE WHEN n_above > 0 AND n_below > 0
+             AND 2 * n_above * n_below
+                 * (2 * n_above * n_below - n_above - n_below) > 0
+        THEN ROUND(CAST(n_runs * (n_above + n_below)
+              - (n_above + n_below) - 2 * n_above * n_below AS DOUBLE)
+         / SQRT(CAST(2 * n_above * n_below
+              * (2 * n_above * n_below - n_above - n_below)
+                AS DOUBLE))
+         * SQRT(CAST(n_above + n_below - 1 AS DOUBLE))
+         / CAST(n_above + n_below AS DOUBLE), 6)
+        ELSE 0.0 END AS runs_z
+FROM runs
+"""
+
+
+# ---------------------------------------------------------------------
+# 13. Friedman test: event types ranked within each day
+# ---------------------------------------------------------------------
+
+def friedman_event_types_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the repeated-measures companion to
+    Kruskal-Wallis: treating each day as a block, do the k event
+    types keep the same volume ORDER day after day? Per-type rows
+    carry the exact rank evidence; every row carries the chi-square
+    statistic (uncorrected for ties — mid-ranks are used, the
+    denominator tie adjustment is deliberately not applied and the
+    docstring says so).
+
+    Scale shape: |events| reduces to the (day, type) frame map-side;
+    a DENSE day x type spine (marginal-sized broadcast cross join)
+    restores zero cells — ranks are wrong without them; doubled
+    mid-ranks come from a per-day window over the per-day COUNT
+    value frame (<= k rows per partition). Rank-square sums
+    accumulate DECIMAL(38,0)/HUGEINT; one integer-ppm emission
+    (bounded by 4 n^2 k^3 * 2e6 — exact past 1e9 blocks for any
+    plausible k).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    dt = ev.groupBy(
+        F.to_date("ts").alias("d"), F.col("event_type")
+    ).agg(F.count("*").alias("c"))
+    days = dt.select("d").distinct()
+    types = dt.select("event_type").distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    dense = spine.join(dt, ["d", "event_type"], "left").fillna(
+        0, subset=["c"]
+    )
+    cvf = dense.groupBy("d", "c").agg(F.count("*").alias("cnt"))
+    wday = Window.partitionBy("d").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = cvf.withColumn(
+        "r2",
+        2 * F.coalesce(F.sum("cnt").over(wday), F.lit(0))
+        + F.col("cnt")
+        + 1,
+    )
+    per_type = (
+        dense.join(ranked.select("d", "c", "r2"), ["d", "c"])
+        .groupBy("event_type")
+        .agg(F.sum(F.col("r2").cast("decimal(38,0)")).alias("r2sum"))
+    )
+    nblocks = days.agg(F.count("*").alias("n_blocks"))
+    ktreat = types.agg(F.count("*").alias("k_treat"))
+    scal = (
+        per_type.agg(
+            F.sum(F.expr("r2sum * r2sum")).alias("r2sq")
+        )
+        .crossJoin(F.broadcast(nblocks))
+        .crossJoin(F.broadcast(ktreat))
+        .selectExpr(
+            "n_blocks",
+            "k_treat",
+            "GREATEST((6000000 * r2sq"
+            " + CAST(n_blocks AS DECIMAL(38,0)) * k_treat * (k_treat + 1))"
+            " DIV (2 * CAST(n_blocks AS DECIMAL(38,0)) * k_treat"
+            "      * (k_treat + 1))"
+            " - 3 * CAST(n_blocks AS DECIMAL(38,0)) * (k_treat + 1)"
+            "   * 1000000, 0) AS chi2_ppm",
+        )
+    )
+    return (
+        per_type.crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "event_type",
+            "CAST(r2sum AS BIGINT) AS rank_sum_x2",
+            nm.half_up_spark_sql("r2sum", "2 * n_blocks", 6)
+            + " AS mean_rank",
+            "n_blocks",
+            "k_treat AS k_treatments",
+            "CAST(chi2_ppm AS DOUBLE) / 1e6 AS friedman_chi2",
+        )
+        .orderBy("event_type")
+    )
+
+
+FRIEDMAN_ORACLE = """
+WITH dt AS (
+  SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+), days AS (SELECT DISTINCT d FROM dt),
+types AS (SELECT DISTINCT event_type FROM dt),
+dense AS (
+  SELECT days.d, types.event_type, COALESCE(dt.c, 0) AS c
+  FROM days CROSS JOIN types
+  LEFT JOIN dt ON dt.d = days.d AND dt.event_type = types.event_type
+), cvf AS (
+  SELECT d, c, COUNT(*) AS cnt FROM dense GROUP BY 1, 2
+), ranked AS (
+  SELECT d, c,
+         2 * COALESCE(SUM(cnt) OVER (PARTITION BY d ORDER BY c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + cnt + 1 AS r2
+  FROM cvf
+), per_type AS (
+  SELECT event_type, SUM(CAST(r2 AS HUGEINT)) AS r2sum
+  FROM dense JOIN ranked USING (d, c)
+  GROUP BY event_type
+), nb AS (SELECT COUNT(*) AS n_blocks FROM days),
+kt AS (SELECT COUNT(*) AS k_treat FROM types),
+scal AS (
+  SELECT n_blocks, k_treat,
+         GREATEST((6000000 * (SELECT SUM(r2sum * r2sum) FROM per_type)
+          + CAST(n_blocks AS HUGEINT) * k_treat * (k_treat + 1))
+          // (2 * CAST(n_blocks AS HUGEINT) * k_treat * (k_treat + 1))
+          - 3 * CAST(n_blocks AS HUGEINT) * (k_treat + 1) * 1000000, 0)
+           AS chi2_ppm
+  FROM nb CROSS JOIN kt
+)
+SELECT event_type,
+       CAST(r2sum AS BIGINT) AS rank_sum_x2,
+       ((r2sum * 2000000 + 2 * n_blocks) // (2 * (2 * n_blocks))) / 1e6
+         AS mean_rank,
+       n_blocks,
+       k_treat AS k_treatments,
+       CAST(chi2_ppm AS DOUBLE) / 1e6 AS friedman_chi2
+FROM per_type CROSS JOIN scal
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------
+# 14. Capture-recapture estimate of the near-duplicate pair population
+# ---------------------------------------------------------------------
+
+def capture_recapture_dup_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the near-duplicate pair
+    population: two INDEPENDENT deterministic 50% document samples
+    (md5 captures); a true pair (3-gram Jaccard >= 0.7) is "captured"
+    by a sample only when BOTH endpoints land in it (you cannot see a
+    duplicate from one copy). N-hat = (n1+1)(n2+1)/(m+1) - 1 — the
+    estimator a team uses to size the FULL dedup job from samples;
+    because the fixture is small the query also emits the exact pair
+    count, so the estimator's error is directly auditable.
+
+    Scale shape: the pair frame is the df-capped inverted-index join
+    (operators/dedup.py); capture membership is two md5 nibble tests
+    per endpoint — no second scan, no join; four conditional counts
+    in one 1-row combine. The Chapman ratio is one exact half-up
+    (m+1 >= 1, no zero-divide branch — the reason Chapman beats
+    Lincoln-Petersen here).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.7)
+
+    def in_cap(col: str, k: int):
+        h = F.md5(
+            F.concat(
+                F.lit(f"cap{k}#"), F.col(col).cast("string")
+            )
+        )
+        return md5_nibble(h, 1) < 8
+
+    flags = pairs.select(
+        (in_cap("id_a", 1) & in_cap("id_b", 1)).cast("int").alias("c1"),
+        (in_cap("id_a", 2) & in_cap("id_b", 2)).cast("int").alias("c2"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("true_pairs"),
+        F.sum("c1").alias("n_capture1"),
+        F.sum("c2").alias("n_capture2"),
+        F.sum(F.col("c1") * F.col("c2")).alias("n_both"),
+    )
+    return agg.selectExpr(
+        "true_pairs",
+        "n_capture1",
+        "n_capture2",
+        "n_both",
+        nm.half_up_spark_sql(
+            "CAST(n_capture1 + 1 AS DECIMAL(38,0)) * (n_capture2 + 1)",
+            "n_both + 1",
+            4,
+        )
+        + " - 1 AS chapman_est",
+    )
+
+
+CAPTURE_RECAPTURE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+), nib AS (
+  SELECT
+    CAST((ASCII(SUBSTR(MD5('cap1#' || CAST(id_a AS VARCHAR)), 1, 1))
+      - CASE WHEN ASCII(SUBSTR(MD5('cap1#' || CAST(id_a AS VARCHAR)), 1, 1))
+             >= 97 THEN 87 ELSE 48 END) < 8
+     AND
+     (ASCII(SUBSTR(MD5('cap1#' || CAST(id_b AS VARCHAR)), 1, 1))
+      - CASE WHEN ASCII(SUBSTR(MD5('cap1#' || CAST(id_b AS VARCHAR)), 1, 1))
+             >= 97 THEN 87 ELSE 48 END) < 8 AS INT) AS c1,
+    CAST((ASCII(SUBSTR(MD5('cap2#' || CAST(id_a AS VARCHAR)), 1, 1))
+      - CASE WHEN ASCII(SUBSTR(MD5('cap2#' || CAST(id_a AS VARCHAR)), 1, 1))
+             >= 97 THEN 87 ELSE 48 END) < 8
+     AND
+     (ASCII(SUBSTR(MD5('cap2#' || CAST(id_b AS VARCHAR)), 1, 1))
+      - CASE WHEN ASCII(SUBSTR(MD5('cap2#' || CAST(id_b AS VARCHAR)), 1, 1))
+             >= 97 THEN 87 ELSE 48 END) < 8 AS INT) AS c2
+  FROM pairs
+), agg AS (
+  SELECT COUNT(*) AS true_pairs,
+         SUM(c1) AS n_capture1, SUM(c2) AS n_capture2,
+         SUM(c1 * c2) AS n_both
+  FROM nib
+)
+SELECT true_pairs,
+       CAST(n_capture1 AS BIGINT) AS n_capture1,
+       CAST(n_capture2 AS BIGINT) AS n_capture2,
+       CAST(n_both AS BIGINT) AS n_both,
+       ((CAST(n_capture1 + 1 AS HUGEINT) * (n_capture2 + 1) * 20000
+         + (n_both + 1)) // (2 * (n_both + 1))) / 1e4 - 1 AS chapman_est
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 15. Herfindahl-Hirschman concentration of token mass by source
+# ---------------------------------------------------------------------
+
+def herfindahl_token_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman index of token mass across sources — the
+    mixture-concentration number (sum of squared shares): 1/k means
+    perfectly balanced sources, 1 means one source IS the corpus.
+    Emitted raw and min-max normalized to [0, 1]; the single-number
+    companion to the per-source share tables the mixture queries
+    emit.
+
+    Scale shape: one (source -> token count) aggregation (|sources|
+    rows), then a 1-row combine; both ratios exact half-up on
+    DECIMAL(38,0)/HUGEINT products (k * sum(c_i^2) >= T^2 by
+    Cauchy-Schwarz keeps the normalized numerator non-negative).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.size(F.split(F.lower("text"), " ")).alias("nt"),
+    ).groupBy("source").agg(
+        F.sum(F.col("nt").cast("decimal(38,0)")).alias("c")
+    )
+    agg = per.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("c").alias("t"),
+        F.sum(F.expr("c * c")).alias("sq"),
+    )
+    return agg.selectExpr(
+        "n_sources",
+        "CAST(t AS BIGINT) AS total_tokens",
+        nm.half_up_spark_sql("sq", "t * t", 6) + " AS hhi",
+        "CASE WHEN n_sources > 1 THEN "
+        + nm.half_up_spark_sql(
+            "n_sources * sq - t * t", "(n_sources - 1) * t * t", 6
+        )
+        + " ELSE 1.0 END AS hhi_normalized",
+    )
+
+
+HERFINDAHL_ORACLE = """
+WITH per AS (
+  SELECT source,
+         SUM(CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS HUGEINT)) AS c
+  FROM documents GROUP BY source
+), agg AS (
+  SELECT COUNT(*) AS n_sources, SUM(c) AS t, SUM(c * c) AS sq FROM per
+)
+SELECT n_sources,
+       CAST(t AS BIGINT) AS total_tokens,
+       ((sq * 2000000 + t * t) // (2 * (t * t))) / 1e6 AS hhi,
+       CASE WHEN n_sources > 1 THEN
+         (((n_sources * sq - t * t) * 2000000 + (n_sources - 1) * t * t)
+          // (2 * ((n_sources - 1) * t * t))) / 1e6
+       ELSE 1.0 END AS hhi_normalized
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 16. Decile lift/gains table for the hashed quality classifier
+# ---------------------------------------------------------------------
+
+def quality_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift/gains table for the integer quality score (the same
+    hashed token-weight feature auc_mannwhitney_quality grades): docs
+    are cut into score deciles from the aggregated score-value frame;
+    for each decile, walking from the TOP score down, the cumulative
+    share of positives (lang = 'en') captured and the lift over
+    random targeting — the curve an operator reads to decide how
+    deep a filter can cut before it stops separating.
+
+    Scale shape: per-doc integer scores reduce to the score VALUE
+    frame; decile assignment and the top-down cumulative both run as
+    windows over that bounded frame (never per-doc); counts exact,
+    two half-up emissions per row. The decile→top-down flip uses
+    9 - decile arithmetic, not a second sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    )
+    h = F.md5(F.col("term"))
+    w_int = ((md5_nibble(h, 1) * 16 + md5_nibble(h, 2)) * 37) % 101
+    perdoc = tok.groupBy("doc_id", "lang").agg(
+        F.sum(w_int).alias("score")
+    )
+    byscore = perdoc.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+    )
+    n = byscore.agg(
+        F.sum("cnt").alias("n_total"), F.sum("pos").alias("pos_total")
+    )
+    ws = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = (
+        byscore.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(ws), F.lit(0))
+        )
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "CAST((cum_before * 10) DIV n_total AS INT) AS decile",
+            "cnt",
+            "pos",
+            "n_total",
+            "pos_total",
+        )
+        .groupBy("decile", "n_total", "pos_total")
+        .agg(F.sum("cnt").alias("n_docs"), F.sum("pos").alias("n_pos"))
+    )
+    wtop = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dec.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        "n_total",
+        "pos_total",
+        F.sum("n_docs").over(wtop).alias("cum_docs"),
+        F.sum("n_pos").over(wtop).alias("cum_pos"),
+    )
+    return cum.selectExpr(
+        "decile",
+        "n_docs",
+        "n_pos",
+        "cum_docs",
+        "cum_pos",
+        "CASE WHEN pos_total > 0 THEN "
+        + nm.half_up_spark_sql("cum_pos", "pos_total", 6)
+        + " ELSE 0.0 END AS cum_pos_share",
+        "CASE WHEN pos_total > 0 AND cum_docs > 0 THEN "
+        + nm.half_up_spark_sql(
+            "CAST(cum_pos AS DECIMAL(38,0)) * n_total",
+            "CAST(cum_docs AS DECIMAL(38,0)) * pos_total",
+            6,
+        )
+        + " ELSE 0.0 END AS lift",
+    ).orderBy(F.desc("decile"))
+
+
+QUALITY_LIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS term
+  FROM documents
+), perdoc AS (
+  SELECT doc_id, lang,
+         SUM((({md5_nibble_sql("MD5(term)", 1)} * 16
+               + {md5_nibble_sql("MD5(term)", 2)}) * 37) % 101) AS score
+  FROM toks GROUP BY 1, 2
+), byscore AS (
+  SELECT score, COUNT(*) AS cnt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+  FROM perdoc GROUP BY score
+), n AS (
+  SELECT SUM(cnt) AS n_total, SUM(pos) AS pos_total FROM byscore
+), dec AS (
+  SELECT CAST((COALESCE(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 10) // n_total AS INT) AS decile,
+         cnt, pos, n_total, pos_total
+  FROM byscore CROSS JOIN n
+), grp AS (
+  SELECT decile, n_total, pos_total,
+         SUM(cnt) AS n_docs, SUM(pos) AS n_pos
+  FROM dec GROUP BY 1, 2, 3
+), cum AS (
+  SELECT decile, n_docs, n_pos, n_total, pos_total,
+         SUM(n_docs) OVER (ORDER BY decile DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_docs,
+         SUM(n_pos) OVER (ORDER BY decile DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_pos
+  FROM grp
+)
+SELECT decile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(cum_docs AS BIGINT) AS cum_docs,
+       CAST(cum_pos AS BIGINT) AS cum_pos,
+       CASE WHEN pos_total > 0 THEN
+         ((cum_pos * 2000000 + pos_total) // (2 * pos_total)) / 1e6
+       ELSE 0.0 END AS cum_pos_share,
+       CASE WHEN pos_total > 0 AND cum_docs > 0 THEN
+         ((CAST(cum_pos AS HUGEINT) * n_total * 2000000
+           + CAST(cum_docs AS HUGEINT) * pos_total)
+          // (2 * (CAST(cum_docs AS HUGEINT) * pos_total))) / 1e6
+       ELSE 0.0 END AS lift
+FROM cum
+ORDER BY decile DESC
 """

@@ -190,3 +190,74 @@ def test_jsd_bounded_and_zero_for_identical(spark):
     assert rows
     for r in rows:
         assert 0.0 <= r.jsd_bits <= 1.0
+
+
+# ----------------------- batch 2 pins --------------------------------
+
+def test_cramers_v_bounds_and_chi2_consistency(spark):
+    """V in [0, 1]; chi2_total equals the sum of the cell query's
+    contributions (same quantization, independently composed)."""
+    from spark_flink_streaming_example_with_test_spark.plans import evalstats as ev
+
+    row = inf.cramers_v_source_lang(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.cramers_v <= 1.0
+    cells = ev.chi_square_source_lang(spark, SF_DIR).collect()
+    total = sum(c.chi2_contrib for c in cells)
+    assert abs(row.chi2_total - total) < 1e-3 * max(1.0, total)
+
+
+def test_cochran_q_reduces_to_mcnemar_shape(spark):
+    """Q >= 0, and the filter totals are each <= n_docs."""
+    row = inf.cochran_q_filters(spark, SF_DIR).collect()[0]
+    assert row.cochran_q >= 0.0
+    for c in (row.c_a, row.c_b, row.c_c):
+        assert 0 <= c <= row.n_docs
+
+
+def test_runs_test_run_count_bounds(spark):
+    """1 <= runs <= n_days_used; and runs >= 2 whenever both signs
+    are present."""
+    row = inf.runs_test_daily_counts(spark, SF_DIR).collect()[0]
+    assert 1 <= row.n_runs <= row.n_days_used
+    if row.n_above > 0 and row.n_below > 0:
+        assert row.n_runs >= 2
+    assert row.n_above + row.n_below == row.n_days_used
+
+
+def test_friedman_rank_sums_partition(spark):
+    """Sum of doubled rank sums over types = n_blocks * k * (k+1)
+    (each block hands out doubled ranks summing to k(k+1));
+    chi2 >= 0."""
+    rows = inf.friedman_event_types_by_day(spark, SF_DIR).collect()
+    n, k = rows[0].n_blocks, rows[0].k_treatments
+    assert sum(r.rank_sum_x2 for r in rows) == n * k * (k + 1)
+    assert rows[0].friedman_chi2 >= 0.0
+
+
+def test_capture_recapture_sane(spark):
+    """Captures are subsets of the true pair set; the Chapman
+    estimate is non-negative and m <= min(n1, n2)."""
+    row = inf.capture_recapture_dup_estimate(spark, SF_DIR).collect()[0]
+    assert 0 <= row.n_both <= min(row.n_capture1, row.n_capture2)
+    assert max(row.n_capture1, row.n_capture2) <= row.true_pairs
+    assert row.chapman_est >= 0.0
+
+
+def test_herfindahl_bounds(spark):
+    """1/k <= HHI <= 1 and the normalized form sits in [0, 1]."""
+    row = inf.herfindahl_token_concentration(spark, SF_DIR).collect()[0]
+    k = row.n_sources
+    assert 1.0 / k - 1e-6 <= row.hhi <= 1.0
+    assert 0.0 <= row.hhi_normalized <= 1.0
+
+
+def test_quality_lift_monotone_gains(spark):
+    """Cumulative positive share is non-decreasing walking down the
+    deciles and reaches 1 at the last row; lift at the full corpus
+    is exactly 1."""
+    rows = inf.quality_decile_lift(spark, SF_DIR).collect()
+    shares = [r.cum_pos_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-9
+    assert abs(rows[-1].lift - 1.0) < 1e-9
+    assert rows[-1].cum_docs == sum(r.n_docs for r in rows)
