@@ -1900,3 +1900,631 @@ SELECT decile,
 FROM cum
 ORDER BY decile DESC
 """
+
+
+# ---------------------------------------------------------------------
+# 17. Mood's median test across sources
+# ---------------------------------------------------------------------
+
+def mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: each source's above/at-or-below split
+    around the GLOBAL median document length, with the k x 2
+    chi-square. Coarser than Kruskal-Wallis by design — it only asks
+    "does each source straddle the corpus median evenly", which makes
+    it robust to tail shape and the first screen a mixture audit
+    runs.
+
+    Scale shape: global median from the pooled VALUE frame (one
+    window over distinct lengths); per-source above/below counts are
+    one conditional aggregation; expected counts and cell
+    contributions are exact integer-ppm rationals on the
+    marginal-sized (k x 2) frame, summed DECIMAL/HUGEINT.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("source", F.col("n_chars").alias("x"))
+    vf = base.groupBy("x").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    nn = base.agg(F.count("*").alias("n_total"))
+    med = (
+        vf.withColumn("cum", F.sum("cnt").over(wv))
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("cum") * 2 >= F.col("n_total"))
+        .agg(F.min("x").alias("med"))
+    )
+    per = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum(
+                F.expr("CASE WHEN x > med THEN 1 ELSE 0 END")
+            ).alias("above"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_i").cast("decimal(38,0)").alias("n"),
+        F.sum("above").cast("decimal(38,0)").alias("a"),
+        F.count("*").alias("k_groups"),
+    )
+    cells = per.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_i",
+        "above",
+        "n",
+        "a",
+        "k_groups",
+        # (observed*N - n_i*A)^2 ppm contributions for BOTH cells of
+        # the source's row share the same squared deviation; the pair
+        # of expected denominators n_i*A and n_i*(N-A) fold into one
+        # expression: chi2_row = d^2 * N / (n_i * A * (N - A)) * N ...
+        # kept as the two explicit cell terms for readability
+        "(CAST(above AS DECIMAL(38,0)) * n - CAST(n_i AS DECIMAL(38,0))"
+        " * a) AS d",
+    )
+    contrib = cells.selectExpr(
+        "source",
+        "n_i",
+        "above",
+        "n",
+        "a",
+        "k_groups",
+        "CASE WHEN a > 0 AND a < n THEN"
+        " (2000000 * d * d + n * n_i * a) DIV (2 * n * n_i * a)"
+        " + (2000000 * d * d + n * n_i * (n - a))"
+        "   DIV (2 * n * n_i * (n - a)) ELSE 0 END AS row_ppm",
+    )
+    scal = contrib.agg(
+        F.sum(F.col("row_ppm").cast("decimal(38,0)")).alias("chi2_ppm"),
+        F.max("k_groups").alias("k_groups"),
+        F.max("n").alias("n"),
+    )
+    return (
+        contrib.select("source", "n_i", "above")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(med))
+        .selectExpr(
+            "source",
+            "CAST(n_i AS BIGINT) AS n_docs_src",
+            "above AS n_above_median",
+            "med AS global_median_chars",
+            "CAST(n AS BIGINT) AS n_total",
+            "k_groups AS n_groups",
+            "CAST(chi2_ppm AS DOUBLE) / 1e6 AS mood_chi2",
+        )
+        .orderBy("source")
+    )
+
+
+MOOD_MEDIAN_ORACLE = """
+WITH base AS (SELECT source, n_chars AS x FROM documents),
+vf AS (SELECT x, COUNT(*) AS cnt FROM base GROUP BY x),
+nn AS (SELECT COUNT(*) AS n_total FROM base),
+med AS (
+  SELECT MIN(x) AS med FROM (
+    SELECT x, SUM(cnt) OVER (ORDER BY x
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM vf
+  ) CROSS JOIN nn WHERE cum * 2 >= n_total
+), per AS (
+  SELECT source, COUNT(*) AS n_i,
+         SUM(CASE WHEN x > med THEN 1 ELSE 0 END) AS above
+  FROM base CROSS JOIN med GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(n_i) AS HUGEINT) AS n, CAST(SUM(above) AS HUGEINT) AS a,
+         COUNT(*) AS k_groups
+  FROM per
+), contrib AS (
+  SELECT source, n_i, above, n, a, k_groups,
+         CASE WHEN a > 0 AND a < n THEN
+           (2000000 * (CAST(above AS HUGEINT) * n
+                       - CAST(n_i AS HUGEINT) * a)
+                    * (CAST(above AS HUGEINT) * n
+                       - CAST(n_i AS HUGEINT) * a)
+            + n * n_i * a) // (2 * (n * n_i * a))
+           + (2000000 * (CAST(above AS HUGEINT) * n
+                         - CAST(n_i AS HUGEINT) * a)
+                      * (CAST(above AS HUGEINT) * n
+                         - CAST(n_i AS HUGEINT) * a)
+              + n * n_i * (n - a)) // (2 * (n * n_i * (n - a)))
+         ELSE 0 END AS row_ppm
+  FROM per CROSS JOIN tot
+), scal AS (
+  SELECT SUM(row_ppm) AS chi2_ppm, MAX(k_groups) AS kg,
+         MAX(n) AS n_tot
+  FROM contrib
+)
+SELECT source,
+       CAST(n_i AS BIGINT) AS n_docs_src,
+       CAST(above AS BIGINT) AS n_above_median,
+       med AS global_median_chars,
+       CAST(n_tot AS BIGINT) AS n_total,
+       kg AS n_groups,
+       CAST(chi2_ppm AS DOUBLE) / 1e6 AS mood_chi2
+FROM contrib CROSS JOIN scal CROSS JOIN med
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 18. Bigram entropy rate per source
+# ---------------------------------------------------------------------
+
+def entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram entropy, bigram entropy, and the first-order
+    entropy RATE H(next | prev) ~ H(bigram) - H(unigram) in bits —
+    the sequence-predictability number that separates template/spam
+    text (low rate) from natural prose at equal unigram entropy;
+    complements the per-doc token_entropy_scores with a per-source
+    language-model view.
+
+    Scale shape: one (source, token) and one (source, bigram)
+    reduction; both entropies aggregate over TYPE frames. Log2
+    emission follows the source_token_kl posture (mirrored
+    expression, one 4-dp ROUND per entropy); the rate is the
+    difference of the two ROUNDED values — identical doubles on both
+    engines by construction, no further rounding applied.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = F.split(F.lower("text"), " ")
+    toks = docs.select(
+        "source", F.explode(w).alias("t")
+    ).groupBy("source", "t").agg(F.count("*").alias("c"))
+    grams = (
+        docs.select("source", w.alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(element_at(w, i), ' ',"
+                    " element_at(w, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count("*").alias("c"))
+    )
+
+    def entropy(df: DataFrame, total_col: str, out: str) -> DataFrame:
+        tot = df.groupBy("source").agg(F.sum("c").alias(total_col))
+        return (
+            df.join(F.broadcast(tot), "source")
+            .groupBy("source", total_col)
+            .agg(
+                F.round(
+                    -F.sum(
+                        (F.col("c") / F.col(total_col))
+                        * F.log2(F.col("c") / F.col(total_col))
+                    ),
+                    4,
+                ).alias(out)
+            )
+        )
+
+    h1 = entropy(toks, "n_tokens", "h_unigram_bits")
+    h2 = entropy(grams, "n_bigrams", "h_bigram_bits")
+    return (
+        h1.join(h2, "source")
+        .selectExpr(
+            "source",
+            "n_tokens",
+            "n_bigrams",
+            "h_unigram_bits",
+            "h_bigram_bits",
+            "h_bigram_bits - h_unigram_bits AS entropy_rate_bits",
+        )
+        .orderBy("source")
+    )
+
+
+ENTROPY_RATE_ORACLE = """
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), tc AS (
+  SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), t_tot AS (
+  SELECT source, SUM(c) AS n_tokens FROM tc GROUP BY source
+), h1 AS (
+  SELECT tc.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         ROUND(-SUM((c * 1.0 / n_tokens) * LOG2(c * 1.0 / n_tokens)), 4)
+           AS h_unigram_bits
+  FROM tc JOIN t_tot USING (source)
+  GROUP BY tc.source, n_tokens
+), doc_w AS (
+  SELECT source, STRING_SPLIT(LOWER(text), ' ') AS w
+  FROM documents WHERE text IS NOT NULL
+), grams AS (
+  SELECT source,
+         UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM doc_w WHERE LEN(w) >= 2
+), gc AS (
+  SELECT source, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+), g_tot AS (
+  SELECT source, SUM(c) AS n_bigrams FROM gc GROUP BY source
+), h2 AS (
+  SELECT gc.source, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+         ROUND(-SUM((c * 1.0 / n_bigrams) * LOG2(c * 1.0 / n_bigrams)), 4)
+           AS h_bigram_bits
+  FROM gc JOIN g_tot USING (source)
+  GROUP BY gc.source, n_bigrams
+)
+SELECT source, n_tokens, n_bigrams, h_unigram_bits, h_bigram_bits,
+       h_bigram_bits - h_unigram_bits AS entropy_rate_bits
+FROM h1 JOIN h2 USING (source)
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------
+# 19. DSIR-style importance bucketing (integer-exact variant)
+# ---------------------------------------------------------------------
+
+def dsir_importance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection importance weighting in the style of DSIR
+    (hashed-feature importance resampling): the TARGET distribution
+    is the lang='en' slice; every token hashes into one of 256 md5
+    buckets; each bucket gets an add-one-smoothed target/raw
+    probability ratio quantized to integer ten-thousandths; a
+    document's importance score is the exact integer SUM of its
+    tokens' ratio points (the arithmetic-mean variant of DSIR's
+    log-ratio sum — a deliberate integer-exact substitution, stated
+    here, chosen so no libm call and no order-dependent float sum
+    sits on the parity path). Documents are then cut into QUINTILES of
+    the per-token normalized score (length-invariant) from its value
+    frame, and each quintile reports
+    its size and its actual target-language purity — the audit that
+    shows whether importance selection would actually concentrate
+    target-like data.
+
+    Scale shape: 256-row broadcast feature table (two aggregations
+    of the hashed token stream); per-doc scores are one map-side
+    join + integer sum; quintile assignment and purity run over the
+    score VALUE frame. Everything integer until four half-up
+    emissions.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("t"),
+    )
+    h = F.md5(F.col("t"))
+    b = (md5_nibble(h, 1) * 16 + md5_nibble(h, 2)).alias("b")
+    hashed = tok.select("doc_id", "lang", b)
+    buckets = hashed.groupBy("b").agg(
+        F.count("*").alias("c_all"),
+        F.sum(
+            F.when(F.col("lang") == "en", 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    tots = buckets.agg(
+        F.sum("c_all").alias("c_sum"), F.sum("c_tgt").alias("t_sum")
+    )
+    # ratio points: round(1e4 * p_b/q_b) with add-one smoothing over
+    # 256 buckets; exact integer rational both engines
+    feats = buckets.crossJoin(F.broadcast(tots)).selectExpr(
+        "b",
+        "(20000 * (CAST(c_tgt AS DECIMAL(38,0)) + 1) * (c_sum + 256)"
+        " + (CAST(t_sum AS DECIMAL(38,0)) + 256) * (c_all + 1))"
+        " DIV (2 * (CAST(t_sum AS DECIMAL(38,0)) + 256) * (c_all + 1))"
+        " AS w_pts",
+    )
+    perdoc = (
+        hashed.join(F.broadcast(feats), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w_pts").alias("score"),
+            F.count("*").alias("n_tok"),
+        )
+        # length-invariant per-token score (integer, 1e-4 ratio
+        # units) — quintiles over the TOTAL would just rank length
+        .withColumn(
+            "snorm", F.expr("(2 * score + n_tok) DIV (2 * n_tok)")
+        )
+    )
+    byval = perdoc.groupBy("snorm").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos"),
+        F.sum("n_tok").alias("toks"),
+        F.sum(F.col("score").cast("decimal(38,0)")).alias("ssum"),
+    )
+    n = byval.agg(F.sum("cnt").alias("n_total"))
+    ws = Window.orderBy("snorm").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    q = (
+        byval.withColumn(
+            "cum_before", F.coalesce(F.sum("cnt").over(ws), F.lit(0))
+        )
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "CAST((cum_before * 5) DIV n_total AS INT) AS quintile",
+            "cnt",
+            "pos",
+            "toks",
+            "ssum",
+        )
+        .groupBy("quintile")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum("pos").alias("n_target_lang"),
+            F.sum("ssum").alias("score_sum"),
+            F.sum("toks").alias("tok_sum"),
+        )
+    )
+    return q.selectExpr(
+        "quintile",
+        "n_docs",
+        "n_target_lang",
+        nm.half_up_spark_sql("n_target_lang", "n_docs", 6)
+        + " AS target_purity",
+        # mean per-token ratio points /1e4 = mean importance ratio
+        nm.half_up_spark_sql("score_sum", "tok_sum * 10000", 6)
+        + " AS mean_importance_ratio",
+    ).orderBy("quintile")
+
+
+DSIR_BUCKETS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id, lang,
+         {md5_nibble_sql("MD5(t)", 1)} * 16
+         + {md5_nibble_sql("MD5(t)", 2)} AS b
+  FROM tok
+), buckets AS (
+  SELECT b, COUNT(*) AS c_all,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+  FROM hashed GROUP BY b
+), tots AS (
+  SELECT CAST(SUM(c_all) AS HUGEINT) AS c_sum,
+         CAST(SUM(c_tgt) AS HUGEINT) AS t_sum
+  FROM buckets
+), feats AS (
+  SELECT b,
+         (20000 * (CAST(c_tgt AS HUGEINT) + 1) * (c_sum + 256)
+          + (t_sum + 256) * (c_all + 1))
+         // (2 * ((t_sum + 256) * (c_all + 1))) AS w_pts
+  FROM buckets CROSS JOIN tots
+), perdoc AS (
+  SELECT doc_id, lang, SUM(w_pts) AS score, COUNT(*) AS n_tok,
+         (2 * SUM(w_pts) + COUNT(*)) // (2 * COUNT(*)) AS snorm
+  FROM hashed JOIN feats USING (b)
+  GROUP BY 1, 2
+), byval AS (
+  SELECT snorm, COUNT(*) AS cnt,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         SUM(n_tok) AS toks,
+         SUM(CAST(score AS HUGEINT)) AS ssum
+  FROM perdoc GROUP BY snorm
+), n AS (SELECT SUM(cnt) AS n_total FROM byval),
+q AS (
+  SELECT CAST((COALESCE(SUM(cnt) OVER (ORDER BY snorm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               * 5) // n_total AS INT) AS quintile,
+         cnt, pos, toks, ssum
+  FROM byval CROSS JOIN n
+), grp AS (
+  SELECT quintile, SUM(cnt) AS n_docs, SUM(pos) AS n_target_lang,
+         SUM(ssum) AS score_sum,
+         SUM(CAST(toks AS HUGEINT)) AS tok_sum
+  FROM q GROUP BY quintile
+)
+SELECT quintile,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_target_lang AS BIGINT) AS n_target_lang,
+       ((n_target_lang * 2000000 + n_docs) // (2 * n_docs)) / 1e6
+         AS target_purity,
+       ((score_sum * 2000000 + tok_sum * 10000)
+        // (2 * (tok_sum * 10000))) / 1e6 AS mean_importance_ratio
+FROM grp
+ORDER BY quintile
+"""
+
+
+# ---------------------------------------------------------------------
+# 20. Fellegi-Sunter m/u agreement weights for record linkage
+# ---------------------------------------------------------------------
+
+def fellegi_sunter_mu_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter record-linkage calibration: for three cheap
+    comparison fields (same source, same length band of 100 chars,
+    same first token), the m-probability P(field agrees | match) —
+    measured on true near-duplicate pairs (3-gram Jaccard >= 0.7) —
+    and the u-probability P(field agrees | non-match), measured on a
+    deterministic derangement of the corpus (doc i paired with doc
+    (i + N/2) mod N, minus any true pairs). The m/u ratio per field
+    IS the agreement weight a linkage engine assigns; fields whose
+    ratio ~ 1 carry no signal and get dropped before any 100 TB
+    blocking join.
+
+    Scale shape: match pairs ride the df-capped inverted-index join;
+    the non-match sample is ONE arithmetic self-join (each doc joins
+    exactly one partner — linear, no blocking blowup) anti-joined
+    against the match set; field agreements are computed after two
+    attribute joins keyed on doc_id. Counts exact; three half-up
+    emissions per field row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    attrs = docs.select(
+        "doc_id",
+        "source",
+        F.expr("n_chars DIV 100").alias("band"),
+        F.element_at(F.split(F.lower("text"), " "), 1).alias("tok1"),
+    )
+    matches = dd.ngram_jaccard_pairs(
+        docs, shingle_len=3, threshold=0.7
+    ).select("id_a", "id_b")
+    nn = docs.agg(F.count("*").alias("n"))
+    derange = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "doc_id AS id_a",
+            "(doc_id + n DIV 2) % n AS id_b",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(matches, ["id_a", "id_b"], "left_anti")
+    )
+
+    def agreements(pairs: DataFrame, label: str) -> DataFrame:
+        a = attrs.selectExpr(
+            "doc_id AS id_a", "source AS s1", "band AS b1", "tok1 AS t1"
+        )
+        c = attrs.selectExpr(
+            "doc_id AS id_b", "source AS s2", "band AS b2", "tok1 AS t2"
+        )
+        j = pairs.join(a, "id_a").join(c, "id_b")
+        return j.agg(
+            F.count("*").alias(f"n_{label}"),
+            F.sum(F.expr("CAST(s1 = s2 AS INT)")).alias(f"src_{label}"),
+            F.sum(F.expr("CAST(b1 = b2 AS INT)")).alias(f"band_{label}"),
+            F.sum(F.expr("CAST(t1 = t2 AS INT)")).alias(f"tok_{label}"),
+        )
+    m = agreements(matches, "m")
+    u = agreements(derange, "u")
+    wide = m.crossJoin(F.broadcast(u))
+    field = (
+        wide.selectExpr(
+            "'same_source' AS field",
+            "src_m AS agree_m",
+            "n_m AS n_match",
+            "src_u AS agree_u",
+            "n_u AS n_nonmatch",
+        )
+        .unionByName(
+            wide.selectExpr(
+                "'same_length_band' AS field",
+                "band_m AS agree_m",
+                "n_m AS n_match",
+                "band_u AS agree_u",
+                "n_u AS n_nonmatch",
+            )
+        )
+        .unionByName(
+            wide.selectExpr(
+                "'same_first_token' AS field",
+                "tok_m AS agree_m",
+                "n_m AS n_match",
+                "tok_u AS agree_u",
+                "n_u AS n_nonmatch",
+            )
+        )
+    )
+    return field.selectExpr(
+        "field",
+        "agree_m",
+        "n_match",
+        "agree_u",
+        "n_nonmatch",
+        "CASE WHEN n_match > 0 THEN "
+        + nm.half_up_spark_sql("agree_m", "n_match", 6)
+        + " ELSE 0.0 END AS m_prob",
+        "CASE WHEN n_nonmatch > 0 THEN "
+        + nm.half_up_spark_sql("agree_u", "n_nonmatch", 6)
+        + " ELSE 0.0 END AS u_prob",
+        "CASE WHEN agree_u > 0 AND n_match > 0 THEN "
+        + nm.half_up_spark_sql(
+            "CAST(agree_m AS DECIMAL(38,0)) * n_nonmatch",
+            "CAST(agree_u AS DECIMAL(38,0)) * n_match",
+            4,
+        )
+        + " ELSE 0.0 END AS mu_ratio",
+    ).orderBy("field")
+
+
+FELLEGI_SUNTER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+  FROM toks WHERE LEN(w) >= 3
+), sizes AS (
+  SELECT doc_id, LEN(g) AS n FROM grams
+), inv AS (
+  SELECT doc_id, UNNEST(g) AS gram FROM grams
+), inv_r AS (
+  SELECT i.doc_id, i.gram, d.df <= 10000 AS rare
+  FROM inv i
+  JOIN (SELECT gram, COUNT(*) AS df FROM inv GROUP BY gram) d
+    ON i.gram = d.gram
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM inv_r a JOIN inv_r b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING MAX(CASE WHEN a.rare THEN 1 ELSE 0 END) = 1
+), matches AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+), attrs AS (
+  SELECT doc_id, source,
+         n_chars // 100 AS band,
+         STRING_SPLIT(LOWER(text), ' ')[1] AS tok1
+  FROM documents
+), nn AS (SELECT COUNT(*) AS n FROM documents),
+derange AS (
+  SELECT d.doc_id AS id_a, (d.doc_id + n // 2) % n AS id_b
+  FROM documents d CROSS JOIN nn
+  WHERE d.doc_id < (d.doc_id + n // 2) % n
+    AND NOT EXISTS (
+      SELECT 1 FROM matches m
+      WHERE m.id_a = d.doc_id AND m.id_b = (d.doc_id + n // 2) % n
+    )
+), m AS (
+  SELECT COUNT(*) AS n_m,
+         SUM(CAST(a1.source = a2.source AS INT)) AS src_m,
+         SUM(CAST(a1.band = a2.band AS INT)) AS band_m,
+         SUM(CAST(a1.tok1 = a2.tok1 AS INT)) AS tok_m
+  FROM matches
+  JOIN attrs a1 ON a1.doc_id = matches.id_a
+  JOIN attrs a2 ON a2.doc_id = matches.id_b
+), u AS (
+  SELECT COUNT(*) AS n_u,
+         SUM(CAST(a1.source = a2.source AS INT)) AS src_u,
+         SUM(CAST(a1.band = a2.band AS INT)) AS band_u,
+         SUM(CAST(a1.tok1 = a2.tok1 AS INT)) AS tok_u
+  FROM derange
+  JOIN attrs a1 ON a1.doc_id = derange.id_a
+  JOIN attrs a2 ON a2.doc_id = derange.id_b
+), field AS (
+  SELECT 'same_source' AS field, src_m AS agree_m, n_m AS n_match,
+         src_u AS agree_u, n_u AS n_nonmatch FROM m CROSS JOIN u
+  UNION ALL
+  SELECT 'same_length_band', band_m, n_m, band_u, n_u
+  FROM m CROSS JOIN u
+  UNION ALL
+  SELECT 'same_first_token', tok_m, n_m, tok_u, n_u
+  FROM m CROSS JOIN u
+)
+SELECT field,
+       CAST(agree_m AS BIGINT) AS agree_m,
+       CAST(n_match AS BIGINT) AS n_match,
+       CAST(agree_u AS BIGINT) AS agree_u,
+       CAST(n_nonmatch AS BIGINT) AS n_nonmatch,
+       CASE WHEN n_match > 0 THEN
+         ((agree_m * 2000000 + n_match) // (2 * n_match)) / 1e6
+       ELSE 0.0 END AS m_prob,
+       CASE WHEN n_nonmatch > 0 THEN
+         ((agree_u * 2000000 + n_nonmatch) // (2 * n_nonmatch)) / 1e6
+       ELSE 0.0 END AS u_prob,
+       CASE WHEN agree_u > 0 AND n_match > 0 THEN
+         ((CAST(agree_m AS HUGEINT) * n_nonmatch * 20000
+           + CAST(agree_u AS HUGEINT) * n_match)
+          // (2 * (CAST(agree_u AS HUGEINT) * n_match))) / 1e4
+       ELSE 0.0 END AS mu_ratio
+FROM field
+ORDER BY field
+"""

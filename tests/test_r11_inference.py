@@ -261,3 +261,70 @@ def test_quality_lift_monotone_gains(spark):
     assert abs(shares[-1] - 1.0) < 1e-9
     assert abs(rows[-1].lift - 1.0) < 1e-9
     assert rows[-1].cum_docs == sum(r.n_docs for r in rows)
+
+
+# ----------------------- batch 3 pins --------------------------------
+
+def test_mood_above_counts_and_chi2(spark):
+    """Above-median counts are bounded by group sizes; the global
+    median is attained; chi2 >= 0."""
+    rows = inf.mood_median_test(spark, SF_DIR).collect()
+    assert rows[0].mood_chi2 >= 0.0
+    total_above = sum(r.n_above_median for r in rows)
+    n = rows[0].n_total
+    # strictly-above count is at most half the corpus (lower median)
+    assert 0 <= total_above <= n // 2 + 1
+    for r in rows:
+        assert 0 <= r.n_above_median <= r.n_docs_src
+
+
+def test_entropy_rate_bounds(spark):
+    """0 <= H(unigram) <= H(bigram) <= 2*H(unigram)-ish bounds:
+    specifically rate in [0 - eps, H(unigram)] for a stationary-ish
+    source (conditioning cannot increase entropy; a bigram carries at
+    most twice the unigram bits)."""
+    rows = inf.entropy_rate_bigram(spark, SF_DIR).collect()
+    for r in rows:
+        assert r.h_unigram_bits >= 0.0
+        assert r.h_bigram_bits >= r.h_unigram_bits - 1e-4
+        assert r.h_bigram_bits <= 2 * r.h_unigram_bits + 1e-4
+        assert -1e-4 <= r.entropy_rate_bits <= r.h_unigram_bits + 1e-4
+
+
+def test_dsir_quintiles_partition_and_purity(spark):
+    """Quintiles partition the corpus; purity is a valid share; the
+    top quintile is at least as target-pure as the bottom one
+    (importance weighting must concentrate the target)."""
+    import duckdb as dk
+
+    rows = inf.dsir_importance_buckets(spark, SF_DIR).collect()
+    con = dk.connect()
+    n = con.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r.n_docs for r in rows) == n
+    for r in rows:
+        assert 0.0 <= r.target_purity <= 1.0
+        assert r.mean_importance_ratio > 0.0
+    bottom = rows[0]
+    top = rows[-1]
+    # snorm quantizes the per-token mean at 1e-4; allow that slack
+    assert (top.mean_importance_ratio
+            >= bottom.mean_importance_ratio - 2e-4)
+    assert top.target_purity >= bottom.target_purity
+
+
+def test_fellegi_sunter_probabilities(spark):
+    """m and u are valid probabilities over their populations; every
+    field row shares the same pair counts."""
+    rows = inf.fellegi_sunter_mu_weights(spark, SF_DIR).collect()
+    assert len(rows) == 3
+    n_match = {r.n_match for r in rows}
+    n_non = {r.n_nonmatch for r in rows}
+    assert len(n_match) == 1 and len(n_non) == 1
+    for r in rows:
+        assert 0 <= r.agree_m <= r.n_match
+        assert 0 <= r.agree_u <= r.n_nonmatch
+        assert 0.0 <= r.m_prob <= 1.0
+        assert 0.0 <= r.u_prob <= 1.0
