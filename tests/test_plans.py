@@ -180,6 +180,23 @@ _INTENTIONAL_NLJ = {
     "corpus_datacard_report",     # 1-row token-stats crossJoin
     # round-10 batch-5 statistics queries (plans/measures.py)
     "qq_decile_drift",            # 9-row decile-spine broadcast
+    # round-11 inference queries (plans/inference.py) — every NLJ is
+    # a 1-row scalar attach or a value/cell-frame join bounded by
+    # value cardinality, never corpus-sized on both sides
+    "kendall_tau_decile_assoc",   # <=100-cell joint-frame theta self-join + 1-row totals
+    "kruskal_wallis_by_source",   # 1-row H/tie-correction scalar attach
+    "levene_brown_forsythe",      # 1-row W scalar attach + totals
+    "lsh_band_planning",          # 50-row S-curve literal + 1-row pair total
+    "bootstrap_mean_ci_events",   # 1-row point-stats crossJoin
+    "graph_degree_assortativity", # 1-row node-count crossJoin (graph gen)
+    "jsd_source_token_divergence",  # 1-row corpus-total crossJoin
+    "cramers_v_source_lang",      # marginal grid + 1-row dims/total attaches
+    "runs_test_daily_counts",     # 1-row median/day-count crossJoins
+    "friedman_event_types_by_day",  # day x type spine + 1-row chi2 attach
+    "quality_decile_lift",        # 1-row totals crossJoin
+    "mood_median_test",           # 1-row median + chi2 scalar attaches
+    "dsir_importance_buckets",    # 256-row feature-table broadcast + 1-row total
+    "fellegi_sunter_mu_weights",  # 1-row m/u summary crossJoin + 1-row N attach
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,

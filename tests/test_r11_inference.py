@@ -328,3 +328,26 @@ def test_fellegi_sunter_probabilities(spark):
         assert 0 <= r.agree_u <= r.n_nonmatch
         assert 0.0 <= r.m_prob <= 1.0
         assert 0.0 <= r.u_prob <= 1.0
+
+
+def test_bootstrap_weight_bit_decomposition_is_binomial():
+    """The multiplier-bootstrap weight w(v8) = #{bit-pairs of v8 that
+    equal 00} realizes EXACTLY Binomial(4, 1/4) over the uniform
+    byte: counts {0: 81, 1: 108, 2: 54, 3: 12, 4: 1} out of 256 —
+    C(4,k) * 3^(4-k). Pure arithmetic mirror of the SQL expression;
+    a wrong bit split (e.g. overlapping shifts) breaks this
+    immediately."""
+    from collections import Counter
+
+    def w(v8: int) -> int:
+        return (
+            int(v8 // 64 == 0)
+            + int((v8 // 16) % 4 == 0)
+            + int((v8 // 4) % 4 == 0)
+            + int(v8 % 4 == 0)
+        )
+
+    hist = Counter(w(v) for v in range(256))
+    assert hist == {0: 81, 1: 108, 2: 54, 3: 12, 4: 1}
+    # mean exactly 1: sum k * count = 256
+    assert sum(k * c for k, c in hist.items()) == 256
