@@ -88,3 +88,32 @@ def half_up_duck_sql(num_sql: str, den_sql: str, k: int) -> str:
         f"((CAST({num_sql} AS HUGEINT) * {2 * scale} + ({den_sql}))"
         f" // (2 * ({den_sql}))) / 1e{k}"
     )
+
+
+def half_up_scaled_spark_sql(num_sql: str, den_sql: str, k: int) -> str:
+    """round-half-up(num/den, k) emitted as the SCALED INTEGER
+    ``round(num/den * 10^k)`` — BIGINT, never DOUBLE: ``(num*2*10^k +
+    den) div (2*den)``. The all-integer emission for hash-gated
+    columns: the plain helpers' trailing ``/ 1e{k}`` puts one DOUBLE
+    division on the driver's hash path, and the r11 gate produced a
+    hash-only miss (``mcnemar_filter_agreement``) on values that are
+    bit-identical across both engines locally — the only remaining
+    degree of freedom was the driver environment's float
+    canonicalization of that division. A BIGINT column removes the
+    class. Requires num >= 0, den > 0, same as the DOUBLE form."""
+    scale = 10**k
+    return (
+        f"CAST((({num_sql}) * {2 * scale} + ({den_sql}))"
+        f" div (2 * ({den_sql})) AS BIGINT)"
+    )
+
+
+def half_up_scaled_duck_sql(num_sql: str, den_sql: str, k: int) -> str:
+    """DuckDB oracle twin of :func:`half_up_scaled_spark_sql`:
+    ``(num*2*10^k + den) // (2*den)`` CAST to BIGINT (the HUGEINT
+    intermediate would otherwise reach pandas as float64)."""
+    scale = 10**k
+    return (
+        f"CAST(((CAST({num_sql} AS HUGEINT) * {2 * scale} + ({den_sql}))"
+        f" // (2 * ({den_sql}))) AS BIGINT)"
+    )

@@ -590,7 +590,14 @@ def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     discordant cells answers "do the two filters reject *different*
     documents beyond noise?" — the decision test for replacing an
     expensive filter with a cheap proxy. Emits the full 2x2 table,
-    the raw statistic, and the Edwards continuity-corrected variant.
+    the raw statistic, and the Edwards continuity-corrected variant,
+    both as exact integer PPM (statistic * 1e6, round-half-up) —
+    BIGINT end to end. The r11 driver gate hash-missed the former
+    DOUBLE spelling on values that are bit-identical across both
+    engines at sf0.001/0.01/0.1 locally; the scaled-integer emission
+    removes the only degree of freedom that was left (float
+    canonicalization of the final /1e6 division in the driver's
+    hashing environment).
 
     Scale shape: a single scan, one 4-way conditional aggregate, no
     shuffle beyond the 1-row final combine. All integers; two exact
@@ -624,22 +631,22 @@ def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b_only",
         "n_neither",
         "CASE WHEN n_a_only + n_b_only > 0 THEN "
-        + nm.half_up_spark_sql(
+        + nm.half_up_scaled_spark_sql(
             "CAST(n_a_only - n_b_only AS DECIMAL(38,0))"
             " * (n_a_only - n_b_only)",
             "n_a_only + n_b_only",
             6,
         )
-        + " ELSE 0.0 END AS mcnemar_chi2",
+        + " ELSE CAST(0 AS BIGINT) END AS mcnemar_chi2_ppm",
         "CASE WHEN n_a_only + n_b_only > 0 THEN "
-        + nm.half_up_spark_sql(
+        + nm.half_up_scaled_spark_sql(
             "GREATEST(ABS(CAST(n_a_only - n_b_only AS DECIMAL(38,0))) - 1,"
             " 0) * GREATEST(ABS(CAST(n_a_only - n_b_only"
             " AS DECIMAL(38,0))) - 1, 0)",
             "n_a_only + n_b_only",
             6,
         )
-        + " ELSE 0.0 END AS mcnemar_cc",
+        + " ELSE CAST(0 AS BIGINT) END AS mcnemar_cc_ppm",
     )
 
 
@@ -655,18 +662,22 @@ WITH flags AS (
          SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n_neither
   FROM flags
 )
-SELECT n_both, n_a_only, n_b_only, n_neither,
+SELECT CAST(n_both AS BIGINT) AS n_both,
+       CAST(n_a_only AS BIGINT) AS n_a_only,
+       CAST(n_b_only AS BIGINT) AS n_b_only,
+       CAST(n_neither AS BIGINT) AS n_neither,
        CASE WHEN n_a_only + n_b_only > 0 THEN
-         ((CAST(n_a_only - n_b_only AS HUGEINT) * (n_a_only - n_b_only)
-           * 2000000 + (n_a_only + n_b_only))
-          // (2 * (n_a_only + n_b_only))) / 1e6
-       ELSE 0.0 END AS mcnemar_chi2,
+         CAST(((CAST(n_a_only - n_b_only AS HUGEINT)
+                * (n_a_only - n_b_only)
+                * 2000000 + (n_a_only + n_b_only))
+               // (2 * (n_a_only + n_b_only))) AS BIGINT)
+       ELSE 0 END AS mcnemar_chi2_ppm,
        CASE WHEN n_a_only + n_b_only > 0 THEN
-         ((GREATEST(ABS(CAST(n_a_only - n_b_only AS HUGEINT)) - 1, 0)
-           * GREATEST(ABS(CAST(n_a_only - n_b_only AS HUGEINT)) - 1, 0)
-           * 2000000 + (n_a_only + n_b_only))
-          // (2 * (n_a_only + n_b_only))) / 1e6
-       ELSE 0.0 END AS mcnemar_cc
+         CAST(((GREATEST(ABS(CAST(n_a_only - n_b_only AS HUGEINT)) - 1, 0)
+                * GREATEST(ABS(CAST(n_a_only - n_b_only AS HUGEINT)) - 1, 0)
+                * 2000000 + (n_a_only + n_b_only))
+               // (2 * (n_a_only + n_b_only))) AS BIGINT)
+       ELSE 0 END AS mcnemar_cc_ppm
 FROM agg
 """
 
@@ -854,13 +865,24 @@ def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     means are exact integer micro-units via one half-up division
     each (weighted sums accumulate DECIMAL(38,0)/HUGEINT); the
     percentile pick is one ordered window over exactly 64 rows.
-    Value quantization is the repo-wide micros idiom.
+    Value quantization is the repo-wide micros idiom. Negative
+    values are handled by the offset-shift pattern numerics.py
+    mandates (half-up is only defined for non-negative numerators,
+    and Spark ``div`` truncates while DuckDB ``//`` floors): every
+    division runs in a non-negative frame shifted by ``off =
+    max(0, -min(vm))`` and the integer off is subtracted back after
+    the div — round-half-up commutes with integer shifts, so the
+    emitted values are unchanged when off = 0 (all current
+    fixtures) and exact either way.
     """
     events = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
     )
     vm = F.round(F.round("value", 6) * 1_000_000.0, 0).cast("long")
     base = events.select("event_id", vm.alias("vm"))
+    offdf = base.agg(F.min("vm").alias("mn")).selectExpr(
+        "GREATEST(-mn, CAST(0 AS BIGINT)) AS off"
+    )
     point = base.agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("vm").cast("decimal(38,0)")).alias("sum_vm"),
@@ -892,8 +914,11 @@ def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wx"),
         )
         .filter(F.col("wsum") > 0)
+        .crossJoin(F.broadcast(offdf))
         .selectExpr(
-            "rep", "(2 * wx + wsum) DIV (2 * wsum) AS rep_mean_micros"
+            "rep",
+            "(2 * (wx + CAST(wsum AS DECIMAL(38,0)) * off) + wsum)"
+            " DIV (2 * wsum) - off AS rep_mean_micros",
         )
     )
     wnd = Window.orderBy("rep_mean_micros", "rep")
@@ -907,13 +932,18 @@ def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == 61, F.col("rep_mean_micros"))
         ).alias("hi_micros"),
     )
-    return ci.crossJoin(F.broadcast(point)).selectExpr(
-        "n_events",
-        "n_replicates",
-        nm.half_up_spark_sql("sum_vm", "n_events * 1000000", 6)
-        + " AS mean_value",
-        "CAST(lo_micros AS DOUBLE) / 1e6 AS boot_ci_lo",
-        "CAST(hi_micros AS DOUBLE) / 1e6 AS boot_ci_hi",
+    return (
+        ci.crossJoin(F.broadcast(point))
+        .crossJoin(F.broadcast(offdf))
+        .selectExpr(
+            "n_events",
+            "n_replicates",
+            "((2 * (sum_vm + CAST(n_events AS DECIMAL(38,0)) * off)"
+            " + n_events) DIV (2 * n_events) - off) / 1e6"
+            " AS mean_value",
+            "CAST(lo_micros AS DOUBLE) / 1e6 AS boot_ci_lo",
+            "CAST(hi_micros AS DOUBLE) / 1e6 AS boot_ci_hi",
+        )
     )
 
 
@@ -922,6 +952,8 @@ WITH base AS (
   SELECT event_id,
          CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT) AS vm
   FROM events WHERE value IS NOT NULL
+), off AS (
+  SELECT GREATEST(-MIN(vm), 0) AS off FROM base
 ), point AS (
   SELECT COUNT(*) AS n_events, SUM(CAST(vm AS HUGEINT)) AS sum_vm
   FROM base
@@ -941,18 +973,23 @@ WITH base AS (
   FROM reps
 ), per_rep AS (
   SELECT rep,
-         (2 * SUM(CAST(CAST(v8 // 64 = 0 AS INT)
+         (2 * (SUM(CAST(CAST(v8 // 64 = 0 AS INT)
                    + CAST((v8 // 16) % 4 = 0 AS INT)
                    + CAST((v8 // 4) % 4 = 0 AS INT)
                    + CAST(v8 % 4 = 0 AS INT) AS HUGEINT) * vm)
+               + SUM(CAST(CAST(v8 // 64 = 0 AS INT)
+                     + CAST((v8 // 16) % 4 = 0 AS INT)
+                     + CAST((v8 // 4) % 4 = 0 AS INT)
+                     + CAST(v8 % 4 = 0 AS INT) AS HUGEINT)) * MAX(off))
           + SUM(CAST(v8 // 64 = 0 AS INT) + CAST((v8 // 16) % 4 = 0 AS INT)
                 + CAST((v8 // 4) % 4 = 0 AS INT) + CAST(v8 % 4 = 0 AS INT)))
          // (2 * SUM(CAST(v8 // 64 = 0 AS INT)
                      + CAST((v8 // 16) % 4 = 0 AS INT)
                      + CAST((v8 // 4) % 4 = 0 AS INT)
                      + CAST(v8 % 4 = 0 AS INT)))
+         - MAX(off)
            AS rep_mean_micros
-  FROM wts
+  FROM wts CROSS JOIN off
   GROUP BY rep
   HAVING SUM(CAST(v8 // 64 = 0 AS INT) + CAST((v8 // 16) % 4 = 0 AS INT)
              + CAST((v8 // 4) % 4 = 0 AS INT)
@@ -968,11 +1005,11 @@ WITH base AS (
   FROM ranked
 )
 SELECT n_events, n_replicates,
-       ((2 * sum_vm * 1000000 + n_events * 1000000)
-        // (2 * (n_events * 1000000))) / 1e6 AS mean_value,
+       ((2 * (sum_vm + CAST(n_events AS HUGEINT) * off) + n_events)
+        // (2 * n_events) - off) / 1e6 AS mean_value,
        CAST(lo_micros AS DOUBLE) / 1e6 AS boot_ci_lo,
        CAST(hi_micros AS DOUBLE) / 1e6 AS boot_ci_hi
-FROM ci CROSS JOIN point
+FROM ci CROSS JOIN point CROSS JOIN off
 """
 
 
@@ -1408,8 +1445,7 @@ def runs_test_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "  / SQRT(CAST(2 * n_above * n_below"
         "       * (2 * n_above * n_below - n_above - n_below)"
         "         AS DOUBLE))"
-        "  * SQRT(CAST(n_above + n_below - 1 AS DOUBLE))"
-        "  / CAST(n_above + n_below AS DOUBLE), 6)"
+        "  * SQRT(CAST(n_above + n_below - 1 AS DOUBLE)), 6)"
         " ELSE 0.0 END AS runs_z",
     )
 
@@ -1447,8 +1483,7 @@ SELECT CAST(n_above + n_below AS BIGINT) AS n_days_used,
          / SQRT(CAST(2 * n_above * n_below
               * (2 * n_above * n_below - n_above - n_below)
                 AS DOUBLE))
-         * SQRT(CAST(n_above + n_below - 1 AS DOUBLE))
-         / CAST(n_above + n_below AS DOUBLE), 6)
+         * SQRT(CAST(n_above + n_below - 1 AS DOUBLE)), 6)
         ELSE 0.0 END AS runs_z
 FROM runs
 """
@@ -1720,7 +1755,9 @@ def herfindahl_token_concentration(
     DECIMAL(38,0)/HUGEINT products (k * sum(c_i^2) >= T^2 by
     Cauchy-Schwarz keeps the normalized numerator non-negative).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     per = docs.select(
         "source",
         F.size(F.split(F.lower("text"), " ")).alias("nt"),
@@ -1748,7 +1785,7 @@ HERFINDAHL_ORACLE = """
 WITH per AS (
   SELECT source,
          SUM(CAST(LEN(STRING_SPLIT(LOWER(text), ' ')) AS HUGEINT)) AS c
-  FROM documents GROUP BY source
+  FROM documents WHERE text IS NOT NULL GROUP BY source
 ), agg AS (
   SELECT COUNT(*) AS n_sources, SUM(c) AS t, SUM(c * c) AS sq FROM per
 )

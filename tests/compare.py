@@ -44,10 +44,18 @@ def _norm_cell(v):
 
 
 def normalize(df: pd.DataFrame) -> list[tuple]:
+    """Row tuples via itertuples, NOT iterrows: iterrows materializes
+    each row as a Series upcast to one common dtype, so an int64
+    count column silently becomes float64 whenever any float column
+    shares the row — which made the r11 local parity suite blind to
+    the mcnemar oracle emitting HUGEINT counts (float64 in pandas)
+    against Spark's BIGINT. The driver canonicalizes per cell and
+    DOES distinguish 253 from 253.0, so the local mirror must too."""
     cols = sorted(df.columns)
-    out = []
-    for _, row in df[cols].iterrows():
-        out.append(tuple(_norm_cell(row[c]) for c in cols))
+    out = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
     out.sort()
     return out
 

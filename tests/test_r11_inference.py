@@ -140,8 +140,14 @@ def test_mcnemar_partition_and_stat(spark):
     )
     b, c = row.n_a_only, row.n_b_only
     if b + c > 0:
-        assert abs(row.mcnemar_chi2 - (b - c) ** 2 / (b + c)) < 1e-5
-        assert row.mcnemar_cc <= row.mcnemar_chi2
+        import decimal
+
+        exact = (
+            decimal.Decimal((b - c) ** 2 * 10**6) / (b + c)
+        ).to_integral_value(rounding=decimal.ROUND_HALF_UP)
+        assert row.mcnemar_chi2_ppm == int(exact)
+        assert isinstance(row.mcnemar_chi2_ppm, int)
+        assert row.mcnemar_cc_ppm <= row.mcnemar_chi2_ppm
 
 
 def test_lsh_scurve_monotonicity(spark):
@@ -215,13 +221,27 @@ def test_cochran_q_reduces_to_mcnemar_shape(spark):
 
 
 def test_runs_test_run_count_bounds(spark):
-    """1 <= runs <= n_days_used; and runs >= 2 whenever both signs
-    are present."""
+    """1 <= runs <= n_days_used; runs >= 2 whenever both signs are
+    present; and z equals the textbook closed form z = (R - mu) /
+    sigma with mu = 2ab/N + 1 and sigma^2 = 2ab(2ab - N) /
+    (N^2 (N - 1)) — the pin that caught the r11 advisor finding
+    (an extra /N deflated |z| ~n-fold, so the test never rejected
+    randomness)."""
+    import math
+
     row = inf.runs_test_daily_counts(spark, SF_DIR).collect()[0]
     assert 1 <= row.n_runs <= row.n_days_used
     if row.n_above > 0 and row.n_below > 0:
         assert row.n_runs >= 2
     assert row.n_above + row.n_below == row.n_days_used
+    a, b, r = row.n_above, row.n_below, row.n_runs
+    n = a + b
+    if a > 0 and b > 0 and 2 * a * b * (2 * a * b - n) > 0:
+        mu = 2.0 * a * b / n + 1.0
+        sigma = math.sqrt(
+            2.0 * a * b * (2.0 * a * b - n) / (n * n * (n - 1.0))
+        )
+        assert abs(row.runs_z - (r - mu) / sigma) < 1e-5
 
 
 def test_friedman_rank_sums_partition(spark):
