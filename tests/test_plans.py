@@ -197,6 +197,15 @@ _INTENTIONAL_NLJ = {
     "mood_median_test",           # 1-row median + chi2 scalar attaches
     "dsir_importance_buckets",    # 256-row feature-table broadcast + 1-row total
     "fellegi_sunter_mu_weights",  # 1-row m/u summary crossJoin + 1-row N attach
+    # round-12 experimentation queries (plans/experiments.py) — same
+    # bounded-cardinality contract: every NLJ is a 1-row scalar
+    # attach or a calendar/catalog-sized spine, never data x data
+    "ams_f2_join_size_estimate",  # 1-row exact-F2 crossJoin onto 1-row sketch
+    "permutation_test_value_diff",  # 1-row observed-statistic broadcast
+    "cuped_adjusted_lift",        # 1-row time-midpoint broadcast
+    "overdispersion_daily_counts",  # |days| x |types| grid (calendar x catalog)
+    "local_clustering_coefficient",  # 1-row node-count crossJoin (graph gen)
+    "hill_tail_index_values",     # 1-row boundary-rank broadcast onto 501-row frame
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
