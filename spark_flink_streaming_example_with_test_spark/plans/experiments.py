@@ -1371,3 +1371,169 @@ SELECT day,
 FROM ph
 ORDER BY day
 """
+
+# ---------------------------------------------------------------------
+# 13. Theil T inequality index of user activity value
+# ---------------------------------------------------------------------
+
+def theil_index_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index over per-user total event value:
+    T = (1/n) * sum((x_i/mu) * ln(x_i/mu)) — the decomposable
+    inequality measure (0 = perfect equality, ln(n) = one user owns
+    everything) that complements the Gini already in the catalog
+    with the entropy-based member of the family.
+
+    Cross-engine exactness via the quantize-then-sum rule
+    (NUMERICS.md): T = (sum_i x_i*ln(x_i))/S - ln(mu); each user's
+    ln(x_i) is quantized to INTEGER ppm immediately, the weighted
+    sum x_i*lnppm_i accumulates DECIMAL(38,0)/HUGEINT exactly, and
+    ln(mu) is ONE libm call quantized once — the emitted statistic
+    is an all-integer expression of quantized logs, bit-stable in
+    both engines.
+
+    Scale shape: one scan -> per-user groupBy -> one 1-row
+    aggregate; the x_i*lnppm_i products stay under 1e17 per user
+    (value micros ~5e9 x ln-ppm ~2.4e7), exact headroom past 1e20
+    users in 38 digits.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vm = _vm_col()
+    users = ev.groupBy("user_id").agg(
+        F.sum(vm).cast("decimal(38,0)").alias("x")
+    ).filter(F.col("x") > 0)
+    terms = users.select(
+        "x",
+        F.round(F.log(F.col("x").cast("double")) * 1_000_000.0, 0)
+        .cast("long")
+        .alias("lnppm"),
+    )
+    agg = terms.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("lnppm")).alias("xl"),
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "(2 * s + n) div (2 * n) AS mean_value_micros",
+        "CASE WHEN n > 0 AND s > 0 THEN "
+        "CAST((2 * xl + s) div (2 * s)"
+        " - CAST(ROUND(LN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+        "         * 1000000.0, 0) AS BIGINT) AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END AS theil_t_ppm",
+    )
+
+
+THEIL_ORACLE = f"""
+WITH users AS (
+  SELECT user_id, CAST(SUM({_VM_DUCK}) AS HUGEINT) AS x
+  FROM events GROUP BY user_id
+  HAVING SUM({_VM_DUCK}) > 0
+), terms AS (
+  SELECT x,
+         CAST(ROUND(LN(CAST(x AS DOUBLE)) * 1000000.0, 0) AS BIGINT)
+           AS lnppm
+  FROM users
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(x) AS s,
+         SUM(x * lnppm) AS xl
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST((2 * s + n) // (2 * n) AS BIGINT) AS mean_value_micros,
+       CASE WHEN n > 0 AND s > 0 THEN
+         CAST((2 * xl + s) // (2 * s)
+              - CAST(ROUND(LN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * 1000000.0, 0) AS BIGINT) AS BIGINT)
+       ELSE 0 END AS theil_t_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 14. Horvitz-Thompson sampled token-total estimator
+# ---------------------------------------------------------------------
+
+def horvitz_thompson_token_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimate of the corpus TOKEN TOTAL from a
+    deterministic unequal-probability Bernoulli sample — the
+    estimator that makes stratified pipeline sampling (profile the
+    'en' majority at 1/4 the rate of the long tail) still produce
+    unbiased corpus-level statistics. Inclusion: doc d enters the
+    sample when its md5 byte ('ht#'||doc_id) < 256*pi_d, with
+    pi = 64/256 for lang='en' and 128/256 otherwise; each sampled
+    doc contributes tokens_d / pi_d = tokens_d * 4 (or * 2) — exact
+    INTEGERS, so estimate, truth, and the error decomposition are
+    all integer-exact in both engines.
+
+    Scale shape: one scan, one tokenize-count per doc (reuses the
+    whitespace-token length expression, no explode), one 1-row
+    aggregate; the sample decision is a per-row hash compare.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    h = F.md5(F.concat(F.lit("ht#"), F.col("doc_id").cast("string")))
+    byte = md5_nibble(h, 1) * 16 + md5_nibble(h, 2)
+    base = docs.select(
+        F.size(F.split(F.lower("text"), " ")).alias("tok"),
+        (F.col("lang") == "en").alias("is_en"),
+        byte.alias("b"),
+    )
+    agg = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").cast("decimal(38,0)").alias("exact_total"),
+        F.sum(
+            F.when(F.col("is_en") & (F.col("b") < 64), 1)
+            .when(~F.col("is_en") & (F.col("b") < 128), 1)
+            .otherwise(0)
+        ).alias("n_sampled"),
+        F.sum(
+            F.when(F.col("is_en") & (F.col("b") < 64), F.col("tok") * 4)
+            .when(~F.col("is_en") & (F.col("b") < 128), F.col("tok") * 2)
+            .otherwise(0)
+        ).cast("decimal(38,0)").alias("ht_estimate"),
+    )
+    return agg.selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(n_sampled AS BIGINT) AS n_sampled",
+        "CAST(exact_total AS BIGINT) AS exact_token_total",
+        "CAST(ht_estimate AS BIGINT) AS ht_token_total",
+        "CASE WHEN exact_total > 0 THEN "
+        + nm.half_up_scaled_spark_sql(
+            "ABS(ht_estimate - exact_total)", "exact_total", 6
+        )
+        + " ELSE CAST(0 AS BIGINT) END AS abs_rel_err_ppm",
+    )
+
+
+HORVITZ_THOMPSON_ORACLE = f"""
+WITH base AS (
+  SELECT LEN(STRING_SPLIT(LOWER(text), ' ')) AS tok,
+         (lang = 'en') AS is_en,
+         ({md5_nibble_sql("MD5('ht#' || CAST(doc_id AS VARCHAR))", 1)} * 16
+          + {md5_nibble_sql("MD5('ht#' || CAST(doc_id AS VARCHAR))", 2)})
+           AS b
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+         CAST(SUM(tok) AS HUGEINT) AS exact_total,
+         CAST(SUM(CASE WHEN is_en AND b < 64 THEN 1
+                       WHEN NOT is_en AND b < 128 THEN 1
+                       ELSE 0 END) AS HUGEINT) AS n_sampled,
+         CAST(SUM(CASE WHEN is_en AND b < 64 THEN tok * 4
+                       WHEN NOT is_en AND b < 128 THEN tok * 2
+                       ELSE 0 END) AS HUGEINT) AS ht_estimate
+  FROM base
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_sampled AS BIGINT) AS n_sampled,
+       CAST(exact_total AS BIGINT) AS exact_token_total,
+       CAST(ht_estimate AS BIGINT) AS ht_token_total,
+       CASE WHEN exact_total > 0 THEN
+         {nm.half_up_scaled_duck_sql(
+             "ABS(ht_estimate - exact_total)", "exact_total", 6
+         )}
+       ELSE 0 END AS abs_rel_err_ppm
+FROM agg
+"""

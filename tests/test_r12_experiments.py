@@ -328,3 +328,42 @@ def test_page_hinkley_walk_recount(spark):
         assert r["alarm"] == (
             1 if r["ph_micros"] > ex._PH_LAMBDA_MICROS else 0
         )
+
+
+# ----------------------------------------------------------- Theil T
+
+def test_theil_matches_recount_and_bounds(spark, duck):
+    import math as m
+
+    row = ex.theil_index_user_activity(spark, SF_DIR).collect()[0]
+    users = duck.sql(
+        "SELECT SUM(CAST(ROUND(ROUND(value,6)*1000000.0,0) AS BIGINT))"
+        " FROM events GROUP BY user_id"
+        " HAVING SUM(CAST(ROUND(ROUND(value,6)*1000000.0,0) AS BIGINT)) > 0"
+    ).fetchall()
+    xs = [u[0] for u in users]
+    n, s = len(xs), sum(xs)
+    xl = sum(x * round(m.log(x) * 1_000_000) for x in xs)
+    expected = (2 * xl + s) // (2 * s) - round(m.log(s / n) * 1_000_000)
+    assert row["n_users"] == n
+    assert row["theil_t_ppm"] == expected
+    # quantized Theil tracks the true Theil to well under 1 ppm*n
+    true_t = sum((x / (s / n)) * m.log(x / (s / n)) for x in xs) / n
+    assert abs(row["theil_t_ppm"] / 1e6 - true_t) < 1e-3
+    assert 0 <= row["theil_t_ppm"] / 1e6 <= m.log(n) + 1e-3
+
+
+# ------------------------------------------------- Horvitz-Thompson
+
+def test_horvitz_thompson_identities(spark, duck):
+    row = ex.horvitz_thompson_token_total(spark, SF_DIR).collect()[0]
+    assert 0 < row["n_sampled"] < row["n_docs"]
+    assert row["exact_token_total"] > 0
+    # HT with pi in {1/4, 1/2} is unbiased; at fixture sizes the
+    # realized estimate stays within 50% of truth (6-sigma-ish for
+    # the token-weighted Bernoulli variance at n >= 400 docs)
+    err = abs(row["ht_token_total"] - row["exact_token_total"])
+    assert err <= row["exact_token_total"] // 2
+    assert row["abs_rel_err_ppm"] == (
+        2 * err * 10**6 + row["exact_token_total"]
+    ) // (2 * row["exact_token_total"])
