@@ -1537,3 +1537,230 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
        ELSE 0 END AS abs_rel_err_ppm
 FROM agg
 """
+
+# ---------------------------------------------------------------------
+# 15. Tukey-fence outlier days on the daily event-count series
+# ---------------------------------------------------------------------
+
+def tukey_fences_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey outer-fence (3x IQR) outlier detection on the daily
+    event-count series — the box-plot rule every ops dashboard
+    applies before alerting, here in the exact-integer spelling:
+    Q1/Q3 are discrete order statistics (percentile_disc semantics
+    via the cumulative-count rule 4*cum >= n / 4*cum >= 3n on the
+    count-value frame), and the fences are compared at 2x scale
+    (2c vs 2*Q3 + 3*IQR) so no division or float ever appears.
+
+    Scale shape: events collapse to the per-day count frame, the
+    order statistics ride the distinct-count value frame (bounded by
+    count cardinality, not days), the verdict is one aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("c"))
+    vals = days.groupBy("c").agg(F.count("*").alias("k"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vals.withColumn("cum", F.sum("k").over(w))
+    tot = cum.agg(F.max("cum").alias("n"))
+    q = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("c")))
+            .alias("q1"),
+            F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("c")))
+            .alias("q3"),
+            F.max("n").alias("n_days"),
+        )
+    )
+    flagged = days.crossJoin(F.broadcast(q)).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("q1").alias("q1_daily_count"),
+        F.max("q3").alias("q3_daily_count"),
+        F.sum(
+            F.when(
+                2 * F.col("c")
+                < 2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        ).alias("n_low_outlier_days"),
+        F.sum(
+            F.when(
+                2 * F.col("c")
+                > 2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1")),
+                1,
+            ).otherwise(0)
+        ).alias("n_high_outlier_days"),
+    )
+    return flagged.selectExpr(
+        "CAST(n_days AS BIGINT) AS n_days",
+        "CAST(q1_daily_count AS BIGINT) AS q1_daily_count",
+        "CAST(q3_daily_count AS BIGINT) AS q3_daily_count",
+        "CAST(q3_daily_count - q1_daily_count AS BIGINT) AS iqr",
+        "CAST(n_low_outlier_days AS BIGINT) AS n_low_outlier_days",
+        "CAST(n_high_outlier_days AS BIGINT) AS n_high_outlier_days",
+    )
+
+
+TUKEY_FENCES_ORACLE = """
+WITH days AS (
+  SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), vals AS (
+  SELECT c, COUNT(*) AS k FROM days GROUP BY c
+), cum AS (
+  SELECT c, SUM(k) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM vals
+), tot AS (SELECT MAX(cum) AS n FROM cum),
+q AS (
+  SELECT MIN(CASE WHEN 4 * cum >= (SELECT n FROM tot) THEN c END) AS q1,
+         MIN(CASE WHEN 4 * cum >= 3 * (SELECT n FROM tot) THEN c END) AS q3,
+         (SELECT n FROM tot) AS n_days
+  FROM cum
+)
+SELECT CAST(q.n_days AS BIGINT) AS n_days,
+       CAST(q.q1 AS BIGINT) AS q1_daily_count,
+       CAST(q.q3 AS BIGINT) AS q3_daily_count,
+       CAST(q.q3 - q.q1 AS BIGINT) AS iqr,
+       CAST(SUM(CASE WHEN 2 * d.c < 2 * q.q1 - 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_low_outlier_days,
+       CAST(SUM(CASE WHEN 2 * d.c > 2 * q.q3 + 3 * (q.q3 - q.q1)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high_outlier_days
+FROM days d CROSS JOIN q
+GROUP BY q.n_days, q.q1, q.q3
+"""
+
+
+# ---------------------------------------------------------------------
+# 16. Cochran-Armitage trend test: purchase rate across activity quintiles
+# ---------------------------------------------------------------------
+
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage test for a LINEAR TREND in purchase
+    propensity across user-activity quintiles — the ordered-groups
+    sibling of the chi-square independence test: chi-square asks
+    "do the rates differ?", CA asks "do they rise with activity?",
+    which is the actual product question. Users are bucketed into 5
+    quintiles by total event count (the kendall-style exact
+    cumulative-count rule on the count-value frame), scores
+    w_k = 0..4, the binary is "user's purchase SHARE exceeds the
+    corpus purchase share" (an exact integer cross-multiply —
+    "ever purchased" saturates at this event density, every user
+    qualifies), and Z = (N*sum(w*r) - R*sum(w*n)) * sqrt(N) /
+    sqrt(R*(N-R)*(N*sum(w^2*n) - sum(w*n)^2)).
+
+    Cross-engine exactness: every sum is an exact integer
+    (DECIMAL(38,0)/HUGEINT); the emission is the spearman posture —
+    one CAST-to-double of exact integers, two IEEE sqrts, one
+    ROUND(...,6); the signed numerator rides the double (no div).
+
+    Scale shape: events collapse to the per-user frame, the
+    quintile boundaries ride the count-value frame (bounded by
+    distinct activity counts), and the statistic is a 5-row
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("np"),
+    )
+    glob = raw.agg(
+        F.sum("cnt").cast("decimal(38,0)").alias("e_tot"),
+        F.sum("np").cast("decimal(38,0)").alias("p_tot"),
+    )
+    users = raw.crossJoin(F.broadcast(glob)).selectExpr(
+        "user_id",
+        "cnt",
+        "CASE WHEN CAST(np AS DECIMAL(38,0)) * e_tot"
+        " > CAST(cnt AS DECIMAL(38,0)) * p_tot THEN 1 ELSE 0 END"
+        " AS purchased",
+    )
+    vals = users.groupBy("cnt").agg(F.count("*").alias("k"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+    buck = vals.withColumn(
+        "cum_before", F.coalesce(F.sum("k").over(w), F.lit(0))
+    )
+    tot = users.agg(F.count("*").alias("n_total"))
+    bucketed = (
+        buck.crossJoin(F.broadcast(tot))
+        .selectExpr("cnt", "(cum_before * 5) div n_total AS wk")
+    )
+    joined = users.join(bucketed, "cnt")
+    per_k = joined.groupBy("wk").agg(
+        F.count("*").cast("decimal(38,0)").alias("nk"),
+        F.sum("purchased").cast("decimal(38,0)").alias("rk"),
+    )
+    agg = per_k.agg(
+        F.sum("nk").alias("n"),
+        F.sum("rk").alias("r"),
+        F.sum(F.col("wk") * F.col("rk")).alias("swr"),
+        F.sum(F.col("wk") * F.col("nk")).alias("swn"),
+        F.sum(F.col("wk") * F.col("wk") * F.col("nk")).alias("swwn"),
+        F.count("*").alias("n_groups"),
+    )
+    guard = (
+        "r > 0 AND r < n AND n * swwn - swn * swn > 0"
+    )
+    return agg.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        "CAST(r AS BIGINT) AS n_purchasers",
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        f"CASE WHEN {guard} THEN"
+        " ROUND(CAST(n * swr - r * swn AS DOUBLE) * SQRT(CAST(n AS DOUBLE))"
+        "  / SQRT(CAST(r * (n - r) * (n * swwn - swn * swn) AS DOUBLE)), 6)"
+        " ELSE 0.0 END AS ca_trend_z",
+    )
+
+
+COCHRAN_ARMITAGE_ORACLE = """
+WITH raw AS (
+  SELECT user_id, COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY user_id
+), gtot AS (
+  SELECT CAST(SUM(cnt) AS HUGEINT) AS e_tot,
+         CAST(SUM(np) AS HUGEINT) AS p_tot
+  FROM raw
+), users AS (
+  SELECT user_id, cnt,
+         CASE WHEN CAST(np AS HUGEINT) * (SELECT e_tot FROM gtot)
+              > CAST(cnt AS HUGEINT) * (SELECT p_tot FROM gtot)
+         THEN 1 ELSE 0 END AS purchased
+  FROM raw
+), vals AS (
+  SELECT cnt, COUNT(*) AS k FROM users GROUP BY cnt
+), buck AS (
+  SELECT cnt,
+         COALESCE(SUM(k) OVER (ORDER BY cnt ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM vals
+), tot AS (SELECT COUNT(*) AS n_total FROM users),
+bucketed AS (
+  SELECT cnt, (cum_before * 5) // (SELECT n_total FROM tot) AS wk
+  FROM buck
+), per_k AS (
+  SELECT wk,
+         CAST(COUNT(*) AS HUGEINT) AS nk,
+         CAST(SUM(purchased) AS HUGEINT) AS rk
+  FROM users u JOIN bucketed b ON u.cnt = b.cnt
+  GROUP BY wk
+), agg AS (
+  SELECT SUM(nk) AS n, SUM(rk) AS r,
+         SUM(wk * rk) AS swr, SUM(wk * nk) AS swn,
+         SUM(wk * wk * nk) AS swwn,
+         CAST(COUNT(*) AS HUGEINT) AS n_groups
+  FROM per_k
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(r AS BIGINT) AS n_purchasers,
+       CAST(n_groups AS BIGINT) AS n_groups,
+       CASE WHEN r > 0 AND r < n AND n * swwn - swn * swn > 0 THEN
+         ROUND(CAST(n * swr - r * swn AS DOUBLE) * SQRT(CAST(n AS DOUBLE))
+           / SQRT(CAST(r * (n - r) * (n * swwn - swn * swn) AS DOUBLE)), 6)
+       ELSE 0.0 END AS ca_trend_z
+FROM agg
+"""

@@ -206,6 +206,8 @@ _INTENTIONAL_NLJ = {
     "overdispersion_daily_counts",  # |days| x |types| grid (calendar x catalog)
     "local_clustering_coefficient",  # 1-row node-count crossJoin (graph gen)
     "hill_tail_index_values",     # 1-row boundary-rank broadcast onto 501-row frame
+    "tukey_fences_outlier_days",  # 1-row total + 1-row fence crossJoins
+    "cochran_armitage_trend",     # 1-row user-total attach on the count-value frame
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,

@@ -367,3 +367,69 @@ def test_horvitz_thompson_identities(spark, duck):
     assert row["abs_rel_err_ppm"] == (
         2 * err * 10**6 + row["exact_token_total"]
     ) // (2 * row["exact_token_total"])
+
+
+# -------------------------------------------------------- Tukey fences
+
+def test_tukey_fences_matches_recount(spark, duck):
+    row = ex.tukey_fences_outlier_days(spark, SF_DIR).collect()[0]
+    counts = sorted(
+        c[0]
+        for c in duck.sql(
+            "SELECT COUNT(*) FROM events WHERE ts IS NOT NULL"
+            " GROUP BY DATE_TRUNC('day', ts)"
+        ).fetchall()
+    )
+    n = len(counts)
+    # percentile_disc: first value with 4*cum >= n (resp. 3n)
+    q1 = counts[-((-n) // 4) - 1]
+    q3 = counts[-((-3 * n) // 4) - 1]
+    assert row["n_days"] == n
+    assert row["q1_daily_count"] == q1
+    assert row["q3_daily_count"] == q3
+    iqr = q3 - q1
+    lo = sum(1 for c in counts if 2 * c < 2 * q1 - 3 * iqr)
+    hi = sum(1 for c in counts if 2 * c > 2 * q3 + 3 * iqr)
+    assert row["n_low_outlier_days"] == lo
+    assert row["n_high_outlier_days"] == hi
+
+
+# --------------------------------------------------- Cochran-Armitage
+
+def test_cochran_armitage_matches_recount(spark, duck):
+    import math as m
+    from collections import Counter
+
+    row = ex.cochran_armitage_trend(spark, SF_DIR).collect()[0]
+    raw = duck.sql(
+        "SELECT COUNT(*),"
+        " SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        " FROM events GROUP BY user_id"
+    ).fetchall()
+    e_tot = sum(c for c, _ in raw)
+    p_tot = sum(p for _, p in raw)
+    users = [(c, 1 if np * e_tot > c * p_tot else 0) for c, np in raw]
+    n_total = len(users)
+    cnt_freq = Counter(c for c, _ in users)
+    cum = 0
+    bucket = {}
+    for v in sorted(cnt_freq):
+        bucket[v] = (cum * 5) // n_total
+        cum += cnt_freq[v]
+    nk: Counter = Counter()
+    rk: Counter = Counter()
+    for c, p in users:
+        nk[bucket[c]] += 1
+        rk[bucket[c]] += p
+    n = sum(nk.values())
+    r = sum(rk.values())
+    swr = sum(k * v for k, v in rk.items())
+    swn = sum(k * v for k, v in nk.items())
+    swwn = sum(k * k * v for k, v in nk.items())
+    z = (
+        (n * swr - r * swn)
+        * m.sqrt(n)
+        / m.sqrt(r * (n - r) * (n * swwn - swn * swn))
+    )
+    assert row["n_users"] == n and row["n_purchasers"] == r
+    assert row["ca_trend_z"] == pytest.approx(z, abs=2e-6)
