@@ -71,16 +71,15 @@ _SPRT_LOWER_PPM = round(math.log(0.20 / 0.95) * 1e6)  # ln(b/(1-a))
 _PH_LAMBDA_MICROS = 50_000_000
 
 # Integer value micros: the repo-standard exact integerization of the
-# 2-decimal event value (plans/inference.py:881).
-_VM_SPARK = "CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT)"
-_VM_DUCK = "CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT)"
+# 2-decimal event value (plans/inference.py:881). ONE definition —
+# the SQL spelling is valid in both engines, and the Spark column
+# form derives from it via F.expr so the two can never drift.
+_VM_SQL = "CAST(ROUND(ROUND(value, 6) * 1000000.0, 0) AS BIGINT)"
+_VM_DUCK = _VM_SQL
 
 
 def _vm_col() -> F.Column:
-    return (
-        F.round(F.round("value", 6) * 1_000_000.0, 0)
-        .cast("long")
-    )
+    return F.expr(_VM_SQL)
 
 
 # ---------------------------------------------------------------------
@@ -446,7 +445,16 @@ def permutation_test_value_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "CAST(n_users AS BIGINT) AS n_users",
         "CAST(n_treat AS BIGINT) AS n_treat",
-        "CAST(d_obs AS BIGINT) AS d_obs_scaled_micros",
+        # r13 (ADVICE): d_obs grows as (user count x total value
+        # micros) and would pass int64 around the ~1000x replica
+        # octave, where Spark's non-ANSI decimal->long cast NULLs
+        # silently while DuckDB's HUGEINT->BIGINT raises. Emit at
+        # whole-value-unit scale (exact floor-div by 1e6 on the
+        # non-negative statistic; `div` truncates, `//` floors —
+        # identical for >= 0), which defers the ceiling to ~1e12
+        # user-value-units, far past any planned octave. The
+        # internal >= comparison stays at full micro precision.
+        "CAST(d_obs div 1000000 AS BIGINT) AS d_obs_value_units",
         "CAST(r_replicates AS BIGINT) AS r_replicates",
         "CAST(n_extreme AS BIGINT) AS n_extreme",
         nm.half_up_scaled_spark_sql(
@@ -496,7 +504,7 @@ WITH users AS (
 )
 SELECT CAST(o.n_users AS BIGINT) AS n_users,
        CAST(o.n_treat AS BIGINT) AS n_treat,
-       CAST(o.d_obs AS BIGINT) AS d_obs_scaled_micros,
+       CAST(o.d_obs // 1000000 AS BIGINT) AS d_obs_value_units,
        CAST(COUNT(*) AS BIGINT) AS r_replicates,
        CAST(SUM(p.extreme) AS BIGINT) AS n_extreme,
        {nm.half_up_scaled_duck_sql(
@@ -675,10 +683,15 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN {guard} THEN"
         f" ROUND({raw_diff} - ({theta}) * ({x_diff}), 6)"
         " ELSE 0.0 END AS cuped_adjusted_diff",
+        # r13 (ADVICE): r^2 = cov^2/(varx*vary) squared as one exact
+        # IEEE double multiply — POWER routes through libm pow, which
+        # is not correctly-rounded and can differ JVM-vs-DuckDB by
+        # 1 ULP before the ROUND; d*d, * and / are all IEEE-exact.
         f"CASE WHEN {guard} THEN"
-        " ROUND(POWER(CAST(n * sxy - sx * sy AS DOUBLE)"
-        "  / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))"
-        "     * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 2), 6)"
+        " ROUND((CAST(n * sxy - sx * sy AS DOUBLE)"
+        "        * CAST(n * sxy - sx * sy AS DOUBLE))"
+        "  / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        "     * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
         " ELSE 0.0 END AS var_reduction_r2",
     )
 
@@ -733,9 +746,10 @@ SELECT CAST(n AS BIGINT) AS n_users,
         ELSE 0.0 END AS cuped_adjusted_diff,
        CASE WHEN n > 1 AND nt > 0 AND nt < n AND n * sxx - sx * sx > 0
                  AND n * syy - sy * sy > 0
-        THEN ROUND(POWER(CAST(n * sxy - sx * sy AS DOUBLE)
-          / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
-             * SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 2), 6)
+        THEN ROUND((CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE))
+          / (CAST(n * sxx - sx * sx AS DOUBLE)
+             * CAST(n * syy - sy * sy AS DOUBLE)), 6)
         ELSE 0.0 END AS var_reduction_r2
 FROM agg
 """
@@ -1543,13 +1557,14 @@ FROM agg
 # ---------------------------------------------------------------------
 
 def tukey_fences_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey outer-fence (3x IQR) outlier detection on the daily
-    event-count series — the box-plot rule every ops dashboard
-    applies before alerting, here in the exact-integer spelling:
-    Q1/Q3 are discrete order statistics (percentile_disc semantics
-    via the cumulative-count rule 4*cum >= n / 4*cum >= 3n on the
-    count-value frame), and the fences are compared at 2x scale
-    (2c vs 2*Q3 + 3*IQR) so no division or float ever appears.
+    """Tukey inner-fence (1.5x IQR) outlier detection on the daily
+    event-count series — the standard box-plot whisker rule every
+    ops dashboard applies before alerting, here in the
+    exact-integer spelling: Q1/Q3 are discrete order statistics
+    (percentile_disc semantics via the cumulative-count rule
+    4*cum >= n / 4*cum >= 3n on the count-value frame), and the
+    fences are compared at 2x scale (2c vs 2*Q3 + 3*IQR, i.e.
+    c vs Q3 + 1.5*IQR) so no division or float ever appears.
 
     Scale shape: events collapse to the per-day count frame, the
     order statistics ride the distinct-count value frame (bounded by
