@@ -5,9 +5,13 @@ Runs the catalog's headline queries at ``$SPARK_GRAFT_SF_DIR``
 prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing convention (BASELINE.md): warm session — JVM startup and a
-warm-up query are excluded; each query is timed end-to-end including
-its parquet scan, drained with a noop write (no driver collect).
+Timing convention (BASELINE.md, revised r13): warm session — JVM
+startup and a per-query warm-up pass are excluded; each query is
+timed end-to-end including its parquet scan, drained with a noop
+write (no driver collect); each query's caches are released
+(clearCache) after its timed pass so the storage pool never
+accumulates the full 19-query footprint (the r12 bimodal-outlier
+fix — see BENCH_NOTES.md).
 """
 
 from __future__ import annotations
@@ -40,18 +44,39 @@ def main() -> None:
     spark = get_session(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm-up (BASELINE.md convention: warm session): run every
-    # headline query once untimed so the timed pass measures
-    # steady-state compute — not JVM startup, file-index builds, or
-    # first-run whole-stage-codegen compilation.
-    for warm in HEADLINE_QUERIES:
-        _drain(QUERIES[warm].fn(spark, sf_dir))
-
+    # Timing convention (fixtures-v2 epoch, revised r13): per query,
+    # warm pass -> timed pass -> clearCache(). The warm pass excludes
+    # JVM startup, file-index builds, and first-run
+    # whole-stage-codegen compilation AND populates the query's own
+    # persisted frames, which the timed pass reuses (same canonical
+    # plans hit the CacheManager) — that part of the r01-r12
+    # convention survives. What changed: caches are RELEASED after
+    # each query's timed pass instead of accumulating across all
+    # 2x19 passes. The r12 closing sequences showed the accumulated
+    # footprint pushing the storage pool into an eviction mode where
+    # 2/7 runs spiked >2x (BENCH_NOTES.md r12) — a harness artifact
+    # that could make a single driver pass read as a false
+    # regression. clearCache() (not the opt-in persistence registry)
+    # is deliberate: several builders persist without registering,
+    # and session-wide release is the only form that provably bounds
+    # the footprint to one query. Set SPARK_GRAFT_BENCH_KEEP_CACHES=1
+    # to reproduce the legacy accumulate-everything convention.
+    keep_caches = os.environ.get("SPARK_GRAFT_BENCH_KEEP_CACHES") == "1"
     timings: dict[str, float] = {}
-    for name in HEADLINE_QUERIES:
-        start = time.perf_counter()
-        _drain(QUERIES[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 3)
+    if keep_caches:
+        for warm in HEADLINE_QUERIES:
+            _drain(QUERIES[warm].fn(spark, sf_dir))
+        for name in HEADLINE_QUERIES:
+            start = time.perf_counter()
+            _drain(QUERIES[name].fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+    else:
+        for name in HEADLINE_QUERIES:
+            _drain(QUERIES[name].fn(spark, sf_dir))  # warm (untimed)
+            start = time.perf_counter()
+            _drain(QUERIES[name].fn(spark, sf_dir))
+            timings[name] = round(time.perf_counter() - start, 3)
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     # Round-over-round continuity: the headline set was extended in

@@ -1758,46 +1758,84 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the lexical leg is an inverted-index probe — the
     token stream is semi-joined to the (broadcast) query-term set
     right after explode, so tf/df aggregates run over matching
-    postings only, never the whole token stream; dl/avgdl come from
-    one map-side-combinable corpus pass. The vector leg broadcasts
-    the 3 query vectors (``cosine_topk``). Both legs end in a
-    per-query top-50 (WindowGroupLimit), so the fusion join is over
-    at most ``n_queries * 50`` rows per leg. Ranks order on ROUNDED
-    scores with doc-id tiebreak so float noise can't flip ranks
-    between engines.
+    postings only, never the whole token stream; dl/avgdl/n_docs
+    ride the SAME single corpus scan via a per-doc sentinel token
+    (r13 — see below), so ``documents`` is read exactly once. The
+    vector leg broadcasts the 3 query vectors (``cosine_topk``).
+    Both legs end in a per-query top-50 (WindowGroupLimit), so the
+    fusion join is over at most ``n_queries * 50`` rows per leg.
+    Ranks order on ROUNDED scores with doc-id tiebreak so float
+    noise can't flip ranks between engines.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
     qterms = spark.createDataFrame(_HYBRID_QUERY_TERMS, "q_id INT, term STRING")
 
+    # r13: the last extra corpus pass (n_docs/avgdl — BENCH_NOTES
+    # r12 called it "the floor without a stored doc-length column")
+    # is folded into the token scan. Every doc emits ONE sentinel
+    # "token" alongside its real tokens; the sentinel contains a
+    # space, which a split-on-space token never can, so it cannot
+    # collide with corpus vocabulary. The sentinel row carries the
+    # doc's dl through the posting aggregate, and the corpus stats
+    # become a filter+agg over the persisted posting frame instead
+    # of a second full scan of `documents`. Cost/benefit at 100 TB:
+    # +O(n_docs) sentinel rows through the posting shuffle (~tens
+    # of GB) against -1 full text-column corpus scan (~the whole
+    # 100 TB) — the shuffle is the right side of that trade by
+    # three orders of magnitude. NULL text still counts toward
+    # n_docs (coalesce to the bare sentinel array) but contributes
+    # no dl to avgdl — identical to the old COUNT(*)/AVG semantics.
+    #
     # Document length rides THROUGH the posting-list aggregate
     # (constant per doc, so first() is exact) instead of joining a
     # corpus-sized dl table back onto the term-filtered postings —
     # at 100 TB that join would shuffle the whole corpus to serve a
     # result proportional to matching postings.
+    sentinel = "__dl __"  # contains a space => unsplittable token
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("term"),
-    ).join(F.broadcast(qterms.select("term").distinct()), "term")
+        F.explode(
+            F.concat(
+                F.array(F.lit(sentinel)),
+                F.coalesce(F.split("text", " "), F.array()),
+            )
+        ).alias("term"),
+    ).join(
+        F.broadcast(
+            qterms.select("term").union(
+                spark.createDataFrame([(sentinel,)], "term STRING")
+            ).distinct()
+        ),
+        "term",
+    )
+    # The posting aggregate (matched postings + one sentinel row per
+    # doc) is persisted because it has two consumers — the BM25 leg
+    # and the corpus-stats leg — and Spark does not reuse a common
+    # subtree across consumers: unpersisted, the corpus explode
+    # would run twice (the exact 2-scan shape this round removed).
+    # The cached frame is O(matched postings + n_docs) rows of five
+    # scalar columns — the "materialized doc-length column", living
+    # for the duration of the query only.
+    posting0 = register(
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Document frequency comes from a WINDOW over the posting
-    # aggregate, not a separate groupBy('term') joined back: tf
-    # would then have two consumers and Spark does not reuse the
-    # common subtree (verified: 0 ReusedExchange, documents scanned
-    # 3x — the corpus explode + semi-join + aggregate ran TWICE).
-    # The window form runs the corpus token pass ONCE and shuffles
-    # only the tiny term-matched posting frame by term; a persist
-    # was A/B'd as the alternative and measured ~20% slower at
-    # sf0.1 (cache write + pipeline break outweigh the saved pass
-    # locally; the window wins at every scale).
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count("*").alias("tf"), F.first("dl").alias("dl")
-    ).withColumn(
+    # aggregate, not a separate groupBy('term') joined back (the
+    # r12 reshape): the window shuffles only the tiny term-matched
+    # posting frame by term. Sentinel rows are filtered out BEFORE
+    # the window so df never counts them.
+    tf = posting0.filter(F.col("term") != sentinel).withColumn(
         "df", F.count("*").over(Window.partitionBy("term"))
     )
-    stats = docs.agg(
+    stats = posting0.filter(F.col("term") == sentinel).agg(
         F.count("*").alias("n_docs"),
-        F.avg(F.size(F.split("text", " "))).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
 
     idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
