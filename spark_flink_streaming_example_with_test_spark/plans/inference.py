@@ -2565,3 +2565,165 @@ SELECT field,
 FROM field
 ORDER BY field
 """
+
+
+# ---------------------------------------------------------------------
+# Dedup spill-sizing estimate (round-13, VERDICT r12 item #5)
+# ---------------------------------------------------------------------
+
+# Measured shuffle cost of the inverted-index pair join, in tenths of
+# a byte per gram-level candidate row (one (gram, id_a, id_b) join
+# output row), post-compression, per engine: the r12 256x pair-frame
+# runs spilled 60-95 GB against ~2e10 candidate rows => ~3.5 B/row
+# (PARITY.md round-12 row). This literal IS the query's product — the
+# provisioning constant a 100 TB operator multiplies a histogram by.
+_SPILL_BYTES_PER_CAND_ROW_X10 = 35
+
+# Candidate-generation df cap shared with the production pair
+# builders (operators/dedup.py).
+_SPILL_CAP = dd.DEFAULT_MAX_GRAM_DF
+
+
+def dedup_spill_sizing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-spill provisioning forecast for the inverted-index
+    dedup family — the planner-literacy query born from the r12
+    256x finding (three pair-frame queries died on disk, not
+    numerics, at 60-95 GB of spill each). For each production
+    shingle length (3 = jaccard, 5 = containment, 8 =
+    exact-substring), the gram document-frequency histogram yields
+    the EXACT candidate-row count the pair self-join would emit —
+    sum over grams of C(df, 2) — both under the production df cap
+    (DEFAULT_MAX_GRAM_DF) and uncapped, and multiplies by the
+    measured ~3.5 bytes/row shuffle constant to predict spill. The
+    operator reads this BEFORE launching the join the prediction is
+    about: the histogram costs O(postings) (one explode + one
+    map-side-combinable groupBy), while the join it prices costs
+    O(sum C(df,2)) — at 256x that asymmetry is "345 s forecast" vs
+    "kills the cluster's disk".
+
+    Scale shape: ONE corpus scan feeds all three shingle lengths via
+    the persisted token frame (the capstone's scan-once pattern);
+    each length's histogram is explode + groupBy(gram) with partial
+    aggregation; everything downstream of the three histograms is a
+    3-row frame. All counts accumulate DECIMAL(38,0)/HUGEINT;
+    emissions are exact integer floor-divisions (d*(d-1) is even, so
+    /2 is exact; the 3.5 B/row constant is applied as *7 div 4 on
+    the doubled pair count). int64 ceiling: candidate rows pass
+    BIGINT only past ~2.6e18 rows — beyond any octave by eight
+    orders.
+
+    Back-test against the measured receipts: at 256x the
+    vowel-rotation replica construction yields ~51-copy rotation
+    classes => ~2e10 uncapped 3-gram candidate rows, and this
+    query's formula prices that at ~65 GB — inside the measured
+    60-95 GB band that killed the 256x runs (PARITY.md r12;
+    tests/test_r13_spill_sizing.py pins the formula's arithmetic and
+    the histogram recount).
+    """
+    from pyspark import StorageLevel
+
+    from spark_flink_streaming_example_with_test_spark.functions.persistence import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    # One token frame, three shingle-length consumers (persist or
+    # each length re-reads and re-splits the corpus).
+    tok = register(
+        dd.tokenized_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    frames = []
+    for k in (3, 5, 8):
+        inv = dd.shingle_sets(docs, shingle_len=k, tokens=tok).select(
+            "doc_id", F.explode("shingles").alias("gram")
+        )
+        hist = inv.groupBy("gram").agg(F.count("*").alias("dfreq"))
+        # doubled pair count 2*C(d,2) = d*(d-1), cast BEFORE the
+        # multiply so the product never rides int64
+        pairs2 = F.col("dfreq").cast("decimal(38,0)") * (
+            F.col("dfreq") - 1
+        )
+        frames.append(
+            hist.agg(
+                F.count("*").alias("n_grams"),
+                F.coalesce(
+                    F.sum(F.col("dfreq").cast("decimal(38,0)")), zero
+                ).alias("n_postings"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("dfreq") > _SPILL_CAP, 1).otherwise(0)
+                    ).cast("decimal(38,0)"),
+                    zero,
+                ).alias("hot_grams"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("dfreq") <= _SPILL_CAP, pairs2)
+                        .otherwise(zero)
+                    ),
+                    zero,
+                ).alias("c2_capped"),
+                F.coalesce(F.sum(pairs2), zero).alias("c2_all"),
+            ).select(F.lit(k).alias("shingle_len"), "*")
+        )
+    out = frames[0].unionByName(frames[1]).unionByName(frames[2])
+    return out.selectExpr(
+        "CAST(shingle_len AS INT) AS shingle_len",
+        "CAST(n_grams AS BIGINT) AS n_grams",
+        "CAST(n_postings AS BIGINT) AS n_postings",
+        "CAST(hot_grams AS BIGINT) AS hot_grams",
+        "CAST(c2_capped div 2 AS BIGINT) AS cand_rows_capped",
+        "CAST(c2_all div 2 AS BIGINT) AS cand_rows_uncapped",
+        f"CAST(c2_capped * {_SPILL_BYTES_PER_CAND_ROW_X10} div 20"
+        " AS BIGINT) AS pred_spill_bytes_capped",
+        f"CAST(c2_all * {_SPILL_BYTES_PER_CAND_ROW_X10} div 20"
+        " AS BIGINT) AS pred_spill_bytes_uncapped",
+        f"CAST(c2_all * {_SPILL_BYTES_PER_CAND_ROW_X10} div 20"
+        " div 1048576 AS BIGINT) AS pred_spill_mb_uncapped",
+    ).orderBy("shingle_len")
+
+
+def _spill_leg_duck(k: int) -> str:
+    gram = " || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))
+    return f"""
+  SELECT {k} AS shingle_len,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(COALESCE(SUM(dfreq), 0) AS BIGINT) AS n_postings,
+         CAST(COALESCE(SUM(CASE WHEN dfreq > {_SPILL_CAP} THEN 1
+                            ELSE 0 END), 0) AS BIGINT) AS hot_grams,
+         CAST(COALESCE(SUM(CASE WHEN dfreq <= {_SPILL_CAP}
+                            THEN CAST(dfreq AS HUGEINT) * (dfreq - 1)
+                            ELSE 0 END), 0) // 2 AS BIGINT)
+           AS cand_rows_capped,
+         CAST(COALESCE(SUM(CAST(dfreq AS HUGEINT) * (dfreq - 1)), 0)
+              // 2 AS BIGINT) AS cand_rows_uncapped,
+         CAST(COALESCE(SUM(CASE WHEN dfreq <= {_SPILL_CAP}
+                            THEN CAST(dfreq AS HUGEINT) * (dfreq - 1)
+                            ELSE 0 END), 0)
+              * {_SPILL_BYTES_PER_CAND_ROW_X10} // 20 AS BIGINT)
+           AS pred_spill_bytes_capped,
+         CAST(COALESCE(SUM(CAST(dfreq AS HUGEINT) * (dfreq - 1)), 0)
+              * {_SPILL_BYTES_PER_CAND_ROW_X10} // 20 AS BIGINT)
+           AS pred_spill_bytes_uncapped,
+         CAST(COALESCE(SUM(CAST(dfreq AS HUGEINT) * (dfreq - 1)), 0)
+              * {_SPILL_BYTES_PER_CAND_ROW_X10} // 20 // 1048576
+              AS BIGINT) AS pred_spill_mb_uncapped
+  FROM (
+    SELECT COUNT(*) AS dfreq FROM (
+      SELECT doc_id,
+             UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, LEN(w) - {k} + 2), i -> {gram}))) AS gram
+      FROM toks WHERE LEN(w) >= {k}
+    ) GROUP BY gram
+  )"""
+
+
+DEDUP_SPILL_SIZING_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS w FROM documents
+)
+{_spill_leg_duck(3)}
+UNION ALL
+{_spill_leg_duck(5)}
+UNION ALL
+{_spill_leg_duck(8)}
+ORDER BY shingle_len
+"""
