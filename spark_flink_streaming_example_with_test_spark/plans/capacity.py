@@ -1,0 +1,392 @@
+"""Cluster capacity planning: the sizing arithmetic a 100 TB
+operator runs BEFORE submitting a job, expressed as oracled catalog
+queries over the fixture tables (round 13 — the planner-literacy
+layer the spill-sizing forecast started; VERDICT r12 item #5's
+"provisioning number an operator actually needs" generalized from
+shuffle spill to partitions, broadcasts, skew, cache, and files).
+
+Every query is one scan + one (or a few unioned) aggregates — the
+whole point is that the FORECAST costs O(rows) with map-side partial
+aggregation while the decision it informs (a shuffle, a broadcast, a
+cache, a compaction job) costs far more when sized wrong. All
+arithmetic is exact-integer (LENGTH sums, widths as shared literals,
+floor-div ceilings, half-up ppm ratios); no float ever reaches the
+hash gate.
+
+Width model (documented, deliberately simple): fixed-width columns
+at their parquet logical width (BIGINT/DOUBLE/TIMESTAMP = 8, INT =
+4), strings at LENGTH(value) bytes (fixture text is ASCII, and both
+engines' LENGTH counts characters identically regardless), plus a
+per-row overhead literal for the in-memory forms (offsets/validity).
+This is a PLANNING estimate — the same fidelity class Spark's own
+``SizeEstimator``/statistics use before execution — and the point of
+emitting the model's literals alongside the result is that the
+operator can recalibrate them from one measured job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
+from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+# -- shared sizing literals (inlined into BOTH engines' SQL) ----------
+_TARGET_SHUFFLE_PARTITION_BYTES = 134_217_728  # 128 MiB, the classic
+_BROADCAST_THRESHOLD_BYTES = 10_485_760  # spark.sql.autoBroadcastJoinThreshold default
+_TARGET_FILE_BYTES = 134_217_728  # compaction target, 128 MiB
+_ROW_OVERHEAD = 16  # in-memory per-row overhead (offsets + validity)
+_N_BUCKETS = 32  # hash-partition fan-out under audit
+
+
+# ---------------------------------------------------------------------
+# 1. Shuffle partition sizing
+# ---------------------------------------------------------------------
+
+_EVENTS_ROW_BYTES = (
+    "8 + 8 + 8 + 8"  # event_id, ts, user_id, value
+    " + COALESCE(LENGTH(event_type), 0) + COALESCE(LENGTH(props), 0)"
+)
+
+
+def shuffle_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many shuffle partitions should a full-events shuffle use
+    so each partition lands near the 128 MiB sweet spot? The number
+    everyone hardcodes as 200 (Spark's default) and then pages
+    themselves over at 3 AM: too few partitions spill, too many
+    drown the scheduler in empty tasks. The estimate is the exact
+    integer byte sum of the row payload model divided (ceiling) by
+    the target, never less than 1.
+
+    Scale shape: one events scan, one map-side-combinable aggregate,
+    1-row result. At 100 TB the same two numbers (SUM of widths,
+    COUNT) come off the scan at full parallelism.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.expr(_EVENTS_ROW_BYTES)).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("est_bytes"),
+    ).selectExpr(
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(est_bytes AS BIGINT) AS est_total_bytes",
+        f"CAST({_TARGET_SHUFFLE_PARTITION_BYTES} AS BIGINT)"
+        " AS target_partition_bytes",
+        # ceiling division, floored at 1 partition
+        f"CAST(GREATEST(CAST(1 AS DECIMAL(38,0)),"
+        f" (est_bytes + {_TARGET_SHUFFLE_PARTITION_BYTES - 1})"
+        f" div {_TARGET_SHUFFLE_PARTITION_BYTES}) AS BIGINT)"
+        " AS rec_shuffle_partitions",
+        f"CAST(CASE WHEN n_rows > 0 THEN est_bytes div n_rows"
+        " ELSE 0 END AS BIGINT) AS est_bytes_per_row",
+    )
+
+
+SHUFFLE_PARTITION_PLAN_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_rows,
+         CAST(COALESCE(SUM({_EVENTS_ROW_BYTES}), 0) AS HUGEINT)
+           AS est_bytes
+  FROM events
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(est_bytes AS BIGINT) AS est_total_bytes,
+       CAST({_TARGET_SHUFFLE_PARTITION_BYTES} AS BIGINT)
+         AS target_partition_bytes,
+       CAST(GREATEST(1, (est_bytes + {_TARGET_SHUFFLE_PARTITION_BYTES - 1})
+                        // {_TARGET_SHUFFLE_PARTITION_BYTES}) AS BIGINT)
+         AS rec_shuffle_partitions,
+       CAST(CASE WHEN n_rows > 0 THEN est_bytes // n_rows
+            ELSE 0 END AS BIGINT) AS est_bytes_per_row
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 2. Broadcast fit audit
+# ---------------------------------------------------------------------
+
+# (table, estimated row-payload SQL) — fixed widths per the module
+# width model; valid in BOTH engines.
+_DIM_ROW_BYTES: list[tuple[str, str]] = [
+    ("region", "4 + COALESCE(LENGTH(r_name), 0)"),
+    ("nation", "4 + 4 + COALESCE(LENGTH(n_name), 0)"),
+    ("supplier", "8 + 4 + 8 + COALESCE(LENGTH(s_name), 0)"),
+    (
+        "customer",
+        "8 + 4 + 8 + COALESCE(LENGTH(c_name), 0)"
+        " + COALESCE(LENGTH(c_mktsegment), 0)",
+    ),
+    (
+        "part",
+        "8 + 4 + 8 + COALESCE(LENGTH(p_name), 0)"
+        " + COALESCE(LENGTH(p_brand), 0) + COALESCE(LENGTH(p_type), 0)",
+    ),
+]
+
+
+def broadcast_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which dimension tables fit under the default 10 MiB
+    autoBroadcastJoinThreshold at this scale factor? The audit that
+    explains every q3/q5/q9 plan shape in this repo: a dim that
+    outgrows the threshold silently demotes its join to
+    sort-merge + two exchanges (the exact regression
+    tests/test_plan_shapes.py pins). Estimated in-memory size =
+    payload widths + the per-row overhead literal.
+
+    Scale shape: five independent single-table aggregates unioned
+    into a 5-row frame — each is a map-side-combinable scan of a
+    table that is tiny relative to facts at every SF.
+    """
+    frames = []
+    for tbl, row_bytes in _DIM_ROW_BYTES:
+        t = load_table(spark, sf_dir, tbl)
+        frames.append(
+            t.agg(
+                F.count("*").cast("decimal(38,0)").alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.expr(row_bytes)).cast("decimal(38,0)"),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("payload"),
+            ).selectExpr(
+                f"'{tbl}' AS tbl",
+                "CAST(n_rows AS BIGINT) AS n_rows",
+                f"CAST(payload + n_rows * {_ROW_OVERHEAD} AS BIGINT)"
+                " AS est_bytes",
+                f"CAST(CASE WHEN payload + n_rows * {_ROW_OVERHEAD}"
+                f" <= {_BROADCAST_THRESHOLD_BYTES} THEN 1 ELSE 0 END"
+                " AS INT) AS fits_broadcast",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("tbl")
+
+
+def _broadcast_leg_duck(tbl: str, row_bytes: str) -> str:
+    return f"""
+  SELECT '{tbl}' AS tbl,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(CAST(COALESCE(SUM({row_bytes}), 0) AS HUGEINT)
+              + COUNT(*) * {_ROW_OVERHEAD} AS BIGINT) AS est_bytes,
+         CAST(CASE WHEN CAST(COALESCE(SUM({row_bytes}), 0) AS HUGEINT)
+                        + COUNT(*) * {_ROW_OVERHEAD}
+                        <= {_BROADCAST_THRESHOLD_BYTES}
+              THEN 1 ELSE 0 END AS INT) AS fits_broadcast
+  FROM {tbl}"""
+
+
+BROADCAST_FIT_AUDIT_ORACLE = (
+    "\nUNION ALL\n".join(
+        _broadcast_leg_duck(t, rb) for t, rb in _DIM_ROW_BYTES
+    )
+    + "\nORDER BY tbl"
+)
+
+
+# ---------------------------------------------------------------------
+# 3. Hash-partition skew audit
+# ---------------------------------------------------------------------
+
+def hash_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """If events shuffle on user_id into ``_N_BUCKETS`` partitions,
+    how unbalanced do the partitions come out? Emits the max/min
+    bucket populations and the skew ratio (max over the uniform
+    share, in ppm) — the number that decides between plain hash
+    partitioning, salting, and AQE skew-join before the job runs.
+    The bucket function is ``user_id % N`` (shared integer spelling,
+    not either engine's internal hash) so both engines audit the
+    identical partitioning.
+
+    Scale shape: events collapse to the per-bucket count frame (at
+    most N rows) in one aggregate; the verdict is one aggregate over
+    those N rows. The ppm ratio is the exact half-up integer form.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        (F.col("user_id") % _N_BUCKETS).alias("bucket")
+    ).agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    return buckets.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("decimal(38,0)")).alias(
+            "total"
+        ),
+        F.count("*").cast("decimal(38,0)").alias("buckets_used"),
+        F.coalesce(F.max("c"), F.lit(0).cast("decimal(38,0)")).alias(
+            "max_c"
+        ),
+        F.coalesce(F.min("c"), F.lit(0).cast("decimal(38,0)")).alias(
+            "min_c"
+        ),
+    ).selectExpr(
+        "CAST(total AS BIGINT) AS total_rows",
+        "CAST(buckets_used AS BIGINT) AS buckets_used",
+        "CAST(max_c AS BIGINT) AS max_bucket_rows",
+        "CAST(min_c AS BIGINT) AS min_bucket_rows",
+        "CASE WHEN total > 0 THEN "
+        + nm.half_up_scaled_spark_sql(
+            f"max_c * {_N_BUCKETS}", "total", 6
+        )
+        + " ELSE CAST(0 AS BIGINT) END AS skew_ratio_ppm",
+    )
+
+
+HASH_PARTITION_SKEW_ORACLE = f"""
+WITH b AS (
+  SELECT user_id % {_N_BUCKETS} AS bucket,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events GROUP BY 1
+), agg AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS total,
+         CAST(COUNT(*) AS HUGEINT) AS buckets_used,
+         CAST(COALESCE(MAX(c), 0) AS HUGEINT) AS max_c,
+         CAST(COALESCE(MIN(c), 0) AS HUGEINT) AS min_c
+  FROM b
+)
+SELECT CAST(total AS BIGINT) AS total_rows,
+       CAST(buckets_used AS BIGINT) AS buckets_used,
+       CAST(max_c AS BIGINT) AS max_bucket_rows,
+       CAST(min_c AS BIGINT) AS min_bucket_rows,
+       CASE WHEN total > 0 THEN {nm.half_up_scaled_duck_sql(
+           f"max_c * {_N_BUCKETS}", "total", 6
+       )}
+       ELSE 0 END AS skew_ratio_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 4. Cache sizing estimate (the token frame this repo persists)
+# ---------------------------------------------------------------------
+
+def cache_sizing_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much storage memory does the dedup family's persisted
+    token frame (operators/dedup.py tokenized_docs — the capstone's
+    and the spill forecast's shared scan) actually pin, versus the
+    raw text it derives from? Token-array bytes per doc = the
+    character payload (LENGTH(text) minus the separators the split
+    consumed) + 8 bytes per element offset + the row overhead. The
+    amplification ratio (ppm) is the number that decides whether
+    the scan-once persist pattern fits the storage pool at the next
+    scale-up or needs MEMORY_AND_DISK (it does — that is why every
+    persist in the repo says so).
+
+    Scale shape: one documents scan, one aggregate, 1-row result;
+    token counts come from the same split expression both engines
+    already share across the text family.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    t = F.size(F.split(F.lower(F.col("text")), " "))
+    chars = F.length("text")
+    token_bytes = (
+        (chars - (t - F.lit(1))) + t * F.lit(8) + F.lit(8 + _ROW_OVERHEAD)
+    )
+    raw_bytes = chars + F.lit(8)
+    return docs.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_docs"),
+        F.coalesce(
+            F.sum(raw_bytes.cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("raw_bytes"),
+        F.coalesce(
+            F.sum(token_bytes.cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("tok_bytes"),
+    ).selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(raw_bytes AS BIGINT) AS raw_est_bytes",
+        "CAST(tok_bytes AS BIGINT) AS token_frame_est_bytes",
+        "CASE WHEN raw_bytes > 0 THEN "
+        + nm.half_up_scaled_spark_sql("tok_bytes", "raw_bytes", 6)
+        + " ELSE CAST(0 AS BIGINT) END AS amplification_ppm",
+    )
+
+
+CACHE_SIZING_ORACLE = f"""
+WITH base AS (
+  SELECT LENGTH(text) AS chars,
+         LEN(STRING_SPLIT(LOWER(text), ' ')) AS t
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+         CAST(COALESCE(SUM(chars + 8), 0) AS HUGEINT) AS raw_bytes,
+         CAST(COALESCE(SUM((chars - (t - 1)) + t * 8
+                           + {8 + _ROW_OVERHEAD}), 0) AS HUGEINT)
+           AS tok_bytes
+  FROM base
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(raw_bytes AS BIGINT) AS raw_est_bytes,
+       CAST(tok_bytes AS BIGINT) AS token_frame_est_bytes,
+       CASE WHEN raw_bytes > 0 THEN {nm.half_up_scaled_duck_sql(
+           "tok_bytes", "raw_bytes", 6
+       )}
+       ELSE 0 END AS amplification_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------
+# 5. Target-file compaction plan
+# ---------------------------------------------------------------------
+
+_DOC_ROW_BYTES = (
+    "8 + 8 + COALESCE(LENGTH(text), 0) + COALESCE(LENGTH(lang), 0)"
+    " + COALESCE(LENGTH(source), 0)"
+)
+
+
+def target_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """If the curated documents corpus is rewritten at the 128 MiB
+    target file size, how many output files result and how many
+    docs land per file? The small-files audit every lake pipeline
+    runs before a compaction job: a 100 TB corpus written at the
+    wrong granularity either melts the driver's file index (too
+    many) or kills scan parallelism (too few). Ceiling division on
+    the exact byte sum, floored at one file.
+
+    Scale shape: one documents scan, one aggregate, 1-row result.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.expr(_DOC_ROW_BYTES)).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("est_bytes"),
+    ).selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "CAST(est_bytes AS BIGINT) AS est_total_bytes",
+        f"CAST({_TARGET_FILE_BYTES} AS BIGINT) AS target_file_bytes",
+        f"CAST(GREATEST(CAST(1 AS DECIMAL(38,0)),"
+        f" (est_bytes + {_TARGET_FILE_BYTES - 1})"
+        f" div {_TARGET_FILE_BYTES}) AS BIGINT) AS n_output_files",
+        f"CAST(n_docs div GREATEST(CAST(1 AS DECIMAL(38,0)),"
+        f" (est_bytes + {_TARGET_FILE_BYTES - 1})"
+        f" div {_TARGET_FILE_BYTES}) AS BIGINT) AS docs_per_file",
+    )
+
+
+TARGET_FILE_COMPACTION_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_docs,
+         CAST(COALESCE(SUM({_DOC_ROW_BYTES}), 0) AS HUGEINT)
+           AS est_bytes
+  FROM documents
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(est_bytes AS BIGINT) AS est_total_bytes,
+       CAST({_TARGET_FILE_BYTES} AS BIGINT) AS target_file_bytes,
+       CAST(GREATEST(1, (est_bytes + {_TARGET_FILE_BYTES - 1})
+                        // {_TARGET_FILE_BYTES}) AS BIGINT)
+         AS n_output_files,
+       CAST(n_docs // GREATEST(1, (est_bytes + {_TARGET_FILE_BYTES - 1})
+                                  // {_TARGET_FILE_BYTES}) AS BIGINT)
+         AS docs_per_file
+FROM agg
+"""

@@ -1,0 +1,122 @@
+"""Closed-form recount pins for the round-13 capacity-planning
+batch (plans/capacity.py) — a third implementation in plain pandas,
+independent of both engines, same posture as
+tests/test_r12_experiments.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from spark_flink_streaming_example_with_test_spark.plans import capacity as cap
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/events.parquet")
+
+
+def _docs() -> pd.DataFrame:
+    return pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+
+def _strlen(s) -> int:
+    return 0 if s is None else len(str(s))
+
+
+def test_shuffle_partition_plan_recount(spark):
+    out = cap.shuffle_partition_plan(spark, SF_DIR).toPandas().iloc[0]
+    ev = _events()
+    est = int(
+        sum(
+            8 + 8 + 8 + 8 + _strlen(t) + _strlen(p)
+            for t, p in zip(ev["event_type"], ev["props"])
+        )
+    )
+    target = cap._TARGET_SHUFFLE_PARTITION_BYTES
+    assert int(out["n_rows"]) == len(ev)
+    assert int(out["est_total_bytes"]) == est
+    assert int(out["rec_shuffle_partitions"]) == max(
+        1, (est + target - 1) // target
+    )
+    assert int(out["est_bytes_per_row"]) == est // len(ev)
+
+
+def test_broadcast_fit_audit_recount(spark):
+    out = (
+        cap.broadcast_fit_audit(spark, SF_DIR)
+        .toPandas()
+        .set_index("tbl")
+    )
+    assert list(out.index) == sorted(out.index)  # ORDER BY tbl
+    region = pd.read_parquet(f"{SF_DIR}/region.parquet")
+    est = int(
+        sum(4 + _strlen(n) for n in region["r_name"])
+        + len(region) * cap._ROW_OVERHEAD
+    )
+    row = out.loc["region"]
+    assert int(row["n_rows"]) == len(region)
+    assert int(row["est_bytes"]) == est
+    assert int(row["fits_broadcast"]) == int(
+        est <= cap._BROADCAST_THRESHOLD_BYTES
+    )
+    # at fixture scale every dim fits the 10 MiB default
+    assert set(out.index) == {"region", "nation", "supplier",
+                              "customer", "part"}
+
+
+def test_hash_partition_skew_recount(spark):
+    out = cap.hash_partition_skew_audit(spark, SF_DIR).toPandas().iloc[0]
+    ev = _events()
+    counts = ev.groupby(ev["user_id"] % cap._N_BUCKETS).size()
+    total, mx = int(counts.sum()), int(counts.max())
+    assert int(out["total_rows"]) == total
+    assert int(out["buckets_used"]) == len(counts)
+    assert int(out["max_bucket_rows"]) == mx
+    assert int(out["min_bucket_rows"]) == int(counts.min())
+    # exact half-up ppm of max / (total / N)
+    expect = (mx * cap._N_BUCKETS * 2_000_000 + total) // (2 * total)
+    assert int(out["skew_ratio_ppm"]) == expect
+
+
+def test_cache_sizing_recount(spark):
+    out = cap.cache_sizing_estimate(spark, SF_DIR).toPandas().iloc[0]
+    docs = _docs()
+    texts = [t for t in docs["text"] if t is not None]
+    raw = sum(len(t) + 8 for t in texts)
+    tok = sum(
+        (len(t) - (len(t.lower().split(" ")) - 1))
+        + 8 * len(t.lower().split(" "))
+        + 8
+        + cap._ROW_OVERHEAD
+        for t in texts
+    )
+    assert int(out["n_docs"]) == len(texts)
+    assert int(out["raw_est_bytes"]) == raw
+    assert int(out["token_frame_est_bytes"]) == tok
+    assert int(out["amplification_ppm"]) == (tok * 2_000_000 + raw) // (
+        2 * raw
+    )
+    # tokenizing always amplifies (offsets + overhead)
+    assert int(out["amplification_ppm"]) > 1_000_000
+
+
+def test_target_file_compaction_recount(spark):
+    out = (
+        cap.target_file_compaction_plan(spark, SF_DIR).toPandas().iloc[0]
+    )
+    docs = _docs()
+    est = int(
+        sum(
+            8 + 8 + _strlen(t) + _strlen(la) + _strlen(s)
+            for t, la, s in zip(docs["text"], docs["lang"], docs["source"])
+        )
+    )
+    target = cap._TARGET_FILE_BYTES
+    files = max(1, (est + target - 1) // target)
+    assert int(out["n_docs"]) == len(docs)
+    assert int(out["est_total_bytes"]) == est
+    assert int(out["n_output_files"]) == files
+    assert int(out["docs_per_file"]) == len(docs) // files
