@@ -71,8 +71,16 @@ def main() -> None:
             _drain(QUERIES[name].fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - start, 3)
     else:
+        # Full untimed session-warm sweep first: with per-query cache
+        # release, the first timed query would otherwise absorb the
+        # session's residual JIT (measured: the position-1 query ran
+        # ~30% slower in the release convention than in the legacy
+        # one until this sweep equalized session warmth — r13 A/B).
+        for warm in HEADLINE_QUERIES:
+            _drain(QUERIES[warm].fn(spark, sf_dir))
+        spark.catalog.clearCache()
         for name in HEADLINE_QUERIES:
-            _drain(QUERIES[name].fn(spark, sf_dir))  # warm (untimed)
+            _drain(QUERIES[name].fn(spark, sf_dir))  # warm cache (untimed)
             start = time.perf_counter()
             _drain(QUERIES[name].fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - start, 3)
