@@ -130,7 +130,9 @@ def test_permutation_d_obs_matches_bruteforce(spark, duck):
     st = sum(v for _, v, t in users if t == 1)
     sc = sum(v for _, v, t in users if t == 0)
     assert row["n_users"] == n and row["n_treat"] == nt
-    assert row["d_obs_scaled_micros"] == abs(st * (n - nt) - sc * nt)
+    # r13: emitted at whole-value-unit scale (floor-div 1e6) so the
+    # column clears int64 far past the replica octave ladder
+    assert row["d_obs_value_units"] == abs(st * (n - nt) - sc * nt) // 10**6
 
 
 # ---------------------------------------------------------------- SPRT
