@@ -390,3 +390,138 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
          AS docs_per_file
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------
+# 6. Join strategy advisor
+# ---------------------------------------------------------------------
+
+_EXECUTOR_COUNT = 32  # broadcast fan-out literal (local[32] stands in)
+
+# Row-payload byte models for the fact tables (dims reuse
+# _DIM_ROW_BYTES).
+_FACT_ROW_BYTES: dict[str, str] = {
+    "orders": "8 + 8 + 8 + 8 + COALESCE(LENGTH(o_orderstatus), 0)"
+              " + COALESCE(LENGTH(o_orderpriority), 0)",
+    "lineitem": "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8 + 8"
+                " + COALESCE(LENGTH(l_returnflag), 0)"
+                " + COALESCE(LENGTH(l_linestatus), 0)",
+}
+
+# (join_name, build side, probe side) — the seven join edges the
+# TPC-H headline set actually executes (tests/test_plan_shapes.py
+# pins q3/q5/q9's sides as broadcast; this query emits the byte
+# arithmetic that makes those pins the right call at this SF).
+_JOIN_EDGES: list[tuple[str, str, str]] = [
+    ("lineitem_orders", "orders", "lineitem"),
+    ("orders_customer", "customer", "orders"),
+    ("lineitem_part", "part", "lineitem"),
+    ("lineitem_supplier", "supplier", "lineitem"),
+    ("customer_nation", "nation", "customer"),
+    ("supplier_nation", "nation", "supplier"),
+    ("nation_region", "region", "nation"),
+]
+
+
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each join edge the headline TPC-H plans execute, compare
+    the two physical strategies Spark chooses between — broadcast
+    hash (ship the build side to every executor, shuffle NOTHING)
+    vs sort-merge (shuffle BOTH sides by the key) — using the same
+    byte model as ``broadcast_fit_audit``, and emit the advised
+    strategy at the default 10 MiB threshold plus both strategies'
+    wire-cost estimates. This is the arithmetic behind every
+    broadcast pin in tests/test_plan_shapes.py, and the number that
+    flips when a dimension outgrows the threshold at a bigger SF —
+    the audit says WHEN the q5 plan stops being five broadcasts.
+
+    Scale shape: one aggregate per distinct table (seven tiny
+    1-row frames, the two fact scans map-side-combined), then a
+    7-row literal edge frame joined against the broadcast stats —
+    everything after the scans is constant-size.
+    """
+    row_models = dict(_DIM_ROW_BYTES) | _FACT_ROW_BYTES
+    stats = {}
+    for tbl, rb in row_models.items():
+        t = load_table(spark, sf_dir, tbl)
+        stats[tbl] = t.agg(
+            F.count("*").cast("decimal(38,0)").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.expr(rb)).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("payload"),
+        ).selectExpr(
+            f"'{tbl}' AS tbl",
+            "CAST(n_rows AS BIGINT) AS n_rows",
+            f"CAST(payload + n_rows * {_ROW_OVERHEAD} AS BIGINT)"
+            " AS est_bytes",
+        )
+    stats_df = None
+    for f in stats.values():
+        stats_df = f if stats_df is None else stats_df.unionByName(f)
+    edges = spark.createDataFrame(
+        _JOIN_EDGES, "join_name STRING, build_tbl STRING, probe_tbl STRING"
+    )
+    b = stats_df.selectExpr(
+        "tbl AS build_tbl", "n_rows AS build_rows",
+        "est_bytes AS build_est_bytes",
+    )
+    p = stats_df.selectExpr(
+        "tbl AS probe_tbl", "n_rows AS probe_rows",
+        "est_bytes AS probe_est_bytes",
+    )
+    return (
+        edges.join(F.broadcast(b), "build_tbl")
+        .join(F.broadcast(p), "probe_tbl")
+        .selectExpr(
+            "join_name", "build_tbl", "probe_tbl",
+            "build_rows", "build_est_bytes",
+            "probe_rows", "probe_est_bytes",
+            # SMJ wire cost: both sides cross the shuffle
+            "CAST(build_est_bytes + probe_est_bytes AS BIGINT)"
+            " AS smj_shuffle_bytes",
+            # broadcast wire cost: build side to every executor
+            f"CAST(build_est_bytes * {_EXECUTOR_COUNT} AS BIGINT)"
+            " AS broadcast_ship_bytes",
+            f"CASE WHEN build_est_bytes <= {_BROADCAST_THRESHOLD_BYTES}"
+            " THEN 'broadcast_hash' ELSE 'sort_merge' END AS advised",
+        )
+        .orderBy("join_name")
+    )
+
+
+def _join_stats_duck() -> str:
+    legs = []
+    for tbl, rb in (dict(_DIM_ROW_BYTES) | _FACT_ROW_BYTES).items():
+        legs.append(
+            f"  SELECT '{tbl}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+            f" CAST(CAST(COALESCE(SUM({rb}), 0) AS HUGEINT)"
+            f" + COUNT(*) * {_ROW_OVERHEAD} AS BIGINT) AS est_bytes"
+            f" FROM {tbl}"
+        )
+    return "\nUNION ALL\n".join(legs)
+
+
+_JOIN_EDGE_VALUES = ",\n  ".join(
+    f"('{n}', '{b}', '{p}')" for n, b, p in _JOIN_EDGES
+)
+
+JOIN_STRATEGY_ADVISOR_ORACLE = f"""
+WITH stats AS (
+{_join_stats_duck()}
+), edges(join_name, build_tbl, probe_tbl) AS (
+  VALUES {_JOIN_EDGE_VALUES}
+)
+SELECT e.join_name, e.build_tbl, e.probe_tbl,
+       b.n_rows AS build_rows, b.est_bytes AS build_est_bytes,
+       p.n_rows AS probe_rows, p.est_bytes AS probe_est_bytes,
+       CAST(b.est_bytes + p.est_bytes AS BIGINT) AS smj_shuffle_bytes,
+       CAST(b.est_bytes * {_EXECUTOR_COUNT} AS BIGINT)
+         AS broadcast_ship_bytes,
+       CASE WHEN b.est_bytes <= {_BROADCAST_THRESHOLD_BYTES}
+            THEN 'broadcast_hash' ELSE 'sort_merge' END AS advised
+FROM edges e
+JOIN stats b ON b.tbl = e.build_tbl
+JOIN stats p ON p.tbl = e.probe_tbl
+ORDER BY e.join_name
+"""

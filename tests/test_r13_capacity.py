@@ -120,3 +120,46 @@ def test_target_file_compaction_recount(spark):
     assert int(out["est_total_bytes"]) == est
     assert int(out["n_output_files"]) == files
     assert int(out["docs_per_file"]) == len(docs) // files
+
+
+def test_join_strategy_advisor_recount(spark):
+    out = (
+        cap.join_strategy_advisor(spark, SF_DIR)
+        .toPandas()
+        .set_index("join_name")
+    )
+    assert list(out.index) == sorted(out.index)
+    # recount one dim edge and one fact edge against the byte model
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    nation_bytes = int(
+        sum(4 + 4 + _strlen(n) for n in nation["n_name"])
+        + len(nation) * cap._ROW_OVERHEAD
+    )
+    row = out.loc["customer_nation"]
+    assert int(row["build_rows"]) == len(nation)
+    assert int(row["build_est_bytes"]) == nation_bytes
+    assert int(row["broadcast_ship_bytes"]) == (
+        nation_bytes * cap._EXECUTOR_COUNT
+    )
+    assert int(row["smj_shuffle_bytes"]) == (
+        nation_bytes + int(row["probe_est_bytes"])
+    )
+    assert row["advised"] == (
+        "broadcast_hash"
+        if nation_bytes <= cap._BROADCAST_THRESHOLD_BYTES
+        else "sort_merge"
+    )
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders_bytes = int(
+        sum(
+            8 + 8 + 8 + 8 + _strlen(s) + _strlen(p)
+            for s, p in zip(orders["o_orderstatus"], orders["o_orderpriority"])
+        )
+        + len(orders) * cap._ROW_OVERHEAD
+    )
+    row = out.loc["lineitem_orders"]
+    assert int(row["build_est_bytes"]) == orders_bytes
+    # the advisor's build sides must agree with the plan pins: every
+    # edge the headline TPC-H plans broadcast is advised broadcast
+    # at fixture scale
+    assert set(out["advised"]) == {"broadcast_hash"}
