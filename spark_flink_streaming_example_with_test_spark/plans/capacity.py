@@ -525,3 +525,205 @@ JOIN stats b ON b.tbl = e.build_tbl
 JOIN stats p ON p.tbl = e.probe_tbl
 ORDER BY e.join_name
 """
+
+
+# ---------------------------------------------------------------------
+# 7. Streaming state-store sizing (the reference pipeline's state)
+# ---------------------------------------------------------------------
+
+# RocksDB per-entry overhead literal (key/value headers + index
+# amortization) — the recalibratable model constant, like
+# _ROW_OVERHEAD above.
+_STATE_ENTRY_OVERHEAD = 32
+_WINDOW_US = 60_000_000  # the reference's 1-minute tumbling window
+_WATERMARK_US = 10_000_000  # the reference's 10 s watermark
+_SESSION_GAP_US = 1_800_000_000  # the repo's 30-minute session gap
+
+
+def streaming_state_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How big does the state store get for the two stateful
+    operators this engine ships — the reference pipeline's
+    (user, event_type, 1-min tumbling window) count (reference
+    spark/spark_streaming.py:55-65, 10 s watermark) and the
+    30-minute session_window — if the fixture's events replay as a
+    stream? Two numbers per operator: TOTAL distinct state keys ever
+    created (what the store writes over the run) and the keys still
+    LIVE at the final watermark (what the store must HOLD — the
+    working set that has to fit executor state memory / RocksDB
+    block cache). The live fraction is the eviction effectiveness
+    the watermark buys; a fraction near 1e6 ppm means the watermark
+    is not evicting and the store grows unboundedly — the #1
+    streaming-pipeline capacity failure.
+
+    State-entry byte model: key widths (8 per bigint, LENGTH per
+    string, 16 per window struct) + an 8-byte count value +
+    ``_STATE_ENTRY_OVERHEAD`` per entry, same recalibration posture
+    as the module's row models. Integer-exact: window ids derive
+    from ``unix_micros div window`` (truncating integer division,
+    mirrored by ``FLOOR(EPOCH_US)//`` in the oracle — the
+    unix_timestamp-truncation gotcha class avoided by staying in
+    micros end-to-end).
+
+    Scale shape: one events scan; the windowed-count keys collapse
+    via one distinct aggregate (map-side partial), the session leg
+    via one per-user aggregate; the max-timestamp rides a 1-row
+    broadcast. At 100 TB the forecast is the same two aggregates at
+    full parallelism — run it on a day's sample BEFORE submitting
+    the streaming job with a state store sized by hope.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros("ts")
+    mx = ev.agg(F.max(us).alias("max_us"))
+
+    # Leg 1: tumbling windowed count — one state entry per distinct
+    # (user_id, event_type, window) key.
+    wkeys = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (us - (us % _WINDOW_US)).alias("win_start_us"),
+        )
+        .distinct()
+    )
+    win_leg = (
+        wkeys.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("total_keys"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("win_start_us") + _WINDOW_US
+                        > F.col("max_us") - _WATERMARK_US,
+                        1,
+                    ).otherwise(0)
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("live_keys"),
+            F.coalesce(
+                F.sum(
+                    F.lit(8 + 16 + 8 + _STATE_ENTRY_OVERHEAD)
+                    + F.length("event_type")
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("total_bytes"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("win_start_us") + _WINDOW_US
+                        > F.col("max_us") - _WATERMARK_US,
+                        F.lit(8 + 16 + 8 + _STATE_ENTRY_OVERHEAD)
+                        + F.length("event_type"),
+                    ).otherwise(0)
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("live_bytes"),
+        )
+        .selectExpr("'windowed_count' AS operator", "*")
+    )
+
+    # Leg 2: session windows — one state entry per user; live iff
+    # the user's LAST event is within one gap of the stream head
+    # (the session the watermark has not yet closed).
+    ukeys = ev.groupBy("user_id").agg(F.max(us).alias("last_us"))
+    sess_leg = (
+        ukeys.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("total_keys"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("last_us") + _SESSION_GAP_US
+                        > F.col("max_us") - _WATERMARK_US,
+                        1,
+                    ).otherwise(0)
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("live_keys"),
+            F.count("*").cast("decimal(38,0)")
+            * (8 + 16 + 8 + _STATE_ENTRY_OVERHEAD),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("last_us") + _SESSION_GAP_US
+                        > F.col("max_us") - _WATERMARK_US,
+                        F.lit(8 + 16 + 8 + _STATE_ENTRY_OVERHEAD),
+                    ).otherwise(0)
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("live_bytes"),
+        )
+        .toDF("total_keys", "live_keys", "total_bytes", "live_bytes")
+        .selectExpr("'session_window' AS operator", "*")
+    )
+
+    return (
+        win_leg.unionByName(sess_leg)
+        .selectExpr(
+            "operator",
+            "CAST(total_keys AS BIGINT) AS total_state_keys",
+            "CAST(live_keys AS BIGINT) AS live_state_keys",
+            "CAST(total_bytes AS BIGINT) AS est_total_state_bytes",
+            "CAST(live_bytes AS BIGINT) AS est_live_state_bytes",
+            "CASE WHEN total_keys > 0 THEN "
+            + nm.half_up_scaled_spark_sql("live_keys", "total_keys", 6)
+            + " ELSE CAST(0 AS BIGINT) END AS live_fraction_ppm",
+        )
+        .orderBy("operator")
+    )
+
+
+STREAMING_STATE_SIZING_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(EPOCH_US(ts)) AS BIGINT) AS us
+  FROM events WHERE ts IS NOT NULL
+), mx AS (
+  SELECT MAX(us) AS max_us FROM base
+), wkeys AS (
+  SELECT DISTINCT user_id, event_type,
+         us - (us % {_WINDOW_US}) AS win_start_us
+  FROM base
+), win_leg AS (
+  SELECT 'windowed_count' AS operator,
+         CAST(COUNT(*) AS HUGEINT) AS total_keys,
+         CAST(COALESCE(SUM(CASE WHEN win_start_us + {_WINDOW_US}
+                > (SELECT max_us FROM mx) - {_WATERMARK_US}
+              THEN 1 ELSE 0 END), 0) AS HUGEINT) AS live_keys,
+         CAST(COALESCE(SUM({8 + 16 + 8 + _STATE_ENTRY_OVERHEAD}
+                + LENGTH(event_type)), 0) AS HUGEINT) AS total_bytes,
+         CAST(COALESCE(SUM(CASE WHEN win_start_us + {_WINDOW_US}
+                > (SELECT max_us FROM mx) - {_WATERMARK_US}
+              THEN {8 + 16 + 8 + _STATE_ENTRY_OVERHEAD}
+                   + LENGTH(event_type) ELSE 0 END), 0) AS HUGEINT)
+           AS live_bytes
+  FROM wkeys
+), ukeys AS (
+  SELECT user_id, MAX(us) AS last_us FROM base GROUP BY user_id
+), sess_leg AS (
+  SELECT 'session_window' AS operator,
+         CAST(COUNT(*) AS HUGEINT) AS total_keys,
+         CAST(COALESCE(SUM(CASE WHEN last_us + {_SESSION_GAP_US}
+                > (SELECT max_us FROM mx) - {_WATERMARK_US}
+              THEN 1 ELSE 0 END), 0) AS HUGEINT) AS live_keys,
+         CAST(COUNT(*) * {8 + 16 + 8 + _STATE_ENTRY_OVERHEAD}
+              AS HUGEINT) AS total_bytes,
+         CAST(COALESCE(SUM(CASE WHEN last_us + {_SESSION_GAP_US}
+                > (SELECT max_us FROM mx) - {_WATERMARK_US}
+              THEN {8 + 16 + 8 + _STATE_ENTRY_OVERHEAD}
+              ELSE 0 END), 0) AS HUGEINT) AS live_bytes
+  FROM ukeys
+), both_legs AS (
+  SELECT * FROM win_leg UNION ALL SELECT * FROM sess_leg
+)
+SELECT operator,
+       CAST(total_keys AS BIGINT) AS total_state_keys,
+       CAST(live_keys AS BIGINT) AS live_state_keys,
+       CAST(total_bytes AS BIGINT) AS est_total_state_bytes,
+       CAST(live_bytes AS BIGINT) AS est_live_state_bytes,
+       CASE WHEN total_keys > 0 THEN {nm.half_up_scaled_duck_sql(
+           "live_keys", "total_keys", 6
+       )}
+       ELSE 0 END AS live_fraction_ppm
+FROM both_legs
+ORDER BY operator
+"""

@@ -163,3 +163,38 @@ def test_join_strategy_advisor_recount(spark):
     # edge the headline TPC-H plans broadcast is advised broadcast
     # at fixture scale
     assert set(out["advised"]) == {"broadcast_hash"}
+
+
+def test_streaming_state_sizing_recount(spark):
+    out = (
+        cap.streaming_state_sizing_plan(spark, SF_DIR)
+        .toPandas()
+        .set_index("operator")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").dropna(subset=["ts"])
+    # normalize to epoch MICROS regardless of pandas' parquet
+    # resolution ([ns] vs [us] varies by pandas/arrow version)
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    max_us = int(us.max())
+    win = us - (us % cap._WINDOW_US)
+    keys = pd.DataFrame(
+        {"u": ev["user_id"], "t": ev["event_type"], "w": win}
+    ).drop_duplicates()
+    live = keys["w"] + cap._WINDOW_US > max_us - cap._WATERMARK_US
+    entry = 8 + 16 + 8 + cap._STATE_ENTRY_OVERHEAD
+    row = out.loc["windowed_count"]
+    assert int(row["total_state_keys"]) == len(keys)
+    assert int(row["live_state_keys"]) == int(live.sum())
+    assert int(row["est_total_state_bytes"]) == int(
+        (entry + keys["t"].str.len()).sum()
+    )
+    last = us.groupby(ev["user_id"]).max()
+    live_u = last + cap._SESSION_GAP_US > max_us - cap._WATERMARK_US
+    row = out.loc["session_window"]
+    assert int(row["total_state_keys"]) == len(last)
+    assert int(row["live_state_keys"]) == int(live_u.sum())
+    assert int(row["est_total_state_bytes"]) == len(last) * entry
+    tot, lv = len(keys), int(live.sum())
+    assert int(out.loc["windowed_count", "live_fraction_ppm"]) == (
+        lv * 2_000_000 + tot
+    ) // (2 * tot)
