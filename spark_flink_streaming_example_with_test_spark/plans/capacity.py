@@ -727,3 +727,289 @@ SELECT operator,
 FROM both_legs
 ORDER BY operator
 """
+
+
+# ---------------------------------------------------------------------
+# 8-10. Storage-layout advisory (partitioning, encoding, filters)
+# ---------------------------------------------------------------------
+
+_PRUNE_WINDOW_DAYS = 7  # the "recent activity" predicate under audit
+
+# Bloom filter at 1% target FPP: bits/key = -ln(0.01)/ln(2)^2 as a
+# shared ppm literal; optimal hash count k = round(bits/key * ln 2).
+_BLOOM_BITS_PER_KEY_PPM = 9_585_058
+_BLOOM_HASHES = 7
+
+
+def partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """If events were laid out day-partitioned (the standard lake
+    layout), how much does the canonical "last 7 days" predicate
+    prune? Emits partition counts (total / scanned / pruned) and row
+    counts (total / scanned) plus both pruning fractions in exact
+    half-up ppm — the number that justifies (or indicts) the
+    partition column choice BEFORE anyone rewrites 100 TB into it.
+    The window anchors at the fixture's max day so the audit replays
+    deterministically in both engines.
+
+    Scale shape: events collapse to the per-day count frame in one
+    aggregate; the verdict is one aggregate over that bounded frame
+    with the max-day riding a window-free broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    days = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("decimal(38,0)").alias("c"))
+    mx = days.agg(F.max("day").alias("max_day"))
+    flagged = days.crossJoin(F.broadcast(mx)).withColumn(
+        "scanned",
+        (
+            F.col("day")
+            >= F.date_format(
+                F.date_sub(
+                    F.to_date("max_day"), _PRUNE_WINDOW_DAYS - 1
+                ),
+                "yyyy-MM-dd",
+            )
+        ).cast("int"),
+    )
+    return flagged.agg(
+        F.count("*").cast("decimal(38,0)").alias("total_parts"),
+        F.coalesce(
+            F.sum("scanned").cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("scanned_parts"),
+        F.coalesce(F.sum("c"), F.lit(0).cast("decimal(38,0)")).alias(
+            "total_rows"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("scanned") == 1, F.col("c")).otherwise(0)),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("scanned_rows"),
+    ).selectExpr(
+        "CAST(total_parts AS BIGINT) AS total_partitions",
+        "CAST(scanned_parts AS BIGINT) AS scanned_partitions",
+        "CAST(total_parts - scanned_parts AS BIGINT) AS pruned_partitions",
+        "CAST(total_rows AS BIGINT) AS total_rows",
+        "CAST(scanned_rows AS BIGINT) AS scanned_rows",
+        "CASE WHEN total_parts > 0 THEN "
+        + nm.half_up_scaled_spark_sql(
+            "total_parts - scanned_parts", "total_parts", 6
+        )
+        + " ELSE CAST(0 AS BIGINT) END AS partition_prune_ppm",
+        "CASE WHEN total_rows > 0 THEN "
+        + nm.half_up_scaled_spark_sql(
+            "total_rows - scanned_rows", "total_rows", 6
+        )
+        + " ELSE CAST(0 AS BIGINT) END AS row_prune_ppm",
+    )
+
+
+PARTITION_PRUNING_ORACLE = f"""
+WITH days AS (
+  SELECT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS HUGEINT) AS c
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+), mx AS (
+  SELECT MAX(day) AS max_day FROM days
+), flagged AS (
+  SELECT c,
+         CASE WHEN day >= STRFTIME(
+                CAST((SELECT max_day FROM mx) AS DATE)
+                - INTERVAL {_PRUNE_WINDOW_DAYS - 1} DAY, '%Y-%m-%d')
+         THEN 1 ELSE 0 END AS scanned
+  FROM days
+), agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS total_parts,
+         CAST(COALESCE(SUM(scanned), 0) AS HUGEINT) AS scanned_parts,
+         CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS total_rows,
+         CAST(COALESCE(SUM(CASE WHEN scanned = 1 THEN c ELSE 0 END), 0)
+              AS HUGEINT) AS scanned_rows
+  FROM flagged
+)
+SELECT CAST(total_parts AS BIGINT) AS total_partitions,
+       CAST(scanned_parts AS BIGINT) AS scanned_partitions,
+       CAST(total_parts - scanned_parts AS BIGINT) AS pruned_partitions,
+       CAST(total_rows AS BIGINT) AS total_rows,
+       CAST(scanned_rows AS BIGINT) AS scanned_rows,
+       CASE WHEN total_parts > 0 THEN {nm.half_up_scaled_duck_sql(
+           "total_parts - scanned_parts", "total_parts", 6)}
+       ELSE 0 END AS partition_prune_ppm,
+       CASE WHEN total_rows > 0 THEN {nm.half_up_scaled_duck_sql(
+           "total_rows - scanned_rows", "total_rows", 6)}
+       ELSE 0 END AS row_prune_ppm
+FROM agg
+"""
+
+
+# (table, column) pairs under dictionary-encoding audit — the
+# low-cardinality string columns a columnar layout dictionary-encodes.
+_DICT_COLUMNS: list[tuple[str, str]] = [
+    ("events", "event_type"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+]
+
+
+def dict_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding effectiveness per low-cardinality string
+    column: plain bytes (sum of value lengths) vs dictionary bytes
+    (the distinct values' lengths + ceil(log2(ndv)) bits per row,
+    byte-packed) and the ratio in half-up ppm. The parquet/Arrow
+    layout decision in number form — a ratio near 1e6 ppm says the
+    column is too high-cardinality to dictionary-encode and will
+    bloat the file instead. Index width derives from LENGTH(BIN(
+    ndv-1)) — integer bit-length in BOTH engines, no float log2
+    whose half-boundary could flip the width cross-engine.
+
+    Scale shape: per column, one scan collapsing to (ndv, rows,
+    plain bytes, dict bytes) in a single aggregate over the
+    distinct-value frame + one over the raw column; five columns
+    union to a 5-row frame.
+    """
+    frames = []
+    for tbl, col in _DICT_COLUMNS:
+        t = load_table(spark, sf_dir, tbl).filter(F.col(col).isNotNull())
+        vals = t.groupBy(col).agg(
+            F.count("*").cast("decimal(38,0)").alias("c")
+        )
+        frames.append(
+            vals.agg(
+                F.count("*").cast("decimal(38,0)").alias("ndv"),
+                F.coalesce(
+                    F.sum("c"), F.lit(0).cast("decimal(38,0)")
+                ).alias("rows"),
+                F.coalesce(
+                    F.sum(F.length(col).cast("decimal(38,0)") * F.col("c")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("plain_bytes"),
+                F.coalesce(
+                    F.sum(F.length(col).cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("dict_len"),
+            ).selectExpr(
+                f"'{tbl}.{col}' AS column_name",
+                "CAST(ndv AS BIGINT) AS ndv",
+                "CAST(rows AS BIGINT) AS n_rows",
+                "CAST(plain_bytes AS BIGINT) AS plain_bytes",
+                # index bits: bit-length of (ndv-1); 0 when ndv <= 1
+                "CAST(CASE WHEN ndv > 1"
+                " THEN LENGTH(BIN(CAST(ndv - 1 AS BIGINT))) ELSE 0 END"
+                " AS INT) AS index_bits",
+                "CAST(dict_len + CASE WHEN ndv > 1 THEN"
+                " (rows * LENGTH(BIN(CAST(ndv - 1 AS BIGINT))) + 7) div 8"
+                " ELSE 0 END AS BIGINT) AS dict_bytes",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.selectExpr(
+        "*",
+        "CASE WHEN plain_bytes > 0 THEN "
+        + nm.half_up_scaled_spark_sql("dict_bytes", "plain_bytes", 6)
+        + " ELSE CAST(0 AS BIGINT) END AS dict_ratio_ppm",
+    ).orderBy("column_name")
+
+
+def _dict_leg_duck(tbl: str, col: str) -> str:
+    return f"""
+  SELECT column_name,
+         CAST(ndv AS BIGINT) AS ndv,
+         CAST(rows AS BIGINT) AS n_rows,
+         CAST(plain_bytes AS BIGINT) AS plain_bytes,
+         CAST(index_bits AS INT) AS index_bits,
+         CAST(dict_bytes AS BIGINT) AS dict_bytes,
+         CASE WHEN plain_bytes > 0 THEN {nm.half_up_scaled_duck_sql(
+             "dict_bytes", "plain_bytes", 6)}
+         ELSE 0 END AS dict_ratio_ppm
+  FROM (
+    SELECT '{tbl}.{col}' AS column_name, ndv, rows, plain_bytes,
+           CASE WHEN ndv > 1 THEN LENGTH(BIN(CAST(ndv - 1 AS BIGINT)))
+                ELSE 0 END AS index_bits,
+           dict_len + CASE WHEN ndv > 1 THEN
+             (rows * LENGTH(BIN(CAST(ndv - 1 AS BIGINT))) + 7) // 8
+             ELSE 0 END AS dict_bytes
+    FROM (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS ndv,
+             CAST(COALESCE(SUM(c), 0) AS HUGEINT) AS rows,
+             CAST(COALESCE(SUM(l * c), 0) AS HUGEINT) AS plain_bytes,
+             CAST(COALESCE(SUM(l), 0) AS HUGEINT) AS dict_len
+      FROM (
+        SELECT CAST(LENGTH({col}) AS HUGEINT) AS l,
+               CAST(COUNT(*) AS HUGEINT) AS c
+        FROM {tbl} WHERE {col} IS NOT NULL GROUP BY {col}
+      )
+    )
+  )"""
+
+
+DICT_COMPRESSION_ORACLE = (
+    "\nUNION ALL\n".join(_dict_leg_duck(t, c) for t, c in _DICT_COLUMNS)
+    + "\nORDER BY column_name"
+)
+
+
+def bloom_filter_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing at 1% target FPP for the three join keys
+    a runtime row-level filter would guard (orders.o_custkey,
+    lineitem.l_partkey, events.user_id): exact NDV per key, filter
+    bits at the shared -ln(p)/ln(2)^2 ppm literal, byte-packed size,
+    and the optimal hash count (7 at 1%). This is the arithmetic
+    behind Spark's own runtime bloom-filter join optimization and
+    every lake format's bloom index — sized from a cheap NDV
+    aggregate instead of a guess.
+
+    Scale shape: per key, one COUNT(DISTINCT) aggregate (exact,
+    two-phase partial); three keys union to a 3-row frame. All
+    emission arithmetic is integer (ppm literal x ndv, ceil-div 8).
+    """
+    keys = [
+        ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"),
+        ("events", "user_id"),
+    ]
+    frames = []
+    for tbl, col in keys:
+        t = load_table(spark, sf_dir, tbl).filter(F.col(col).isNotNull())
+        frames.append(
+            t.agg(
+                F.countDistinct(col).cast("decimal(38,0)").alias("ndv")
+            ).selectExpr(
+                f"'{tbl}.{col}' AS key_name",
+                "CAST(ndv AS BIGINT) AS ndv",
+                f"CAST((ndv * {_BLOOM_BITS_PER_KEY_PPM}) div 1000000"
+                " AS BIGINT) AS bloom_bits",
+                f"CAST(((ndv * {_BLOOM_BITS_PER_KEY_PPM}) div 1000000 + 7)"
+                " div 8 AS BIGINT) AS bloom_bytes",
+                f"CAST({_BLOOM_HASHES} AS INT) AS hash_count",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("key_name")
+
+
+def _bloom_leg_duck(tbl: str, col: str) -> str:
+    return f"""
+  SELECT '{tbl}.{col}' AS key_name,
+         CAST(ndv AS BIGINT) AS ndv,
+         CAST((ndv * {_BLOOM_BITS_PER_KEY_PPM}) // 1000000 AS BIGINT)
+           AS bloom_bits,
+         CAST(((ndv * {_BLOOM_BITS_PER_KEY_PPM}) // 1000000 + 7) // 8
+              AS BIGINT) AS bloom_bytes,
+         CAST({_BLOOM_HASHES} AS INT) AS hash_count
+  FROM (SELECT CAST(COUNT(DISTINCT {col}) AS HUGEINT) AS ndv
+        FROM {tbl} WHERE {col} IS NOT NULL)"""
+
+
+BLOOM_FILTER_SIZING_ORACLE = (
+    "\nUNION ALL\n".join(
+        _bloom_leg_duck(t, c)
+        for t, c in [("orders", "o_custkey"), ("lineitem", "l_partkey"),
+                     ("events", "user_id")]
+    )
+    + "\nORDER BY key_name"
+)

@@ -198,3 +198,69 @@ def test_streaming_state_sizing_recount(spark):
     assert int(out.loc["windowed_count", "live_fraction_ppm"]) == (
         lv * 2_000_000 + tot
     ) // (2 * tot)
+
+
+def test_partition_pruning_recount(spark):
+    out = cap.partition_pruning_audit(spark, SF_DIR).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").dropna(subset=["ts"])
+    days = ev["ts"].dt.strftime("%Y-%m-%d")
+    counts = days.value_counts()
+    max_day = max(counts.index)
+    cutoff = (
+        pd.Timestamp(max_day) - pd.Timedelta(days=cap._PRUNE_WINDOW_DAYS - 1)
+    ).strftime("%Y-%m-%d")
+    scanned = [d for d in counts.index if d >= cutoff]
+    assert int(out["total_partitions"]) == len(counts)
+    assert int(out["scanned_partitions"]) == len(scanned)
+    assert int(out["total_rows"]) == len(ev)
+    assert int(out["scanned_rows"]) == int(
+        sum(counts[d] for d in scanned)
+    )
+    tot, sc = len(counts), len(scanned)
+    assert int(out["partition_prune_ppm"]) == (
+        (tot - sc) * 2_000_000 + tot
+    ) // (2 * tot)
+
+
+def test_dict_compression_recount(spark):
+    out = (
+        cap.dict_compression_estimate(spark, SF_DIR)
+        .toPandas()
+        .set_index("column_name")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    vals = ev["event_type"].dropna()
+    ndv = vals.nunique()
+    plain = int(vals.str.len().sum())
+    bits = (ndv - 1).bit_length() if ndv > 1 else 0
+    dict_len = int(sum(len(v) for v in vals.unique()))
+    dict_bytes = dict_len + (len(vals) * bits + 7) // 8
+    row = out.loc["events.event_type"]
+    assert int(row["ndv"]) == ndv
+    assert int(row["index_bits"]) == bits
+    assert int(row["plain_bytes"]) == plain
+    assert int(row["dict_bytes"]) == dict_bytes
+    assert int(row["dict_ratio_ppm"]) == (
+        dict_bytes * 2_000_000 + plain
+    ) // (2 * plain)
+    # low-cardinality columns must actually compress
+    assert int(row["dict_ratio_ppm"]) < 1_000_000
+
+
+def test_bloom_filter_sizing_recount(spark):
+    out = (
+        cap.bloom_filter_sizing(spark, SF_DIR)
+        .toPandas()
+        .set_index("key_name")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ndv = int(ev["user_id"].dropna().nunique())
+    bits = ndv * cap._BLOOM_BITS_PER_KEY_PPM // 10**6
+    row = out.loc["events.user_id"]
+    assert int(row["ndv"]) == ndv
+    assert int(row["bloom_bits"]) == bits
+    assert int(row["bloom_bytes"]) == (bits + 7) // 8
+    assert int(row["hash_count"]) == cap._BLOOM_HASHES
+    assert set(out.index) == {
+        "events.user_id", "lineitem.l_partkey", "orders.o_custkey"
+    }
