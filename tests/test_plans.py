@@ -208,6 +208,8 @@ _INTENTIONAL_NLJ = {
     "hill_tail_index_values",     # 1-row boundary-rank broadcast onto 501-row frame
     "tukey_fences_outlier_days",  # 1-row total + 1-row fence crossJoins
     "cochran_armitage_trend",     # 1-row user-total attach on the count-value frame
+    # round-13 capacity queries (plans/capacity.py)
+    "partition_pruning_audit",    # 1-row max-day crossJoin onto the day frame
 }
 
 # Queries whose construction EXECUTES work (bounded streaming replays,
