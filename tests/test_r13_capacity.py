@@ -264,3 +264,46 @@ def test_bloom_filter_sizing_recount(spark):
     assert set(out.index) == {
         "events.user_id", "lineitem.l_partkey", "orders.o_custkey"
     }
+
+
+def test_aqe_coalesce_recount(spark):
+    out = cap.aqe_coalesce_estimate(spark, SF_DIR).toPandas().iloc[0]
+    ev = _events()
+    n = int(ev["user_id"].dropna().nunique())
+    est = n * (8 + 8 + cap._ROW_OVERHEAD)
+    after = max(
+        1, (est + cap._AQE_ADVISORY_BYTES - 1) // cap._AQE_ADVISORY_BYTES
+    )
+    before = cap._SESSION_SHUFFLE_PARTITIONS
+    assert int(out["n_groups"]) == n
+    assert int(out["est_agg_bytes"]) == est
+    assert int(out["partitions_before_aqe"]) == before
+    assert int(out["partitions_after_aqe"]) == after
+    if after < before:
+        assert int(out["coalesce_reduction_ppm"]) == (
+            (before - after) * 2_000_000 + before
+        ) // (2 * before)
+    # the tiny post-agg frame must coalesce hard at fixture scale
+    assert after == 1
+
+
+def test_executor_fleet_recount(spark):
+    out = cap.executor_fleet_plan(spark, SF_DIR).toPandas().iloc[0]
+    ev = _events()
+    est = int(
+        sum(
+            8 + 8 + 8 + 8 + _strlen(t) + _strlen(p)
+            for t, p in zip(ev["event_type"], ev["props"])
+        )
+    )
+    tgt = cap._TARGET_CORPUS_BYTES
+    assert int(out["fixture_bytes"]) == est
+    assert int(out["projected_rows"]) == tgt * len(ev) // est
+    core_sec = (
+        tgt + cap._SCAN_BYTES_PER_CORE_SEC - 1
+    ) // cap._SCAN_BYTES_PER_CORE_SEC
+    assert int(out["scan_core_seconds"]) == core_sec
+    denom = cap._TARGET_WALL_SECONDS * cap._CORES_PER_EXECUTOR
+    assert int(out["executors_for_1h_scan"]) == (
+        core_sec + denom - 1
+    ) // denom
