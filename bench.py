@@ -113,6 +113,17 @@ def main() -> None:
                 "queries": timings,
                 "legacy16_total": legacy16_total,
                 "sf": sf,
+                # Convention marker (ADVICE r13 #3): the r13 switch
+                # to per-query cache release changed what the timed
+                # pass measures, so BENCH_r13+ totals are not
+                # directly comparable to the r01-r12 series.
+                # Downstream tooling can key on this field instead
+                # of reading BENCH_NOTES.md prose.
+                "convention": (
+                    "accumulate-legacy-v1"
+                    if keep_caches
+                    else "per-query-release-v2"
+                ),
             }
         )
     )

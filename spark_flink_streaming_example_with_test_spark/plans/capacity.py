@@ -639,8 +639,10 @@ def streaming_state_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("decimal(38,0)"),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("live_keys"),
-            F.count("*").cast("decimal(38,0)")
-            * (8 + 16 + 8 + _STATE_ENTRY_OVERHEAD),
+            (
+                F.count("*").cast("decimal(38,0)")
+                * (8 + 16 + 8 + _STATE_ENTRY_OVERHEAD)
+            ).alias("total_bytes"),
             F.coalesce(
                 F.sum(
                     F.when(
@@ -652,7 +654,6 @@ def streaming_state_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("live_bytes"),
         )
-        .toDF("total_keys", "live_keys", "total_bytes", "live_bytes")
         .selectExpr("'session_window' AS operator", "*")
     )
 

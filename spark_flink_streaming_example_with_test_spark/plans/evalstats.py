@@ -9,7 +9,7 @@ source weights, and link prediction over the shared synthetic doc
 graph.
 
 Reference parity note: the reference pipeline
-(spark/spark_practice/main.py, flink/flink-practice/.../DataStreamJob.java)
+(spark/spark_streaming.py, flink/.../UserActivityFilterAgg.java)
 has no eval surface at all — this module is gap-map §2.6 extension
 surface, mandated by SURVEY.md §2's north-star list, not a port.
 

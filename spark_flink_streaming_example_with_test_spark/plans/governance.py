@@ -5,7 +5,7 @@ watermark-delay sizing from measured arrival disorder, the Spark 4
 IDENTIFIER() templated-SQL surface, and a corpus data-card capstone.
 
 Reference parity note: the reference pipeline
-(spark/spark_practice/main.py, flink/flink-practice/.../DataStreamJob.java)
+(spark/spark_streaming.py, flink/.../UserActivityFilterAgg.java)
 hard-codes a 10 s watermark (SURVEY.md §2 A1) with no measurement
 backing it — `watermark_delay_audit` is the query that SIZES that
 number from observed arrival lateness. The rest is gap-map §2.6 /

@@ -13,7 +13,7 @@ degree-assortative, and how far is each source's token distribution
 from the corpus in the *symmetric, bounded* sense (Jensen-Shannon).
 
 Reference parity note: the reference pipeline
-(spark/spark_practice/main.py, flink/flink-practice/.../DataStreamJob.java)
+(spark/spark_streaming.py, flink/.../UserActivityFilterAgg.java)
 has no statistics surface — this module is gap-map §2.6 extension
 surface mandated by SURVEY.md §2's north-star list, not a port.
 

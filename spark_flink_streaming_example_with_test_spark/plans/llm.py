@@ -1788,6 +1788,10 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three orders of magnitude. NULL text still counts toward
     # n_docs (coalesce to the bare sentinel array) but contributes
     # no dl to avgdl — identical to the old COUNT(*)/AVG semantics.
+    # dl must be NULL-guarded explicitly: under Spark's default
+    # non-ANSI config size(split(NULL, ' ')) is -1, not NULL, so an
+    # unguarded F.size would feed -1 into avgdl while DuckDB's AVG
+    # skips the NULL — a cross-engine divergence (ADVICE r13).
     #
     # Document length rides THROUGH the posting-list aggregate
     # (constant per doc, so first() is exact) instead of joining a
@@ -1797,7 +1801,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel = "__dl __"  # contains a space => unsplittable token
     toks = docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
+        F.when(
+            F.col("text").isNotNull(), F.size(F.split("text", " "))
+        ).alias("dl"),
         F.explode(
             F.concat(
                 F.array(F.lit(sentinel)),

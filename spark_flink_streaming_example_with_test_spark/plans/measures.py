@@ -8,7 +8,7 @@ winsorized/trimmed robust means, jackknife shard sensitivity, and
 Spearman rank correlation.
 
 Reference parity note: the reference pipeline
-(spark/spark_practice/main.py, flink/flink-practice/.../DataStreamJob.java)
+(spark/spark_streaming.py, flink/.../UserActivityFilterAgg.java)
 has no statistics surface — this module is gap-map §2.6 extension
 surface mandated by SURVEY.md §2's north-star list, not a port.
 
