@@ -62,3 +62,21 @@ def test_simhash_and_token_stats_survive_null_text(spark):
     assert {r.doc_id for r in sh} == {1, 2, 4}  # NULL contributes no tokens
     stats = with_token_stats(df).collect()
     assert len(stats) == 4  # row-preserving projection keeps NULL row
+
+
+def test_fixture_documents_have_no_null_text(spark, sf_dir):
+    """Canary for the size(split(NULL)) = -1 class (ADVICE r13 #1):
+    ~25 catalog queries compute doc length as F.size(F.split(text))
+    without a NULL guard, which is exact vs their DuckDB oracles
+    ONLY because the documents fixtures contain no NULL text (under
+    Spark's default non-ANSI config size(split(NULL, ' ')) returns
+    -1, not NULL, while DuckDB aggregates skip NULL — a silent
+    cross-engine divergence). hybrid_search_rrf guards explicitly
+    (plans/llm.py); the rest rely on this fixture property. If this
+    test ever fails, the fixture generation changed — audit every
+    unguarded `F.size(F.split` site (grep) before trusting the gate.
+    """
+    from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.filter(F.col("text").isNull()).count() == 0
