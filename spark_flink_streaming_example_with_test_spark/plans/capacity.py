@@ -26,7 +26,7 @@ operator can recalibrate them from one measured job.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
@@ -566,10 +566,22 @@ def streaming_state_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one events scan; the windowed-count keys collapse
     via one distinct aggregate (map-side partial), the session leg
-    via one per-user aggregate; the max-timestamp rides a 1-row
-    broadcast. At 100 TB the forecast is the same two aggregates at
-    full parallelism — run it on a day's sample BEFORE submitting
-    the streaming job with a state store sized by hope.
+    via one user-keyed shuffle (the gaps-and-islands window and the
+    per-session aggregate share the same hash partitioning); the
+    max-timestamp rides a 1-row broadcast. At 100 TB the forecast is
+    the same two aggregates at full parallelism — run it on a day's
+    sample BEFORE submitting the streaming job with a state store
+    sized by hope.
+
+    Back-tested against the real engine (r14, x256 replicas =
+    25.6M events replayed through RocksDB-backed state): the
+    windowed leg's total_state_keys (25,595,392) and the session
+    leg's total_state_keys (24,439,040) each equal the engine's
+    reported peak ``stateOperators.numRowsTotal`` EXACTLY, and the
+    session live_state_keys (15,360) equals the post-eviction state
+    row count after the watermark-advancing batch EXACTLY
+    (SCALE_NOTES r14). total = the bulk-replay / backfill peak the
+    store must survive; live = the steady-state working set.
     """
     ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     us = F.unix_micros("ts")
@@ -621,12 +633,37 @@ def streaming_state_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("'windowed_count' AS operator", "*")
     )
 
-    # Leg 2: session windows — one state entry per user; live iff
-    # the user's LAST event is within one gap of the stream head
-    # (the session the watermark has not yet closed).
-    ukeys = ev.groupBy("user_id").agg(F.max(us).alias("last_us"))
+    # Leg 2: session windows — one state entry per SESSION
+    # (gaps-and-islands over each user's event times), not per user:
+    # the r14 x256 replay back-test showed the engine's state store
+    # holds every un-evicted session, and the per-user model
+    # under-counted the bulk-replay peak 64x (24,439,040 measured
+    # state rows vs 384,000 users — the gaps-and-islands count
+    # matches the engine EXACTLY; SCALE_NOTES r14). A session is
+    # live iff its LAST event is within one gap of the stream head
+    # (the watermark has not yet closed it) — after eviction the
+    # engine held exactly this count (15,360 measured).
+    # The session-id window rides the SAME hash-partitioning the
+    # per-session aggregate needs (both keyed by user_id), so the
+    # leg still costs one shuffle of (user_id, us) pairs.
+    wu = Window.partitionBy("user_id").orderBy("us")
+    skeys = (
+        ev.select("user_id", us.alias("us"))
+        .withColumn("lag_us", F.lag("us").over(wu))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("lag_us").isNull()
+                | (F.col("us") - F.col("lag_us") > _SESSION_GAP_US),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sess_id", F.sum("new_sess").over(wu))
+        .groupBy("user_id", "sess_id")
+        .agg(F.max("us").alias("last_us"))
+    )
     sess_leg = (
-        ukeys.crossJoin(F.broadcast(mx))
+        skeys.crossJoin(F.broadcast(mx))
         .agg(
             F.count("*").cast("decimal(38,0)").alias("total_keys"),
             F.coalesce(
@@ -698,8 +735,22 @@ WITH base AS (
                    + LENGTH(event_type) ELSE 0 END), 0) AS HUGEINT)
            AS live_bytes
   FROM wkeys
-), ukeys AS (
-  SELECT user_id, MAX(us) AS last_us FROM base GROUP BY user_id
+), sflag AS (
+  SELECT user_id, us,
+         CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                   IS NULL
+              OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                 > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM base
+), snum AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM sflag
+), skeys AS (
+  SELECT user_id, sess_id, MAX(us) AS last_us
+  FROM snum GROUP BY user_id, sess_id
 ), sess_leg AS (
   SELECT 'session_window' AS operator,
          CAST(COUNT(*) AS HUGEINT) AS total_keys,
@@ -712,7 +763,7 @@ WITH base AS (
                 > (SELECT max_us FROM mx) - {_WATERMARK_US}
               THEN {8 + 16 + 8 + _STATE_ENTRY_OVERHEAD}
               ELSE 0 END), 0) AS HUGEINT) AS live_bytes
-  FROM ukeys
+  FROM skeys
 ), both_legs AS (
   SELECT * FROM win_leg UNION ALL SELECT * FROM sess_leg
 )

@@ -188,12 +188,21 @@ def test_streaming_state_sizing_recount(spark):
     assert int(row["est_total_state_bytes"]) == int(
         (entry + keys["t"].str.len()).sum()
     )
-    last = us.groupby(ev["user_id"]).max()
-    live_u = last + cap._SESSION_GAP_US > max_us - cap._WATERMARK_US
+    # r14: the session leg models one state entry per SESSION
+    # (gaps-and-islands), matching the engine's measured state rows
+    # exactly (x256 back-test, SCALE_NOTES r14) — recount with an
+    # independent pandas groupby/shift construction.
+    sev = pd.DataFrame({"u": ev["user_id"].values, "us": us.values})
+    sev = sev.sort_values(["u", "us"], kind="mergesort")
+    lag = sev.groupby("u")["us"].shift()
+    new_sess = lag.isna() | (sev["us"] - lag > cap._SESSION_GAP_US)
+    sess_id = new_sess.groupby(sev["u"].values).cumsum()
+    sess_last = sev.groupby([sev["u"].values, sess_id.values])["us"].max()
+    live_s = sess_last + cap._SESSION_GAP_US > max_us - cap._WATERMARK_US
     row = out.loc["session_window"]
-    assert int(row["total_state_keys"]) == len(last)
-    assert int(row["live_state_keys"]) == int(live_u.sum())
-    assert int(row["est_total_state_bytes"]) == len(last) * entry
+    assert int(row["total_state_keys"]) == len(sess_last)
+    assert int(row["live_state_keys"]) == int(live_s.sum())
+    assert int(row["est_total_state_bytes"]) == len(sess_last) * entry
     tot, lv = len(keys), int(live.sum())
     assert int(out.loc["windowed_count", "live_fraction_ppm"]) == (
         lv * 2_000_000 + tot
