@@ -248,9 +248,20 @@ def cohens_d_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum-of-squares accumulated DECIMAL(38,0)/HUGEINT (value^2 in
     micros^2 is ~2.4e17 per row; the 38-digit headroom holds past
     the 256x replica scale at ~1e33), then the spearman emission
-    posture: the only doubles are one CAST of exact integers, two
+    posture: the only doubles are CASTs of exact integers, two
     IEEE-exact sqrts, and a final ROUND(...,6) — the identical
     expression shape runs in both engines.
+
+    r14 x2048 overflow fix: the pooled term used to combine as
+    exact DECIMAL ``(n1*q1 - s1*s1)*n2 + (n2*q2 - s2*s2)*n1``,
+    which reached 1.66e38 > DECIMAL(38,0) at 1.2B events (the
+    fifteenth-octave find). The per-group sums of squares ss_i =
+    n_i*q_i - s_i^2 stay exact DECIMAL (~1e34 at x2048, ceiling ~5
+    octaves out at n_i ~ 6e9 rows); only the final cross-group
+    combination is computed in doubles — CAST(ss1)*CAST(n2) +
+    CAST(ss2)*CAST(n1), the same operation order in BOTH engines so
+    the IEEE roundings agree bit-for-bit, and the positivity guard
+    moves to the always-nonnegative exact ss_i columns.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "view")
@@ -289,17 +300,20 @@ def cohens_d_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s1 * n2 - s2 * n1 AS DOUBLE)"
         " * SQRT(CAST(n1 * n2 * (n1 + n2 - 2) AS DOUBLE))"
         " / (CAST(n1 * n2 AS DOUBLE)"
-        "    * SQRT(CAST((n1 * q1 - s1 * s1) * n2"
-        "                + (n2 * q2 - s2 * s2) * n1 AS DOUBLE)))"
+        "    * SQRT(CAST(ss1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+        "           + CAST(ss2 AS DOUBLE) * CAST(n1 AS DOUBLE)))"
     )
+    guard = "n1 > 1 AND n2 > 1 AND (ss1 > 0 OR ss2 > 0)"
     return agg.selectExpr(
+        "*",
+        "n1 * q1 - s1 * s1 AS ss1",
+        "n2 * q2 - s2 * s2 AS ss2",
+    ).selectExpr(
         "CAST(n1 AS BIGINT) AS n_purchase",
         "CAST(n2 AS BIGINT) AS n_view",
-        "CASE WHEN n1 > 1 AND n2 > 1"
-        " AND (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1 > 0"
+        f"CASE WHEN {guard}"
         f" THEN ROUND({d_expr}, 6) ELSE 0.0 END AS cohens_d",
-        "CASE WHEN n1 > 1 AND n2 > 1"
-        " AND (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1 > 0"
+        f"CASE WHEN {guard}"
         f" THEN ROUND(({d_expr})"
         " * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 6)"
         " ELSE 0.0 END AS hedges_g",
@@ -320,27 +334,27 @@ WITH g AS (
       AS q1,
     SUM(CASE WHEN grp = 'view' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END) AS q2
   FROM g
+), ss AS (
+  SELECT *, n1 * q1 - s1 * s1 AS ss1, n2 * q2 - s2 * s2 AS ss2 FROM agg
 )
 SELECT CAST(n1 AS BIGINT) AS n_purchase,
        CAST(n2 AS BIGINT) AS n_view,
-       CASE WHEN n1 > 1 AND n2 > 1
-         AND (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1 > 0
+       CASE WHEN n1 > 1 AND n2 > 1 AND (ss1 > 0 OR ss2 > 0)
         THEN ROUND(CAST(s1 * n2 - s2 * n1 AS DOUBLE)
           * SQRT(CAST(n1 * n2 * (n1 + n2 - 2) AS DOUBLE))
           / (CAST(n1 * n2 AS DOUBLE)
-             * SQRT(CAST((n1 * q1 - s1 * s1) * n2
-                         + (n2 * q2 - s2 * s2) * n1 AS DOUBLE))), 6)
+             * SQRT(CAST(ss1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    + CAST(ss2 AS DOUBLE) * CAST(n1 AS DOUBLE))), 6)
         ELSE 0.0 END AS cohens_d,
-       CASE WHEN n1 > 1 AND n2 > 1
-         AND (n1 * q1 - s1 * s1) * n2 + (n2 * q2 - s2 * s2) * n1 > 0
+       CASE WHEN n1 > 1 AND n2 > 1 AND (ss1 > 0 OR ss2 > 0)
         THEN ROUND(CAST(s1 * n2 - s2 * n1 AS DOUBLE)
           * SQRT(CAST(n1 * n2 * (n1 + n2 - 2) AS DOUBLE))
           / (CAST(n1 * n2 AS DOUBLE)
-             * SQRT(CAST((n1 * q1 - s1 * s1) * n2
-                         + (n2 * q2 - s2 * s2) * n1 AS DOUBLE)))
+             * SQRT(CAST(ss1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    + CAST(ss2 AS DOUBLE) * CAST(n1 AS DOUBLE)))
           * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 6)
         ELSE 0.0 END AS hedges_g
-FROM agg
+FROM ss
 """
 
 
