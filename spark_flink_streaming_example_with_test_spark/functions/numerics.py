@@ -66,6 +66,20 @@ def half_up_ratio_col(num: Column, den: Column, k: int) -> Column:
     ) / F.lit(float(scale))
 
 
+def half_up_ratio_sql(num_sql: str, den_sql: str, k: int) -> str:
+    """Spark SQL text twin of :func:`half_up_ratio_col` — the SAME
+    floor((2*num*10^k + den) / (2*den)) / 10^k tree with the double
+    division, for builders that assemble expressions as strings
+    (r14: one F.expr parse replaces ~10 py4j Column calls). Values
+    and exactness bounds identical to the Column form by
+    construction."""
+    scale = 10**k
+    return (
+        f"floor((({num_sql}) * {2 * scale} + ({den_sql}))"
+        f" / (({den_sql}) * 2)) / {float(scale)!r}D"
+    )
+
+
 def half_up_spark_sql(num_sql: str, den_sql: str, k: int) -> str:
     """round-half-up(num/den, k) as Spark SQL text (for
     ``selectExpr`` / ``spark.sql``): ``((num*2*10^k + den) div

@@ -22,7 +22,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from spark_flink_streaming_example_with_test_spark.functions.numerics import half_up_ratio_col
+from spark_flink_streaming_example_with_test_spark.functions.numerics import (
+    half_up_ratio_col,
+    half_up_ratio_sql,
+)
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
@@ -77,9 +80,9 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str, min_tokens: int) -> Da
     gram expressions a plain column reference (Catalyst collapses
     projections and would otherwise re-evaluate the whole split per
     use site: higher-order functions get no codegen CSE)."""
-    s1 = df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("toks")
-    ).filter(F.size("toks") >= min_tokens)
+    s1 = df.selectExpr(
+        id_col, f"split(lower({text_col}), ' ') AS toks"
+    ).filter(f"size(toks) >= {min_tokens}")
     return ensure_min_partitions(s1)
 
 
@@ -114,17 +117,18 @@ def shingle_sets(
     if tokens is None:
         s1 = _tokenized(df, id_col, text_col, shingle_len)
     else:
-        s1 = tokens.filter(F.size("toks") >= shingle_len)
+        s1 = tokens.filter(f"size(toks) >= {shingle_len}")
 
-    def gram_at(i):
-        return F.concat_ws(
-            " ", *[F.element_at("toks", i + j + 1) for j in range(shingle_len)]
-        )
-
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - shingle_len), gram_at
-        )
+    # One F.expr parse instead of per-term Column calls (r14): the
+    # string spells the SAME transform/concat_ws/element_at tree the
+    # Column form built, so grams are byte-identical; construction
+    # drops from ~40 py4j round-trips to one.
+    gram_at = "concat_ws(' ', " + ", ".join(
+        f"element_at(toks, i + {j + 1})" for j in range(shingle_len)
+    ) + ")"
+    grams = (
+        "array_distinct(transform("
+        f"sequence(0, size(toks) - {shingle_len}), i -> {gram_at}))"
     )
     # CASE-WHEN guard, not just the _tokenized length filter:
     # Catalyst's subexpression elimination can collapse this
@@ -132,10 +136,11 @@ def shingle_sets(
     # BEFORE the length predicate rejects a short row — on which
     # sequence(0, negative) runs DESCENDING and element_at throws.
     # (Found by the incremental-dedup property test on 1-token docs.)
-    grams = F.when(F.size("toks") >= shingle_len, grams).otherwise(
-        F.array().cast("array<string>")
+    guarded = (
+        f"CASE WHEN size(toks) >= {shingle_len} THEN {grams} "
+        "ELSE CAST(array() AS array<string>) END"
     )
-    return s1.select(F.col(id_col), grams.alias("shingles"))
+    return s1.selectExpr(id_col, f"{guarded} AS shingles")
 
 
 def hashed_shingle_sets(
@@ -154,27 +159,24 @@ def hashed_shingle_sets(
     if tokens is None:
         s1 = _tokenized(df, id_col, text_col, shingle_len)
     else:
-        s1 = tokens.filter(F.size("toks") >= shingle_len)
-    th = F.transform("toks", lambda t: F.xxhash64(t))
-    s2 = s1.select(
-        F.col(id_col),
-        th.alias("th"),
-        (F.size("toks") - shingle_len).alias("hi"),
+        s1 = tokens.filter(f"size(toks) >= {shingle_len}")
+    # Single-parse expression strings (r14) — same trees as the old
+    # per-term Column construction, identical gram hashes.
+    s2 = s1.selectExpr(
+        id_col,
+        "transform(toks, t -> xxhash64(t)) AS th",
+        f"(size(toks) - {shingle_len}) AS hi",
     )
-
-    def gram_at(i):
-        return F.xxhash64(
-            *[F.element_at("th", i + j + 1) for j in range(shingle_len)]
-        )
-
-    grams = F.array_distinct(
-        F.transform(F.sequence(F.lit(0), F.col("hi")), gram_at)
-    )
+    gram_at = "xxhash64(" + ", ".join(
+        f"element_at(th, i + {j + 1})" for j in range(shingle_len)
+    ) + ")"
+    grams = f"array_distinct(transform(sequence(0, hi), i -> {gram_at}))"
     # Same evaluation-order guard as shingle_sets above.
-    grams = F.when(F.col("hi") >= 0, grams).otherwise(
-        F.array().cast("array<long>")
+    guarded = (
+        f"CASE WHEN hi >= 0 THEN {grams} "
+        "ELSE CAST(array() AS array<long>) END"
     )
-    return s2.select(F.col(id_col), grams.alias("shingles"))
+    return s2.selectExpr(id_col, f"{guarded} AS shingles")
 
 
 def minhash_signatures(
@@ -192,18 +194,16 @@ def minhash_signatures(
     # once: referencing `shingles` exactly once in the expression
     # tree matters — Catalyst collapses projections and would
     # otherwise duplicate the whole shingle construction per seed
-    # (higher-order functions get no codegen CSE).
-    hs = F.transform("shingles", lambda s: F.xxhash64(s))
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    max_long = F.lit(2**63 - 1).cast("long")
-    sig = F.aggregate(
-        hs,
-        F.array_repeat(max_long, num_hashes),
-        lambda acc, h: F.zip_with(
-            acc, seeds, lambda m, seed: F.least(m, F.xxhash64(seed, h))
-        ),
+    # (higher-order functions get no codegen CSE). Spelled as one
+    # F.expr string (r14): same fold tree, one parse instead of the
+    # nested-lambda Column construction's py4j churn.
+    sig = (
+        "aggregate(transform(shingles, s -> xxhash64(s)), "
+        f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
+        "(m, seed) -> least(m, xxhash64(seed, h))))"
     )
-    return shingled.select(F.col(id_col), sig.alias("signature"))
+    return shingled.selectExpr(id_col, f"{sig} AS signature")
 
 
 def lsh_candidate_pairs(
@@ -236,17 +236,17 @@ def lsh_candidate_pairs(
             "and flatten the S-curve"
         )
     rows_per_band = num_hashes // bands
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[
-                    F.col("signature")[b * rows_per_band + r]
-                    for r in range(rows_per_band)
-                ],
-            )
+    # One parsed array expression (r14) — same per-band xxhash64
+    # trees as the listcomp Column form, ~bands x rows fewer py4j
+    # round-trips at build time.
+    band_hashes = F.expr(
+        "array(" + ", ".join(
+            f"xxhash64({b}, " + ", ".join(
+                f"signature[{b * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            ) + ")"
             for b in range(bands)
-        ]
+        ) + ")"
     )
     buckets = signatures.select(
         F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
@@ -277,24 +277,20 @@ def verify_jaccard(
     """Exact Jaccard on candidate pairs via per-row set algebra
     (array_intersect / array_union) — runs only on the (sparse) LSH
     candidates, never all pairs."""
-    sh_a = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
-    )
-    sh_b = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter / uni
+    sh_a = shingled.selectExpr(f"{id_col} AS id_a", "shingles AS sh_a")
+    sh_b = shingled.selectExpr(f"{id_col} AS id_b", "shingles AS sh_b")
+    inter = "size(array_intersect(sh_a, sh_b))"
+    uni = "size(array_union(sh_a, sh_b))"
     # Per-row count ratio: exact integer half-up emission (the
     # cross-engine ROUND half-boundary class); the threshold filter
     # keeps the raw double compare — identical on both engines for
-    # identical int inputs.
+    # identical int inputs. Double literal ({threshold!r}D) so the
+    # parsed tree matches the old F.lit(threshold) form.
     return (
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("jaccard", half_up_ratio_col(inter, uni, 4))
-        .filter(jac >= threshold)
+        .withColumn("jaccard", F.expr(half_up_ratio_sql(inter, uni, 4)))
+        .filter(f"({inter} / {uni}) >= {threshold!r}D")
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -367,14 +363,14 @@ def _gram_pair_intersections(
             df, id_col, text_col, shingle_len, tokens=tokens
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("n"))
-    inv = shingled.select(F.col(id_col), F.explode("shingles").alias("gram"))
-    n_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
-    n_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    sizes = shingled.selectExpr(id_col, "size(shingles) AS n")
+    inv = shingled.selectExpr(id_col, "explode(shingles) AS gram")
+    n_a = sizes.selectExpr(f"{id_col} AS id_a", "n AS n_a")
+    n_b = sizes.selectExpr(f"{id_col} AS id_b", "n AS n_b")
 
     if max_doc_freq is None:
-        left = inv.select(F.col(id_col).alias("id_a"), "gram")
-        right = inv.select(F.col(id_col).alias("id_b"), "gram")
+        left = inv.selectExpr(f"{id_col} AS id_a", "gram")
+        right = inv.selectExpr(f"{id_col} AS id_b", "gram")
         inter = (
             left.join(right, "gram")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -404,15 +400,14 @@ def _gram_pair_intersections(
     # each sweep runs one query per fresh plan; long-lived sessions
     # that call this repeatedly can reclaim eagerly via
     # spark.catalog.clearCache() between queries.
-    w_gram = Window.partitionBy("gram")
     inv_f = register(
-        inv.withColumn("df", F.count("*").over(w_gram)).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        inv.withColumn(
+            "df", F.expr("count(*) OVER (PARTITION BY gram)")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rare_inv = inv_f.filter(F.col("df") <= max_doc_freq)
-    left = rare_inv.select(F.col(id_col).alias("id_a"), "gram")
-    right = rare_inv.select(F.col(id_col).alias("id_b"), "gram")
+    rare_inv = inv_f.filter(f"df <= {max_doc_freq}")
+    left = rare_inv.selectExpr(f"{id_col} AS id_a", "gram")
+    right = rare_inv.selectExpr(f"{id_col} AS id_b", "gram")
     inter_rare = (
         left.join(right, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -424,31 +419,21 @@ def _gram_pair_intersections(
     # intersection count includes boilerplate grams without ever
     # pairing through them.
     hot_sets = (
-        inv_f.filter(F.col("df") > max_doc_freq)
+        inv_f.filter(f"df > {max_doc_freq}")
         .groupBy(id_col)
         .agg(F.collect_set("gram").alias("hot"))
     )
-    empty = F.array().cast("array<string>")
-    h_a = hot_sets.select(
-        F.col(id_col).alias("id_a"), F.col("hot").alias("hot_a")
-    )
-    h_b = hot_sets.select(
-        F.col(id_col).alias("id_b"), F.col("hot").alias("hot_b")
-    )
+    empty = "CAST(array() AS array<string>)"
+    h_a = hot_sets.selectExpr(f"{id_col} AS id_a", "hot AS hot_a")
+    h_b = hot_sets.selectExpr(f"{id_col} AS id_b", "hot AS hot_b")
     return (
         inter_rare.join(h_a, "id_a", "left")
         .join(h_b, "id_b", "left")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            (
-                F.col("inter_rare")
-                + F.size(
-                    F.array_intersect(
-                        F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
-                    )
-                )
-            ).alias("inter"),
+            "(inter_rare + size(array_intersect("
+            f"coalesce(hot_a, {empty}), coalesce(hot_b, {empty})))) AS inter",
         )
         .join(n_a, "id_a")
         .join(n_b, "id_b")
@@ -472,17 +457,14 @@ def ngram_jaccard_pairs(
     pairs = _gram_pair_intersections(
         df, id_col, text_col, shingle_len, max_doc_freq, tokens=tokens
     )
-    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     # Exact integer half-up emission; raw-double threshold compare
     # (see exact_jaccard_on_pairs).
-    return pairs.filter(jac >= threshold).select(
+    return pairs.filter(
+        f"(inter / (n_a + n_b - inter)) >= {threshold!r}D"
+    ).selectExpr(
         "id_a",
         "id_b",
-        half_up_ratio_col(
-            F.col("inter"),
-            F.col("n_a") + F.col("n_b") - F.col("inter"),
-            4,
-        ).alias("jaccard"),
+        half_up_ratio_sql("inter", "n_a + n_b - inter", 4) + " AS jaccard",
     )
 
 
@@ -505,18 +487,18 @@ def containment_pairs(
     pairs = _gram_pair_intersections(
         df, id_col, text_col, shingle_len, max_doc_freq, tokens=tokens
     )
-    cont = F.col("inter") / F.least("n_a", "n_b")
     # The emitted score uses exact integer half-up rounding (per-row
     # count ratio — the cross-engine ROUND half-boundary class); the
     # threshold filter keeps the raw double compare, which both
     # engines evaluate identically on identical int inputs.
-    return pairs.filter(cont >= threshold).select(
+    return pairs.filter(
+        f"(inter / least(n_a, n_b)) >= {threshold!r}D"
+    ).selectExpr(
         "id_a",
         "id_b",
-        F.col("inter").alias("n_shared"),
-        half_up_ratio_col(
-            F.col("inter"), F.least("n_a", "n_b"), 4
-        ).alias("containment"),
+        "inter AS n_shared",
+        half_up_ratio_sql("inter", "least(n_a, n_b)", 4)
+        + " AS containment",
     )
 
 
@@ -538,8 +520,8 @@ def shared_gram_pairs(
     pairs = _gram_pair_intersections(
         df, id_col, text_col, window_len, max_doc_freq, tokens=tokens
     )
-    return pairs.filter(F.col("inter") >= min_shared).select(
-        "id_a", "id_b", F.col("inter").alias("n_shared_windows")
+    return pairs.filter(f"inter >= {min_shared}").selectExpr(
+        "id_a", "id_b", "inter AS n_shared_windows"
     )
 
 

@@ -37,7 +37,11 @@ from spark_flink_streaming_example_with_test_spark.functions.persistence import 
 
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-fold dot product — deterministic accumulation
-    order (element order), double precision."""
+    order (element order), double precision. String operands take
+    the single-parse F.expr path (r14): same fold tree, one py4j
+    round-trip instead of the nested-lambda construction."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -45,8 +49,20 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def dot_sql(a: str, b: str) -> str:
+    """Spark SQL text twin of :func:`dot` — identical fold tree."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
 def l2_norm(v: Column | str) -> Column:
+    if isinstance(v, str):
+        return F.expr(l2_norm_sql(v))
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def l2_norm_sql(v: str) -> str:
+    """Spark SQL text twin of :func:`l2_norm` — identical fold tree."""
+    return f"sqrt(aggregate({v}, 0.0D, (acc, x) -> acc + x * x))"
 
 
 def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -62,9 +78,9 @@ def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     consumer."""
     return (
         ensure_min_partitions(df)
-        .withColumn("v", F.col(vec_col).cast("array<double>"))
+        .withColumn("v", F.expr(f"CAST({vec_col} AS array<double>)"))
         .withColumn("v_norm", l2_norm("v"))
-        .filter(F.col("v_norm") > 0)
+        .filter("v_norm > 0")
     )
 
 
@@ -82,16 +98,17 @@ def cosine_topk(
     ranks between runs or engines.
     """
     c = with_unit_prep(corpus, vec_col)
-    q = with_unit_prep(queries, vec_col).select(
-        F.col(id_col).alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("v_norm").alias("q_norm"),
+    q = with_unit_prep(queries, vec_col).selectExpr(
+        f"{id_col} AS q_id", "v AS qv", "v_norm AS q_norm"
     )
-    sim = F.round(dot("v", "qv") / (F.col("v_norm") * F.col("q_norm")), 6)
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != F.col("q_id"))
-        .select(F.col("q_id"), F.col(id_col), sim.alias("cos_sim"))
+        .filter(f"{id_col} != q_id")
+        .selectExpr(
+            "q_id",
+            id_col,
+            f"round({dot_sql('v', 'qv')} / (v_norm * q_norm), 6) AS cos_sim",
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return (
@@ -129,8 +146,29 @@ def lsh_bucket(
     (not a fold) so the floating-point evaluation order is pinned and
     a SQL oracle building the same chain agrees bit-for-bit on every
     sign decision. Missing components (len(v) < dim) contribute 0.
+
+    When ``v`` is a column NAME the n_bits x dim expression tree is
+    built as ONE SQL string handed to ``F.expr`` (r14 optimization):
+    assembling the same tree with per-term Column operator calls
+    costs ~4 py4j round-trips per term — measured 4-7 s of pure
+    driver-side Python for 8x64 before any job starts, the dominant
+    cost of every bucketed-similarity query at bench scale — while
+    the JVM parses the equivalent string in ~10 ms. The parsed tree
+    is identical (same COALESCE/multiply/add/CASE chain, same
+    left-associated float order, double literals spelled ``D``), so
+    every sign decision and bucket id is bit-for-bit unchanged;
+    pinned by tests/test_similarity.py::test_lsh_bucket_expr_matches_column_form.
     """
-    col = F.col(v) if isinstance(v, str) else v
+    if isinstance(v, str):
+        cases = []
+        for b, coeffs in enumerate(hyperplane_signs(n_bits, dim, seed)):
+            terms = " + ".join(
+                f"(COALESCE({v}[{i}], 0.0D) * {c}D)"
+                for i, c in enumerate(coeffs)
+            )
+            cases.append(f"CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END")
+        return F.expr("0 + " + " + ".join(cases))
+    col = v
     bucket = F.lit(0)
     for b, coeffs in enumerate(hyperplane_signs(n_bits, dim, seed)):
         proj: Column | None = None
@@ -305,24 +343,18 @@ def bucketed_similar_pairs(
             .filter(F.col("__n") <= max_bucket_size)
             .drop("__n")
         )
-    a = prepped.select(
-        F.col(id_col).alias("id_a"),
-        F.col("v").alias("v_a"),
-        F.col("v_norm").alias("norm_a"),
-        "bucket",
+    a = prepped.selectExpr(
+        f"{id_col} AS id_a", "v AS v_a", "v_norm AS norm_a", "bucket"
     )
-    b = prepped.select(
-        F.col(id_col).alias("id_b"),
-        F.col("v").alias("v_b"),
-        F.col("v_norm").alias("norm_b"),
-        "bucket",
+    b = prepped.selectExpr(
+        f"{id_col} AS id_b", "v AS v_b", "v_norm AS norm_b", "bucket"
     )
-    sim = dot("v_a", "v_b") / (F.col("norm_a") * F.col("norm_b"))
+    sim = f"({dot_sql('v_a', 'v_b')} / (norm_a * norm_b))"
     return (
         a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(sim >= threshold)
-        .select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
+        .filter("id_a < id_b")
+        .filter(f"{sim} >= {threshold!r}D")
+        .selectExpr("id_a", "id_b", f"round({sim}, 6) AS cos_sim")
     )
 
 

@@ -27,6 +27,19 @@ TABLES = (
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+#: Unexecuted-plan cache (r14 optimization): ``spark.read.parquet``
+#: costs ~85 ms of driver-side py4j/schema work per call, and a
+#: 6-table query (TPC-H q5) pays it six times PER PASS — ~0.5 s of
+#: the bench second for zero data work. The cache stores the lazy
+#: DataFrame handle (a logical plan over the parquet files), never
+#: rows: every action still scans the parquet input, so this is a
+#: plan-construction memo, not result caching. Keyed by application
+#: id (sessions die with their app), directory, table, and the
+#: file's mtime (a rewritten fixture — the empty-input sweeps write
+#: derived tables — invalidates its entry instead of serving a stale
+#: file index).
+_PLAN_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
@@ -43,6 +56,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timestamp by 1000 is an analysis error.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        mtime = -1.0  # missing path: fall through, reader raises loudly
+    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _read_table(spark, path, name)
+    _PLAN_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

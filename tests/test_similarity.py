@@ -79,6 +79,32 @@ def test_lsh_bucket_matches_hyperplane_signs(spark):
         assert out[vid] == _expected_bucket(v, 4, 4)
 
 
+def test_lsh_bucket_expr_matches_column_form(spark):
+    """r14 optimization pin: the SQL-string fast path (one F.expr
+    parse instead of ~4 py4j calls per term) must produce the
+    bit-identical bucket id the Column-operator form produces, on
+    every edge class: full vectors, NULL components, short vectors,
+    empty arrays, NULL arrays, denormal-scale values, negative
+    zeros."""
+    rows = [
+        (1, [0.5] * 16), (2, [-0.5] * 16),
+        (3, [0.1, None] + [0.0] * 14),
+        (4, [1.0, -1.0, 2.5]), (5, []), (6, None),
+        (7, [None] * 16), (8, [1e-300] * 16), (9, [-0.0] * 16),
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, v ARRAY<DOUBLE>")
+    both = df.select(
+        "vec_id",
+        lsh_bucket("v", 6, dim=16).alias("fast"),       # str -> F.expr path
+        lsh_bucket(F.col("v"), 6, dim=16).alias("ref"), # Column-op path
+    )
+    bad = both.filter(
+        (F.col("fast") != F.col("ref"))
+        | (F.col("fast").isNull() != F.col("ref").isNull())
+    ).count()
+    assert bad == 0
+
+
 def test_lsh_bucket_scale_invariant(spark):
     # Hyperplane signs depend only on direction: v and 4*v share a
     # bucket, v and -v never do (all projections flip sign).
