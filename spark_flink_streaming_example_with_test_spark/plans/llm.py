@@ -1799,24 +1799,27 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at 100 TB that join would shuffle the whole corpus to serve a
     # result proportional to matching postings.
     sentinel = "__dl __"  # contains a space => unsplittable token
-    toks = docs.select(
+    # r14: the query terms are module constants, so the matched
+    # postings come from a codegen'd array filter (t IN (...literal
+    # list...)) applied BEFORE the explode, instead of exploding the
+    # whole token stream into rows and semi-joining it against a
+    # broadcast term set. Same rows by construction (filter keeps
+    # per-occurrence duplicates exactly like the join did), but the
+    # explode now emits only matched tokens + one sentinel per doc —
+    # measured 1.23 s -> ~0.3 s for this frame at sf0.1, and one
+    # broadcast exchange + one createDataFrame fewer. At 100 TB the
+    # win is the same shape: the explode's row count drops from
+    # O(total tokens) to O(matched postings + n_docs) before
+    # anything leaves whole-stage codegen.
+    terms_sql = ", ".join(
+        "'" + t + "'" for t in sorted({t for _, t in _HYBRID_QUERY_TERMS})
+    )
+    toks = docs.selectExpr(
         "doc_id",
-        F.when(
-            F.col("text").isNotNull(), F.size(F.split("text", " "))
-        ).alias("dl"),
-        F.explode(
-            F.concat(
-                F.array(F.lit(sentinel)),
-                F.coalesce(F.split("text", " "), F.array()),
-            )
-        ).alias("term"),
-    ).join(
-        F.broadcast(
-            qterms.select("term").union(
-                spark.createDataFrame([(sentinel,)], "term STRING")
-            ).distinct()
-        ),
-        "term",
+        "CASE WHEN text IS NOT NULL THEN size(split(text, ' ')) END AS dl",
+        f"explode(concat(array('{sentinel}'), "
+        f"coalesce(filter(split(text, ' '), t -> t IN ({terms_sql})), "
+        "array()))) AS term",
     )
     # The posting aggregate (matched postings + one sentinel row per
     # doc) is persisted because it has two consumers — the BM25 leg
