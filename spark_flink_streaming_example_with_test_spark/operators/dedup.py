@@ -593,12 +593,19 @@ def segment_duplication_stats(
             F.concat_ws(" ", F.slice(F.col("toks"), i * seg_len + 1, seg_len))
         ),
     )
-    inst = (
+    from pyspark import StorageLevel
+
+    # r14: persisted — `inst` feeds two consumers (freq + the join
+    # back), and the explode-over-transform re-evaluation pathology
+    # (see incremental_shard_dedup) makes the unpersisted form pay
+    # the segment-hash construction per OUTPUT row, twice.
+    inst = register(
         ensure_min_partitions(df)
         .select(F.col(id_col), toks.alias("toks"))
         .filter(F.size("toks") >= seg_len)
         .select(F.col(id_col), n_full.alias("n_full"), "toks")
         .select(F.col(id_col), F.explode(seg_hashes).alias("seg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     freq = inst.groupBy("seg").agg(F.count("*").alias("f"))
     return (
@@ -716,8 +723,26 @@ def incremental_shard_dedup(
         .select(F.col(id_col), F.lit(True).alias("dup_exact"))
     )
 
-    sh_b = shingle_sets(base, id_col, text_col, shingle_len)
-    sh_s = shingle_sets(shard, id_col, text_col, shingle_len)
+    from pyspark import StorageLevel
+
+    # r14: persist both shingle frames before exploding them.
+    # Generate over a transform-built array evaluates the whole gram
+    # construction ~once per OUTPUT row (measured 0.7 s -> 10.4 s
+    # for a bare explode over 52-gram docs at sf0.1; a repartition
+    # barrier does NOT help, only a materialization does). From the
+    # cached arrays the same explode is sub-second; this query
+    # dropped 8.0 s -> ~1 s at sf0.1. Same MEMORY_AND_DISK + LRU
+    # stance as every other shingle persist in this module.
+    sh_b = register(
+        shingle_sets(base, id_col, text_col, shingle_len).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    sh_s = register(
+        shingle_sets(shard, id_col, text_col, shingle_len).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     inv_b = sh_b.select(
         F.col(id_col).alias("base_id"),
         F.size("shingles").alias("n_b"),

@@ -41,6 +41,7 @@ from spark_flink_streaming_example_with_test_spark.functions.hashing import (
     md5_nibble,
     md5_nibble_sql,
 )
+from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.operators import dedup as dd
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
 
@@ -887,7 +888,13 @@ def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("vm").cast("decimal(38,0)")).alias("sum_vm"),
     )
-    reps = base.withColumn(
+    # r14: parallelism guard before the 64x map-side blowup — the
+    # events fixture is one parquet split, so the explode + 64 md5
+    # evaluations per event otherwise run in ONE task (measured 17 s
+    # single-core at sf0.1 -> ~1.5 s spread over the session's
+    # cores). At 100 TB the scan has millions of splits and the
+    # guard is a no-op (functions/partitioning.py contract).
+    reps = ensure_min_partitions(base).withColumn(
         "rep", F.explode(F.sequence(F.lit(0), F.lit(63)))
     )
     h = F.md5(

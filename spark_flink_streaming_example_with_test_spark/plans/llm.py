@@ -3451,8 +3451,19 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    inst = docs.select("doc_id", F.explode(grams).alias("g")).select(
-        "doc_id", "g.w1", "g.w2"
+    from pyspark import StorageLevel
+
+    # r14: persisted — `inst` feeds the bigram LM aggregate AND the
+    # final instance join, and Generate over the transform-built
+    # struct array re-evaluates the gram construction per OUTPUT row
+    # when unpersisted (the explode pathology documented at
+    # operators/dedup.py incremental_shard_dedup): 7.8 s -> ~1 s at
+    # sf0.1. Same MEMORY_AND_DISK + LRU-release stance as the dedup
+    # builders' persisted frames.
+    inst = register(
+        docs.select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", "g.w1", "g.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bi = inst.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
     uni = docs.select(F.explode(toks).alias("w1")).groupBy("w1").agg(
