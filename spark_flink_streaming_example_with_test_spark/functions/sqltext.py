@@ -1,0 +1,39 @@
+"""Safe interpolation helpers for string-built Spark SQL expressions.
+
+The r14 driver-cost work moved many hot expression trees from py4j
+Column construction to single-parse ``selectExpr``/``F.expr`` strings
+(functions/numerics.py explains why text). That made interpolation
+sites — column names, string literals, float thresholds — parse-time
+hazards instead of API-time ones (ADVICE r14). This module is the one
+shared spelling of the three escapes so every builder fails loudly or
+escapes correctly instead of parsing wrong:
+
+- :func:`sql_str_lit`: single-quoted string literal with backslash
+  and quote escaping (Spark SQL's default parser honors backslash
+  escapes; ``spark.sql.parser.escapedStringLiterals`` is off in every
+  session this engine creates).
+- :func:`sql_ident`: backtick-quoted identifier, so column names with
+  spaces/hyphens/reserved words behave exactly like ``F.col(name)``.
+- :func:`sql_double_lit`: a double literal (``...D``) from any real
+  number a caller passes (float, int, Decimal, numpy scalar) — the
+  old Column comparisons accepted all of these, so the text twins
+  must too.
+"""
+
+from __future__ import annotations
+
+
+def sql_str_lit(s: str) -> str:
+    """Render ``s`` as a single-quoted Spark SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def sql_ident(name: str) -> str:
+    """Render ``name`` as a backtick-quoted Spark SQL identifier —
+    resolution-equivalent to ``F.col(name)`` for any column name."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def sql_double_lit(x: float) -> str:
+    """Render ``x`` as a Spark SQL DOUBLE literal (``0.5D``)."""
+    return f"{float(x)!r}D"

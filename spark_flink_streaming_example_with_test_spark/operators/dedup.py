@@ -28,6 +28,10 @@ from spark_flink_streaming_example_with_test_spark.functions.numerics import (
 )
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.functions.persistence import register
+from spark_flink_streaming_example_with_test_spark.functions.sqltext import (
+    sql_double_lit,
+    sql_ident,
+)
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
 
 DEFAULT_NUM_HASHES = 32
@@ -81,7 +85,7 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str, min_tokens: int) -> Da
     projections and would otherwise re-evaluate the whole split per
     use site: higher-order functions get no codegen CSE)."""
     s1 = df.selectExpr(
-        id_col, f"split(lower({text_col}), ' ') AS toks"
+        sql_ident(id_col), f"split(lower({sql_ident(text_col)}), ' ') AS toks"
     ).filter(f"size(toks) >= {min_tokens}")
     return ensure_min_partitions(s1)
 
@@ -140,7 +144,7 @@ def shingle_sets(
         f"CASE WHEN size(toks) >= {shingle_len} THEN {grams} "
         "ELSE CAST(array() AS array<string>) END"
     )
-    return s1.selectExpr(id_col, f"{guarded} AS shingles")
+    return s1.selectExpr(sql_ident(id_col), f"{guarded} AS shingles")
 
 
 def hashed_shingle_sets(
@@ -163,7 +167,7 @@ def hashed_shingle_sets(
     # Single-parse expression strings (r14) — same trees as the old
     # per-term Column construction, identical gram hashes.
     s2 = s1.selectExpr(
-        id_col,
+        sql_ident(id_col),
         "transform(toks, t -> xxhash64(t)) AS th",
         f"(size(toks) - {shingle_len}) AS hi",
     )
@@ -176,7 +180,7 @@ def hashed_shingle_sets(
         f"CASE WHEN hi >= 0 THEN {grams} "
         "ELSE CAST(array() AS array<long>) END"
     )
-    return s2.selectExpr(id_col, f"{guarded} AS shingles")
+    return s2.selectExpr(sql_ident(id_col), f"{guarded} AS shingles")
 
 
 def minhash_signatures(
@@ -203,7 +207,7 @@ def minhash_signatures(
         f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
         "(m, seed) -> least(m, xxhash64(seed, h))))"
     )
-    return shingled.selectExpr(id_col, f"{sig} AS signature")
+    return shingled.selectExpr(sql_ident(id_col), f"{sig} AS signature")
 
 
 def lsh_candidate_pairs(
@@ -277,8 +281,8 @@ def verify_jaccard(
     """Exact Jaccard on candidate pairs via per-row set algebra
     (array_intersect / array_union) — runs only on the (sparse) LSH
     candidates, never all pairs."""
-    sh_a = shingled.selectExpr(f"{id_col} AS id_a", "shingles AS sh_a")
-    sh_b = shingled.selectExpr(f"{id_col} AS id_b", "shingles AS sh_b")
+    sh_a = shingled.selectExpr(f"{sql_ident(id_col)} AS id_a", "shingles AS sh_a")
+    sh_b = shingled.selectExpr(f"{sql_ident(id_col)} AS id_b", "shingles AS sh_b")
     inter = "size(array_intersect(sh_a, sh_b))"
     uni = "size(array_union(sh_a, sh_b))"
     # Per-row count ratio: exact integer half-up emission (the
@@ -290,7 +294,7 @@ def verify_jaccard(
         pairs.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", F.expr(half_up_ratio_sql(inter, uni, 4)))
-        .filter(f"({inter} / {uni}) >= {threshold!r}D")
+        .filter(f"({inter} / {uni}) >= {sql_double_lit(threshold)}")
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -363,14 +367,15 @@ def _gram_pair_intersections(
             df, id_col, text_col, shingle_len, tokens=tokens
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sizes = shingled.selectExpr(id_col, "size(shingles) AS n")
-    inv = shingled.selectExpr(id_col, "explode(shingles) AS gram")
-    n_a = sizes.selectExpr(f"{id_col} AS id_a", "n AS n_a")
-    n_b = sizes.selectExpr(f"{id_col} AS id_b", "n AS n_b")
+    idq = sql_ident(id_col)
+    sizes = shingled.selectExpr(idq, "size(shingles) AS n")
+    inv = shingled.selectExpr(idq, "explode(shingles) AS gram")
+    n_a = sizes.selectExpr(f"{idq} AS id_a", "n AS n_a")
+    n_b = sizes.selectExpr(f"{idq} AS id_b", "n AS n_b")
 
     if max_doc_freq is None:
-        left = inv.selectExpr(f"{id_col} AS id_a", "gram")
-        right = inv.selectExpr(f"{id_col} AS id_b", "gram")
+        left = inv.selectExpr(f"{idq} AS id_a", "gram")
+        right = inv.selectExpr(f"{idq} AS id_b", "gram")
         inter = (
             left.join(right, "gram")
             .filter(F.col("id_a") < F.col("id_b"))
@@ -406,8 +411,8 @@ def _gram_pair_intersections(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     rare_inv = inv_f.filter(f"df <= {max_doc_freq}")
-    left = rare_inv.selectExpr(f"{id_col} AS id_a", "gram")
-    right = rare_inv.selectExpr(f"{id_col} AS id_b", "gram")
+    left = rare_inv.selectExpr(f"{idq} AS id_a", "gram")
+    right = rare_inv.selectExpr(f"{idq} AS id_b", "gram")
     inter_rare = (
         left.join(right, "gram")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -424,8 +429,8 @@ def _gram_pair_intersections(
         .agg(F.collect_set("gram").alias("hot"))
     )
     empty = "CAST(array() AS array<string>)"
-    h_a = hot_sets.selectExpr(f"{id_col} AS id_a", "hot AS hot_a")
-    h_b = hot_sets.selectExpr(f"{id_col} AS id_b", "hot AS hot_b")
+    h_a = hot_sets.selectExpr(f"{idq} AS id_a", "hot AS hot_a")
+    h_b = hot_sets.selectExpr(f"{idq} AS id_b", "hot AS hot_b")
     return (
         inter_rare.join(h_a, "id_a", "left")
         .join(h_b, "id_b", "left")
@@ -460,7 +465,7 @@ def ngram_jaccard_pairs(
     # Exact integer half-up emission; raw-double threshold compare
     # (see exact_jaccard_on_pairs).
     return pairs.filter(
-        f"(inter / (n_a + n_b - inter)) >= {threshold!r}D"
+        f"(inter / (n_a + n_b - inter)) >= {sql_double_lit(threshold)}"
     ).selectExpr(
         "id_a",
         "id_b",
@@ -492,7 +497,7 @@ def containment_pairs(
     # threshold filter keeps the raw double compare, which both
     # engines evaluate identically on identical int inputs.
     return pairs.filter(
-        f"(inter / least(n_a, n_b)) >= {threshold!r}D"
+        f"(inter / least(n_a, n_b)) >= {sql_double_lit(threshold)}"
     ).selectExpr(
         "id_a",
         "id_b",

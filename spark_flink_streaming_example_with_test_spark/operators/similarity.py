@@ -33,6 +33,10 @@ from pyspark.sql.window import Window
 
 from spark_flink_streaming_example_with_test_spark.functions.partitioning import ensure_min_partitions
 from spark_flink_streaming_example_with_test_spark.functions.persistence import register
+from spark_flink_streaming_example_with_test_spark.functions.sqltext import (
+    sql_double_lit,
+    sql_ident,
+)
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -78,7 +82,7 @@ def with_unit_prep(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     consumer."""
     return (
         ensure_min_partitions(df)
-        .withColumn("v", F.expr(f"CAST({vec_col} AS array<double>)"))
+        .withColumn("v", F.expr(f"CAST({sql_ident(vec_col)} AS array<double>)"))
         .withColumn("v_norm", l2_norm("v"))
         .filter("v_norm > 0")
     )
@@ -98,15 +102,16 @@ def cosine_topk(
     ranks between runs or engines.
     """
     c = with_unit_prep(corpus, vec_col)
+    idq = sql_ident(id_col)
     q = with_unit_prep(queries, vec_col).selectExpr(
-        f"{id_col} AS q_id", "v AS qv", "v_norm AS q_norm"
+        f"{idq} AS q_id", "v AS qv", "v_norm AS q_norm"
     )
     scored = (
         c.crossJoin(F.broadcast(q))
-        .filter(f"{id_col} != q_id")
+        .filter(f"{idq} != q_id")
         .selectExpr(
             "q_id",
-            id_col,
+            idq,
             f"round({dot_sql('v', 'qv')} / (v_norm * q_norm), 6) AS cos_sim",
         )
     )
@@ -354,16 +359,16 @@ def bucketed_similar_pairs(
     # harnesses release it eagerly).
     prepped = register(prepped.persist(StorageLevel.MEMORY_AND_DISK))
     a = prepped.selectExpr(
-        f"{id_col} AS id_a", "v AS v_a", "v_norm AS norm_a", "bucket"
+        f"{sql_ident(id_col)} AS id_a", "v AS v_a", "v_norm AS norm_a", "bucket"
     )
     b = prepped.selectExpr(
-        f"{id_col} AS id_b", "v AS v_b", "v_norm AS norm_b", "bucket"
+        f"{sql_ident(id_col)} AS id_b", "v AS v_b", "v_norm AS norm_b", "bucket"
     )
     sim = f"({dot_sql('v_a', 'v_b')} / (norm_a * norm_b))"
     return (
         a.join(b, "bucket")
         .filter("id_a < id_b")
-        .filter(f"{sim} >= {threshold!r}D")
+        .filter(f"{sim} >= {sql_double_lit(threshold)}")
         .selectExpr("id_a", "id_b", f"round({sim}, 6) AS cos_sim")
     )
 

@@ -25,6 +25,7 @@ HOT_GRAM_DF_CAP = dd.DEFAULT_MAX_GRAM_DF
 # md5-nibble decode lives in functions/hashing.py (shared with
 # plans/analytics.py); kept under the historical private aliases.
 from spark_flink_streaming_example_with_test_spark.functions import numerics as nm
+from spark_flink_streaming_example_with_test_spark.functions import sqltext
 from spark_flink_streaming_example_with_test_spark.functions.persistence import register
 from spark_flink_streaming_example_with_test_spark.functions.hashing import (  # noqa: E402
     md5_nibble as _md5_nibble,
@@ -1812,7 +1813,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(total tokens) to O(matched postings + n_docs) before
     # anything leaves whole-stage codegen.
     terms_sql = ", ".join(
-        "'" + t + "'" for t in sorted({t for _, t in _HYBRID_QUERY_TERMS})
+        sqltext.sql_str_lit(t)
+        for t in sorted({t for _, t in _HYBRID_QUERY_TERMS})
     )
     toks = docs.selectExpr(
         "doc_id",

@@ -33,12 +33,18 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 #: the bench second for zero data work. The cache stores the lazy
 #: DataFrame handle (a logical plan over the parquet files), never
 #: rows: every action still scans the parquet input, so this is a
-#: plan-construction memo, not result caching. Keyed by application
-#: id (sessions die with their app), directory, table, and the
-#: file's mtime (a rewritten fixture — the empty-input sweeps write
-#: derived tables — invalidates its entry instead of serving a stale
-#: file index).
-_PLAN_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
+#: plan-construction memo, not result caching. Keyed (ADVICE r14
+#: hardening) by SESSION identity (``id(spark)`` — newSession()
+#: shares an applicationId but carries its own runtime conf, so a
+#: handle bound to one session is never served to another),
+#: directory, table, and the file's (mtime, size) fingerprint — a
+#: rewritten fixture (the empty-input sweeps write derived tables)
+#: invalidates its entry even on filesystems with 1 s mtime
+#: granularity, where size breaks most same-second ties. Stale
+#: fingerprints for the same (session, dir, table) are EVICTED on
+#: insert, so sweeps that rewrite derived fixtures in a loop don't
+#: grow the dict unboundedly.
+_PLAN_CACHE: dict[tuple[int, str, str, str], tuple[tuple[float, int], DataFrame]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,15 +63,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
-        mtime = os.path.getmtime(path)
+        st = os.stat(path)
+        fingerprint = (st.st_mtime, st.st_size)
     except OSError:
-        mtime = -1.0  # missing path: fall through, reader raises loudly
-    key = (spark.sparkContext.applicationId, sf_dir, name, mtime)
+        fingerprint = (-1.0, -1)  # missing path: reader raises loudly
+    key = (id(spark), spark.sparkContext.applicationId, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == fingerprint:
+        return cached[1]
     df = _read_table(spark, path, name)
-    _PLAN_CACHE[key] = df
+    _PLAN_CACHE[key] = (fingerprint, df)  # replaces any stale fingerprint
     return df
 
 
