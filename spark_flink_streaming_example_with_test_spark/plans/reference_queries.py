@@ -18,6 +18,7 @@ from spark_flink_streaming_example_with_test_spark.operators.activity import (
 )
 from spark_flink_streaming_example_with_test_spark.schemas import EVENTS_PROPS_SCHEMA
 from spark_flink_streaming_example_with_test_spark.sources.tables import load_table
+from spark_flink_streaming_example_with_test_spark.streaming.replay import replay_partitions
 
 #: events-fixture analog of the reference's {liked, commented} keep
 #: list (universe: signup click error view purchase).
@@ -197,17 +198,18 @@ def streaming_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         events.write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("user_id long, value double").parquet(src)
-        query = (
-            running_user_totals(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                running_user_totals(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         # Single micro-batch (no maxFilesPerTrigger) -> one final
         # state row per user; round the float sum for oracle parity.
         return spark.table(sink).select(
@@ -253,16 +255,17 @@ def streaming_session_windows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("session_window.end").alias("session_end"),
             "n_events",
         )
-        query = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -293,16 +296,17 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = dedup_within_watermark(
             stream, keys=["user_id", "event_type"], ts_col="ts"
         ).select("user_id", "event_type")
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                deduped.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -387,16 +391,17 @@ def _interval_join_replay(
             left_ts="p_ts", right_ts="c_ts",
             within="1 hour", watermark="2 hours", how=how,
         ).select(*select_cols)
-        query = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                joined.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         out = spark.table(sink)
         if with_sentinels:
             out = out.filter(F.col("user_id") != -999)
@@ -465,16 +470,17 @@ def streaming_windowed_count_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = flatten_window(
             counted, keys=("user_id", "event_type"), count_alias="cnt"
         )
-        query = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -572,16 +578,17 @@ def streaming_static_enrich_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(dim), stream.user_id == dim.c_custkey
         )
         agg = joined.groupBy("c_mktsegment").agg(F.count("*").alias("n"))
-        query = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                agg.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -664,16 +671,17 @@ def streaming_sliding_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             window="10 minutes", slide="5 minutes", watermark="10 seconds",
         )
         out = flatten_window(counted, keys=("event_type",), count_alias="cnt")
-        query = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                out.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -699,17 +707,18 @@ def streaming_tws_user_stats_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         events.write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema("user_id long, value double").parquet(src)
-        query = (
-            running_user_stats_tws(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                running_user_stats_tws(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink).select(
             "user_id",
             "n_events",
@@ -804,19 +813,20 @@ def streaming_upsert_sink_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        query = (
-            running_user_totals(stream)
-            .writeStream.foreachBatch(
-                upsert_parquet_writer(table_dir, keys=["user_id"])
+        with replay_partitions(spark, src):
+            query = (
+                running_user_totals(stream)
+                .writeStream.foreachBatch(
+                    upsert_parquet_writer(table_dir, keys=["user_id"])
+                )
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
             )
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         schema = "user_id long, n_events long, total_value double"
         try:
             final = spark.read.parquet(table_dir).select(
@@ -961,19 +971,20 @@ def streaming_state_reader_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        query = (
-            stream.withWatermark("ts", "10 seconds")
-            .groupBy("user_id", F.window("ts", "1 minute"))
-            .agg(F.count("*").alias("cnt"))
-            .writeStream.format("noop")
-            .outputMode("append")
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                stream.withWatermark("ts", "10 seconds")
+                .groupBy("user_id", F.window("ts", "1 minute"))
+                .agg(F.count("*").alias("cnt"))
+                .writeStream.format("noop")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         schema = (
             "user_id long, window_start timestamp, window_end timestamp, "
             "cnt long"
@@ -1060,16 +1071,17 @@ def streaming_chained_windows_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
                 "n_events",
             )
         )
-        query = (
-            lvl2.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                lvl2.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -1140,16 +1152,17 @@ def streaming_complete_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n_events"), "user_id")
             .limit(5)
         )
-        query = (
-            top.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                top.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -1296,16 +1309,17 @@ def streaming_union_two_sources_e2e(
                 "cnt",
             )
         )
-        query = (
-            counted.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src_a, src_b):
+            query = (
+                counted.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src_a, ignore_errors=True)
@@ -1359,15 +1373,16 @@ def streaming_available_now_incremental_e2e(
             counts = stream.groupBy("event_type").agg(
                 F.count("*").alias("cnt")
             )
-            q = (
-                counts.writeStream.format("memory")
-                .queryName(sink)
-                .outputMode("complete")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with replay_partitions(spark, src):
+                q = (
+                    counts.writeStream.format("memory")
+                    .queryName(sink)
+                    .outputMode("complete")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
 
         run_once()
         # Multi-file append (one parquet dir write) between runs —
@@ -1516,16 +1531,17 @@ def streaming_jdbc_merge_upsert_e2e(
             url=url, target=target, staging=staging, key="user_id",
             set_cols=["n_events", "total_value"], driver=driver,
         )
-        query = (
-            running_user_totals(stream)
-            .writeStream.foreachBatch(writer)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                running_user_totals(stream)
+                .writeStream.foreachBatch(writer)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         back = (
             spark.read.format("jdbc")
             .option("url", url)
@@ -1683,16 +1699,17 @@ def streaming_dedup_then_window_e2e(
                 "cnt",
             )
         )
-        query = (
-            counted.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                counted.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return spark.table(sink)
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -1739,12 +1756,13 @@ def streaming_progress_metrics_e2e(
         deduped = dedup_within_watermark(
             stream, keys=["event_id"], ts_col="ts", delay="10 seconds"
         ).select("event_id")
-        query = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
+        with replay_partitions(spark, src):
+            query = (
+                deduped.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
         try:
             query.processAllAvailable()
             progresses = [p for p in query.recentProgress if p is not None]
@@ -1819,17 +1837,18 @@ def streaming_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
-        query = (
-            streaming_funnel_state(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                streaming_funnel_state(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         # final state per user = its max-version update row
         final = (
             spark.table(sink)
@@ -1946,17 +1965,18 @@ def streaming_session_timeout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
             .parquet(f"{src}/f*")
             .withWatermark("ts", "10 seconds")
         )
-        query = (
-            sessionize_with_event_time_timeout(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .start()
-        )
-        try:
-            query.processAllAvailable()
-        finally:
-            query.stop()
+        with replay_partitions(spark, src):
+            query = (
+                sessionize_with_event_time_timeout(stream)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .start()
+            )
+            try:
+                query.processAllAvailable()
+            finally:
+                query.stop()
         return (
             spark.table(sink)
             .groupBy("user_id")

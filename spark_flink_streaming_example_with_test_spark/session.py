@@ -40,6 +40,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # RocksDB changelog checkpointing (r15): commit uploads the
+    # batch's changelog instead of a full SST snapshot — the
+    # documented way to cut per-batch commit latency for large state
+    # at scale; locally measured neutral-to-slightly-better on the
+    # bounded replays (the dominant local cost was instance count,
+    # see streaming/replay.py). Snapshot maintenance still runs in
+    # the background thread, so recovery cost stays bounded.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
 }
 
 
