@@ -31,6 +31,7 @@ from spark_flink_streaming_example_with_test_spark.functions.persistence import 
 from spark_flink_streaming_example_with_test_spark.functions.sqltext import (
     sql_double_lit,
     sql_ident,
+    sql_with,
 )
 from spark_flink_streaming_example_with_test_spark.operators.text import fingerprint
 
@@ -201,13 +202,22 @@ def minhash_signatures(
     # (higher-order functions get no codegen CSE). Spelled as one
     # F.expr string (r14): same fold tree, one parse instead of the
     # nested-lambda Column construction's py4j churn.
-    sig = (
+    return shingled.selectExpr(
+        sql_ident(id_col), f"{_signature_expr_sql(num_hashes)} AS signature"
+    )
+
+
+def _signature_expr_sql(num_hashes: int) -> str:
+    """The MinHash all-seed fold over a ``shingles`` column, as SQL
+    text — shared by :func:`minhash_signatures` and the fused
+    :func:`minhash_near_duplicates` fragment so the trees stay
+    byte-identical."""
+    return (
         "aggregate(transform(shingles, s -> xxhash64(s)), "
         f"array_repeat(CAST(9223372036854775807 AS BIGINT), {num_hashes}), "
         f"(acc, h) -> zip_with(acc, sequence(0, {num_hashes - 1}), "
         "(m, seed) -> least(m, xxhash64(seed, h))))"
     )
-    return shingled.selectExpr(sql_ident(id_col), f"{sig} AS signature")
 
 
 def lsh_candidate_pairs(
@@ -239,36 +249,55 @@ def lsh_candidate_pairs(
             "a remainder would silently drop trailing signature slots "
             "and flatten the S-curve"
         )
+    # One parsed SQL fragment for the whole banding chain (r15): the
+    # r14 form already spelled the per-band xxhash64 array as text
+    # but still paid ~10 structural py4j calls (select, window,
+    # filter, two projections, join, distinct) per invocation —
+    # ~150 ms of driver time. The fragment spells the SAME trees
+    # (posexplode -> bucket-size window guard -> self-equi-join on
+    # (band, bucket) -> distinct ordered pairs); rows identical by
+    # construction and pinned by the existing LSH recall tests.
+    return sql_with(
+        signatures.sparkSession,
+        _lsh_pairs_sql("{sigs}", id_col, num_hashes, bands, max_bucket_size),
+        sigs=signatures,
+    )
+
+
+def _lsh_pairs_sql(
+    rel: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> str:
+    """The banding chain over a relation ``rel`` carrying
+    (id_col, signature), as SQL text — shared by
+    :func:`lsh_candidate_pairs` and the fused
+    :func:`minhash_near_duplicates` fragment."""
     rows_per_band = num_hashes // bands
-    # One parsed array expression (r14) — same per-band xxhash64
-    # trees as the listcomp Column form, ~bands x rows fewer py4j
-    # round-trips at build time.
-    band_hashes = F.expr(
-        "array(" + ", ".join(
-            f"xxhash64({b}, " + ", ".join(
-                f"signature[{b * rows_per_band + r}]"
-                for r in range(rows_per_band)
-            ) + ")"
-            for b in range(bands)
+    band_hashes = "array(" + ", ".join(
+        f"xxhash64({b}, " + ", ".join(
+            f"signature[{b * rows_per_band + r}]"
+            for r in range(rows_per_band)
         ) + ")"
-    )
-    buckets = signatures.select(
-        F.col(id_col), F.posexplode(band_hashes).alias("band", "bucket")
-    )
+        for b in range(bands)
+    ) + ")"
+    idq = sql_ident(id_col)
+    buckets = f"SELECT {idq}, posexplode({band_hashes}) AS (band, bucket) FROM {rel}"
     if max_bucket_size is not None:
-        w = Window.partitionBy("band", "bucket")
-        buckets = (
-            buckets.withColumn("__n", F.count("*").over(w))
-            .filter(F.col("__n") <= max_bucket_size)
-            .drop("__n")
+        src = (
+            f"(SELECT {idq}, band, bucket FROM ("
+            f"SELECT *, count(*) OVER (PARTITION BY band, bucket) AS __n "
+            f"FROM ({buckets})) WHERE __n <= {max_bucket_size})"
         )
-    left = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    right = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    else:
+        src = f"({buckets})"
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        f"SELECT DISTINCT a.{idq} AS id_a, b.{idq} AS id_b "
+        f"FROM {src} a JOIN {src} b "
+        f"ON a.band = b.band AND a.bucket = b.bucket "
+        f"WHERE a.{idq} < b.{idq}"
     )
 
 
@@ -281,21 +310,35 @@ def verify_jaccard(
     """Exact Jaccard on candidate pairs via per-row set algebra
     (array_intersect / array_union) — runs only on the (sparse) LSH
     candidates, never all pairs."""
-    sh_a = shingled.selectExpr(f"{sql_ident(id_col)} AS id_a", "shingles AS sh_a")
-    sh_b = shingled.selectExpr(f"{sql_ident(id_col)} AS id_b", "shingles AS sh_b")
-    inter = "size(array_intersect(sh_a, sh_b))"
-    uni = "size(array_union(sh_a, sh_b))"
     # Per-row count ratio: exact integer half-up emission (the
     # cross-engine ROUND half-boundary class); the threshold filter
     # keeps the raw double compare — identical on both engines for
-    # identical int inputs. Double literal ({threshold!r}D) so the
-    # parsed tree matches the old F.lit(threshold) form.
+    # identical int inputs. One SQL fragment (r15): same join/filter
+    # trees as the 7-call DataFrame chain it replaces.
+    return sql_with(
+        pairs.sparkSession,
+        _verify_sql("{pairs}", "{sh}", id_col, threshold),
+        pairs=pairs,
+        sh=shingled,
+    )
+
+
+def _verify_sql(
+    pairs_rel: str, sh_rel: str, id_col: str, threshold: float
+) -> str:
+    """Exact-Jaccard verification of a (id_a, id_b) pair relation
+    against a (id_col, shingles) relation, as SQL text — shared by
+    :func:`verify_jaccard` and the fused
+    :func:`minhash_near_duplicates` fragment."""
+    idq = sql_ident(id_col)
+    inter = "size(array_intersect(sh_a, sh_b))"
+    uni = "size(array_union(sh_a, sh_b))"
     return (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("jaccard", F.expr(half_up_ratio_sql(inter, uni, 4)))
-        .filter(f"({inter} / {uni}) >= {sql_double_lit(threshold)}")
-        .select("id_a", "id_b", "jaccard")
+        f"SELECT id_a, id_b, {half_up_ratio_sql(inter, uni, 4)} AS jaccard "
+        f"FROM {pairs_rel} "
+        f"JOIN (SELECT {idq} AS id_a, shingles AS sh_a FROM {sh_rel}) USING (id_a) "
+        f"JOIN (SELECT {idq} AS id_b, shingles AS sh_b FROM {sh_rel}) USING (id_b) "
+        f"WHERE ({inter} / {uni}) >= {sql_double_lit(threshold)}"
     )
 
 
@@ -321,14 +364,30 @@ def minhash_near_duplicates(
     # the tokenize/hash/gram chain — the dominant cost. Persisted
     # MEMORY_AND_DISK: at 100 TB this spills rather than OOMs, and
     # one materialization still beats three recomputes.
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}): "
+            "a remainder would silently drop trailing signature slots "
+            "and flatten the S-curve"
+        )
     shingled = register(
         hashed_shingle_sets(
             df, id_col, text_col, shingle_len, tokens=tokens
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sigs = minhash_signatures(shingled, id_col, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return verify_jaccard(cands, shingled, id_col, threshold)
+    # One fused SQL fragment (r15): signature fold -> LSH banding ->
+    # exact-Jaccard verification, composed from the SAME text
+    # builders the standalone operators parse, so the trees are
+    # byte-identical — one parse+analyze instead of three chained
+    # fragments re-analyzing the growing plan.
+    idq = sql_ident(id_col)
+    q = (
+        f"WITH sigs AS (SELECT {idq}, "
+        f"{_signature_expr_sql(num_hashes)} AS signature FROM {{sh}}), "
+        f"cands AS ({_lsh_pairs_sql('sigs', id_col, num_hashes, bands, 10_000)}) "
+        + _verify_sql("cands", "{sh}", id_col, threshold)
+    )
+    return sql_with(df.sparkSession, q, sh=shingled)
 
 
 def _gram_pair_intersections(
@@ -368,21 +427,26 @@ def _gram_pair_intersections(
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     idq = sql_ident(id_col)
-    sizes = shingled.selectExpr(idq, "size(shingles) AS n")
-    inv = shingled.selectExpr(idq, "explode(shingles) AS gram")
-    n_a = sizes.selectExpr(f"{idq} AS id_a", "n AS n_a")
-    n_b = sizes.selectExpr(f"{idq} AS id_b", "n AS n_b")
+    spark = df.sparkSession
 
     if max_doc_freq is None:
-        left = inv.selectExpr(f"{idq} AS id_a", "gram")
-        right = inv.selectExpr(f"{idq} AS id_b", "gram")
-        inter = (
-            left.join(right, "gram")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("inter"))
+        # One SQL fragment (r15) — same inverted-index join /
+        # aggregate / size-attach trees as the 9-call chain it
+        # replaces, one parse instead.
+        return sql_with(
+            spark,
+            f"WITH inv AS (SELECT {idq}, explode(shingles) AS gram FROM {{sh}}), "
+            f"sizes AS (SELECT {idq}, size(shingles) AS n FROM {{sh}}), "
+            f"inter AS ("
+            f"  SELECT a.{idq} AS id_a, b.{idq} AS id_b, count(*) AS inter"
+            f"  FROM inv a JOIN inv b ON a.gram = b.gram"
+            f"  WHERE a.{idq} < b.{idq}"
+            f"  GROUP BY a.{idq}, b.{idq}) "
+            f"SELECT id_a, id_b, inter, n_a, n_b FROM inter "
+            f"JOIN (SELECT {idq} AS id_a, n AS n_a FROM sizes) USING (id_a) "
+            f"JOIN (SELECT {idq} AS id_b, n AS n_b FROM sizes) USING (id_b)",
+            sh=shingled,
         )
-        return inter.join(n_a, "id_a").join(n_b, "id_b")
 
     # df per gram via a window over the gram partition — the same
     # shuffle the self-join needs anyway, so both join sides (and
@@ -406,42 +470,41 @@ def _gram_pair_intersections(
     # that call this repeatedly can reclaim eagerly via
     # spark.catalog.clearCache() between queries.
     inv_f = register(
-        inv.withColumn(
+        shingled.selectExpr(idq, "explode(shingles) AS gram")
+        .withColumn(
             "df", F.expr("count(*) OVER (PARTITION BY gram)")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rare_inv = inv_f.filter(f"df <= {max_doc_freq}")
-    left = rare_inv.selectExpr(f"{idq} AS id_a", "gram")
-    right = rare_inv.selectExpr(f"{idq} AS id_b", "gram")
-    inter_rare = (
-        left.join(right, "gram")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter_rare"))
-    )
-    # Exactness correction: per-doc sets of HOT grams (tiny — only
-    # grams above the cap), left-joined to each pair so the full
-    # intersection count includes boilerplate grams without ever
-    # pairing through them.
-    hot_sets = (
-        inv_f.filter(f"df > {max_doc_freq}")
-        .groupBy(id_col)
-        .agg(F.collect_set("gram").alias("hot"))
-    )
+    # Exactness correction (hot CTE): per-doc sets of HOT grams
+    # (tiny — only grams above the cap), left-joined to each pair so
+    # the full intersection count includes boilerplate grams without
+    # ever pairing through them. One SQL fragment (r15): same
+    # rare-join / hot-set / size-attach trees as the 14-call chain
+    # it replaces — the dominant residual construction cost of the
+    # dedup-ladder capstone (3 invocations per pass).
     empty = "CAST(array() AS array<string>)"
-    h_a = hot_sets.selectExpr(f"{idq} AS id_a", "hot AS hot_a")
-    h_b = hot_sets.selectExpr(f"{idq} AS id_b", "hot AS hot_b")
-    return (
-        inter_rare.join(h_a, "id_a", "left")
-        .join(h_b, "id_b", "left")
-        .selectExpr(
-            "id_a",
-            "id_b",
-            "(inter_rare + size(array_intersect("
-            f"coalesce(hot_a, {empty}), coalesce(hot_b, {empty})))) AS inter",
-        )
-        .join(n_a, "id_a")
-        .join(n_b, "id_b")
+    return sql_with(
+        spark,
+        f"WITH rare AS (SELECT {idq}, gram FROM {{invf}} WHERE df <= {max_doc_freq}), "
+        f"inter_rare AS ("
+        f"  SELECT a.{idq} AS id_a, b.{idq} AS id_b, count(*) AS inter_rare"
+        f"  FROM rare a JOIN rare b ON a.gram = b.gram"
+        f"  WHERE a.{idq} < b.{idq}"
+        f"  GROUP BY a.{idq}, b.{idq}), "
+        f"hot AS (SELECT {idq}, collect_set(gram) AS hot FROM {{invf}}"
+        f"        WHERE df > {max_doc_freq} GROUP BY {idq}), "
+        f"sizes AS (SELECT {idq}, size(shingles) AS n FROM {{sh}}) "
+        f"SELECT id_a, id_b, "
+        f"(inter_rare + size(array_intersect("
+        f"coalesce(hot_a, {empty}), coalesce(hot_b, {empty})))) AS inter, "
+        f"n_a, n_b "
+        f"FROM inter_rare "
+        f"LEFT JOIN (SELECT {idq} AS id_a, hot AS hot_a FROM hot) USING (id_a) "
+        f"LEFT JOIN (SELECT {idq} AS id_b, hot AS hot_b FROM hot) USING (id_b) "
+        f"JOIN (SELECT {idq} AS id_a, n AS n_a FROM sizes) USING (id_a) "
+        f"JOIN (SELECT {idq} AS id_b, n AS n_b FROM sizes) USING (id_b)",
+        invf=inv_f,
+        sh=shingled,
     )
 
 

@@ -25,6 +25,7 @@ bit-for-bit with the DuckDB oracle.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 from pyspark.sql import Column, DataFrame
@@ -36,6 +37,7 @@ from spark_flink_streaming_example_with_test_spark.functions.persistence import 
 from spark_flink_streaming_example_with_test_spark.functions.sqltext import (
     sql_double_lit,
     sql_ident,
+    sql_with,
 )
 
 
@@ -165,14 +167,7 @@ def lsh_bucket(
     pinned by tests/test_similarity.py::test_lsh_bucket_expr_matches_column_form.
     """
     if isinstance(v, str):
-        cases = []
-        for b, coeffs in enumerate(hyperplane_signs(n_bits, dim, seed)):
-            terms = " + ".join(
-                f"(COALESCE({v}[{i}], 0.0D) * {c}D)"
-                for i, c in enumerate(coeffs)
-            )
-            cases.append(f"CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END")
-        return F.expr("0 + " + " + ".join(cases))
+        return F.expr(lsh_bucket_sql(v, n_bits, dim, seed))
     col = v
     bucket = F.lit(0)
     for b, coeffs in enumerate(hyperplane_signs(n_bits, dim, seed)):
@@ -182,6 +177,25 @@ def lsh_bucket(
             proj = term if proj is None else proj + term
         bucket = bucket + F.when(proj > 0, F.lit(1 << b)).otherwise(0)
     return bucket
+
+
+@functools.lru_cache(maxsize=32)
+def lsh_bucket_sql(
+    v: str, n_bits: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    """SQL text of :func:`lsh_bucket` for a column NAME ``v`` — the
+    r14 single-parse string, shared (and lru-cached: the text is a
+    pure function of its arguments, ~n_bits x dim string work per
+    build) by ``lsh_bucket`` and the fused prep fragment in
+    ``bucketed_similar_pairs``."""
+    cases = []
+    for b, coeffs in enumerate(hyperplane_signs(n_bits, dim, seed)):
+        terms = " + ".join(
+            f"(COALESCE({v}[{i}], 0.0D) * {c}D)"
+            for i, c in enumerate(coeffs)
+        )
+        cases.append(f"CASE WHEN ({terms}) > 0 THEN {1 << b} ELSE 0 END")
+    return "0 + " + " + ".join(cases)
 
 
 def ivf_topk(
@@ -337,6 +351,14 @@ def bucketed_similar_pairs(
     """
     from pyspark import StorageLevel
 
+    # NOT a spark.sql fragment (r15, measured): this operator's plan
+    # is dominated by the 8x64-term bucket expression, and splicing
+    # that ~40 KB of text into a nested SQL fragment makes PARSING
+    # the dominant construction cost (fused-fragment A/B: 216 ->
+    # 280 ms median, a regression) — the Column chain parses the
+    # giant expr once via F.expr and re-analyzes cheaply. The small
+    # pair-emission fragment below (whose text is tiny; the prepped
+    # plan enters pre-analyzed through the view) is kept.
     prepped = with_unit_prep(df, vec_col).select(
         F.col(id_col),
         "v",
@@ -358,18 +380,27 @@ def bucketed_similar_pairs(
     # the dedup builders' persisted frames (register() lets sweep
     # harnesses release it eagerly).
     prepped = register(prepped.persist(StorageLevel.MEMORY_AND_DISK))
-    a = prepped.selectExpr(
-        f"{sql_ident(id_col)} AS id_a", "v AS v_a", "v_norm AS norm_a", "bucket"
-    )
-    b = prepped.selectExpr(
-        f"{sql_ident(id_col)} AS id_b", "v AS v_b", "v_norm AS norm_b", "bucket"
-    )
+    return _bucket_pairs_fragment(prepped, id_col, threshold)
+
+
+def _bucket_pairs_fragment(
+    prepped: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """The bucket self-join scored-pair emission over a persisted
+    (id, v, v_norm, bucket) frame, as one SQL fragment (r15): same
+    join/filter/round trees as the 6-call DataFrame chain it
+    replaces, one parse."""
+    idq = sql_ident(id_col)
     sim = f"({dot_sql('v_a', 'v_b')} / (norm_a * norm_b))"
-    return (
-        a.join(b, "bucket")
-        .filter("id_a < id_b")
-        .filter(f"{sim} >= {sql_double_lit(threshold)}")
-        .selectExpr("id_a", "id_b", f"round({sim}, 6) AS cos_sim")
+    return sql_with(
+        prepped.sparkSession,
+        f"SELECT id_a, id_b, round({sim}, 6) AS cos_sim FROM "
+        f"(SELECT {idq} AS id_a, v AS v_a, v_norm AS norm_a, bucket FROM {{p}}) "
+        f"JOIN "
+        f"(SELECT {idq} AS id_b, v AS v_b, v_norm AS norm_b, bucket FROM {{p}}) "
+        f"USING (bucket) "
+        f"WHERE id_a < id_b AND {sim} >= {sql_double_lit(threshold)}",
+        p=prepped,
     )
 
 

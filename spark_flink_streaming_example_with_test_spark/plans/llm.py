@@ -77,18 +77,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array("id_a", "id_b")).alias("doc_id")
     ).distinct()
     docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    exact = dd.ngram_jaccard_pairs(docs_c, shingle_len=3, threshold=0.5).select(
-        "id_a", "id_b", F.lit(True).alias("__in_exact")
-    )
-    return (
-        lsh.join(exact, ["id_a", "id_b"], "left")
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.coalesce("__in_exact", F.lit(False)).alias("verified_in_exact"),
-        )
-        .orderBy("id_a", "id_b")
+    # One SQL fragment for the verification attach + ordering (r15):
+    # same left-join/coalesce/orderBy trees as the DataFrame chain.
+    return sqltext.sql_with(
+        spark,
+        "SELECT id_a, id_b, jaccard, "
+        "coalesce(__in_exact, false) AS verified_in_exact "
+        "FROM {lsh} LEFT JOIN "
+        "(SELECT id_a, id_b, true AS __in_exact FROM {exact}) "
+        "USING (id_a, id_b) "
+        "ORDER BY id_a, id_b",
+        lsh=lsh,
+        exact=dd.ngram_jaccard_pairs(docs_c, shingle_len=3, threshold=0.5),
     )
 
 
@@ -1841,37 +1841,44 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 reshape): the window shuffles only the tiny term-matched
     # posting frame by term. Sentinel rows are filtered out BEFORE
     # the window so df never counts them.
-    tf = posting0.filter(F.col("term") != sentinel).withColumn(
-        "df", F.count("*").over(Window.partitionBy("term"))
+    # One SQL fragment for the whole BM25/lex leg (r15): identical
+    # trees to the DataFrame chain it replaces — the float constants
+    # are computed in Python and rendered with repr() so e.g.
+    # (k1 + 1.0) is the same double either way; ln/round/row_number
+    # order unchanged. Proved by old-vs-new exceptAll == 0 at sf0.1
+    # and the oracle hash.
+    sent_lit = sqltext.sql_str_lit(sentinel)
+    idf_sql = "ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
+    tf_term_sql = (
+        f"((tf * {_BM25_K1 + 1.0!r}D) / "
+        f"(tf + {_BM25_K1!r}D * ({1.0 - _BM25_B!r}D + "
+        f"{_BM25_B!r}D * dl / avgdl)))"
     )
-    stats = posting0.filter(F.col("term") == sentinel).agg(
-        F.count("*").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
-
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tf_term = (F.col("tf") * (_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-    )
-    bm25 = (
-        tf.join(F.broadcast(qterms), "term")
-        .crossJoin(F.broadcast(stats))
-        .groupBy("q_id", "doc_id")
-        .agg(F.round(F.sum(idf * tf_term), 6).alias("bm25"))
-    )
-    w_lex = Window.partitionBy("q_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
-    lex = (
-        bm25.withColumn("lex_rk", F.row_number().over(w_lex))
-        .filter(F.col("lex_rk") <= 50)
-        .select("q_id", "doc_id", "lex_rk")
+    lex = sqltext.sql_with(
+        spark,
+        f"WITH tf AS ("
+        f"  SELECT *, count(*) OVER (PARTITION BY term) AS df"
+        f"  FROM {{p0}} WHERE term != {sent_lit}), "
+        f"stats AS ("
+        f"  SELECT count(*) AS n_docs, avg(dl) AS avgdl"
+        f"  FROM {{p0}} WHERE term = {sent_lit}), "
+        f"bm25 AS ("
+        f"  SELECT /*+ BROADCAST(q), BROADCAST(stats) */ q_id, doc_id,"
+        f"         round(sum({idf_sql} * {tf_term_sql}), 6) AS bm25"
+        f"  FROM tf JOIN {{q}} q USING (term) CROSS JOIN stats"
+        f"  GROUP BY q_id, doc_id) "
+        f"SELECT q_id, doc_id, lex_rk FROM ("
+        f"  SELECT q_id, doc_id, row_number() OVER ("
+        f"    PARTITION BY q_id ORDER BY bm25 DESC, doc_id ASC) AS lex_rk"
+        f"  FROM bm25) WHERE lex_rk <= 50",
+        p0=posting0,
+        q=qterms,
     )
 
     vec = sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=50).select(
         "q_id", F.col("vec_id").alias("doc_id"), F.col("rk").alias("vec_rk")
     )
 
-    fused = lex.join(vec, ["q_id", "doc_id"], "full_outer")
     # RRF is an exact rational of small integer ranks — 1/(K+a) +
     # 1/(K+b) = (2K+a+b)/((K+a)(K+b)) — so the score emits via the
     # integer half-up helper instead of ROUND of the double sum
@@ -1879,39 +1886,32 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # land exactly on the 1e-6 half boundary and string-round up on
     # Spark but binary-round down on DuckDB). Both engines also
     # ORDER BY this same exactly-rounded score, so the top-10 cut
-    # picks identical boundary rows.
-    lex_p = F.col("lex_rk").isNotNull()
-    vec_p = F.col("vec_rk").isNotNull()
-    rrf = (
-        F.when(
-            lex_p & vec_p,
-            nm.half_up_ratio_col(
-                F.lit(2 * _RRF_K) + F.col("lex_rk") + F.col("vec_rk"),
-                (F.lit(_RRF_K) + F.col("lex_rk"))
-                * (F.lit(_RRF_K) + F.col("vec_rk")),
-                6,
-            ),
+    # picks identical boundary rows. One SQL fragment (r15): the
+    # CASE/half-up/row_number trees are the text twins of the
+    # Column chain it replaces (functions/numerics.py).
+    rrf_sql = (
+        "CASE WHEN lex_rk IS NOT NULL AND vec_rk IS NOT NULL THEN "
+        + nm.half_up_ratio_sql(
+            f"{2 * _RRF_K} + lex_rk + vec_rk",
+            f"({_RRF_K} + lex_rk) * ({_RRF_K} + vec_rk)",
+            6,
         )
-        .when(
-            lex_p,
-            nm.half_up_ratio_col(
-                F.lit(1), F.lit(_RRF_K) + F.col("lex_rk"), 6
-            ),
-        )
-        .otherwise(
-            nm.half_up_ratio_col(
-                F.lit(1), F.lit(_RRF_K) + F.col("vec_rk"), 6
-            )
-        )
+        + " WHEN lex_rk IS NOT NULL THEN "
+        + nm.half_up_ratio_sql("1", f"{_RRF_K} + lex_rk", 6)
+        + " ELSE "
+        + nm.half_up_ratio_sql("1", f"{_RRF_K} + vec_rk", 6)
+        + " END"
     )
-    w_fused = Window.partitionBy("q_id").orderBy(
-        F.desc("rrf_score"), F.asc("doc_id")
-    )
-    return (
-        fused.withColumn("rrf_score", rrf)
-        .withColumn("rk", F.row_number().over(w_fused))
-        .filter(F.col("rk") <= 10)
-        .select("q_id", "doc_id", "lex_rk", "vec_rk", "rrf_score", "rk")
+    return sqltext.sql_with(
+        spark,
+        f"SELECT q_id, doc_id, lex_rk, vec_rk, rrf_score, rk FROM ("
+        f"  SELECT *, row_number() OVER ("
+        f"    PARTITION BY q_id ORDER BY rrf_score DESC, doc_id ASC) AS rk"
+        f"  FROM (SELECT q_id, doc_id, lex_rk, vec_rk, {rrf_sql} AS rrf_score"
+        f"        FROM {{lex}} FULL OUTER JOIN {{vec}} USING (q_id, doc_id))"
+        f") WHERE rk <= 10",
+        lex=lex,
+        vec=vec,
     )
 
 
@@ -3365,49 +3365,33 @@ def dedup_method_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.tokenized_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def tally(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_flagged")).select(
-            F.lit(name).alias("method"), "n_flagged"
-        )
-
-    exact_dups = (
-        dd.exact_duplicates(docs)
-        .agg(
-            # coalesce: SUM over an empty corpus is NULL, oracle says 0
-            F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0))
-            .cast("long")
-            .alias("n_flagged")
-        )
-        .select(F.lit("exact_duplicate_docs").alias("method"), "n_flagged")
-    )
-    return (
-        exact_dups
-        .unionAll(tally(
-            "minhash_lsh_pairs_050",
-            dd.minhash_near_duplicates(docs, threshold=0.5, tokens=tok),
-        ))
-        .unionAll(tally(
-            "ngram_jaccard_pairs_040",
-            dd.ngram_jaccard_pairs(
-                docs, shingle_len=3, threshold=0.4, tokens=tok
-            ),
-        ))
-        .unionAll(tally(
-            "containment_pairs_050",
-            dd.containment_pairs(
-                docs, shingle_len=5, threshold=0.5, tokens=tok
-            ),
-        ))
-        .unionAll(tally(
-            "exact_substring_pairs_w8",
-            dd.shared_gram_pairs(docs, window_len=8, tokens=tok),
-        ))
-        .unionAll(tally(
-            "embedding_cosine_drops_030",
-            sim.embedding_near_duplicates(
-                emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
-            ),
-        ))
+    # One SQL fragment for the tally/union chain (r15): the 5 x
+    # (agg + select) + 5 unionAll DataFrame calls cost ~0.2 s of
+    # driver py4j per pass; the fragment spells the SAME count /
+    # coalesce-sum / union trees over the six leg frames, one parse.
+    # coalesce in the first leg: SUM over an empty corpus is NULL,
+    # oracle says 0.
+    return sqltext.sql_with(
+        spark,
+        "SELECT 'exact_duplicate_docs' AS method, "
+        "CAST(coalesce(sum(n_copies - 1), 0) AS BIGINT) AS n_flagged FROM {ed} "
+        "UNION ALL SELECT 'minhash_lsh_pairs_050', count(*) FROM {mh} "
+        "UNION ALL SELECT 'ngram_jaccard_pairs_040', count(*) FROM {nj} "
+        "UNION ALL SELECT 'containment_pairs_050', count(*) FROM {cp} "
+        "UNION ALL SELECT 'exact_substring_pairs_w8', count(*) FROM {sg} "
+        "UNION ALL SELECT 'embedding_cosine_drops_030', count(*) FROM {ec}",
+        ed=dd.exact_duplicates(docs),
+        mh=dd.minhash_near_duplicates(docs, threshold=0.5, tokens=tok),
+        nj=dd.ngram_jaccard_pairs(
+            docs, shingle_len=3, threshold=0.4, tokens=tok
+        ),
+        cp=dd.containment_pairs(
+            docs, shingle_len=5, threshold=0.5, tokens=tok
+        ),
+        sg=dd.shared_gram_pairs(docs, window_len=8, tokens=tok),
+        ec=sim.embedding_near_duplicates(
+            emb, threshold=0.3, n_bits=8, max_bucket_size=10_000
+        ),
     )
 
 
