@@ -38,6 +38,8 @@ def connected_components(
     O(diameter) rounds since labels only decrease and the true
     component minimum floods outward one hop per round.
     """
+    from pyspark.sql import Observation
+
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -52,25 +54,40 @@ def connected_components(
     )
     converged = False
     try:
-        for _ in range(max_iterations):
-            propagated = sym.join(
-                labels, sym.u == labels.node
-            ).select(F.col("v").alias("node"), "label")
-            new_labels = (
-                labels.unionByName(propagated)
+        for i in range(max_iterations):
+            # min neighbor label per node; every labeled node appears
+            # as v too (sym is symmetrized), so the left join only
+            # goes null-side if a node's sole edges were dropped —
+            # coalesce keeps its own label either way.
+            nbr_min = (
+                sym.join(labels, sym.u == labels.node)
+                .select(F.col("v").alias("node"), "label")
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=True)
+                .agg(F.min("label").alias("nbr"))
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+            # Convergence rides the SAME action that materializes the
+            # superstep (an Observation over the checkpoint job)
+            # instead of a second join+count job per iteration (r15,
+            # VERDICT r14 #4): new label = min(own, min-neighbor), and
+            # the iteration changed anything iff some nbr < own.
+            obs = Observation(f"cc_changed_{i}")
+            new_labels = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nbr", F.col("label"))
+                    ).alias("label"),
+                    (F.coalesce("nbr", F.col("label")) < F.col("label"))
+                    .cast("int")
+                    .alias("__chg"),
+                )
+                .observe(obs, F.sum("__chg").alias("changed"))
+                .localCheckpoint(eager=True)
+                .select("node", "label")
             )
             labels = new_labels
-            if changed == 0:
+            if not (obs.get["changed"] or 0):
                 converged = True
                 break
     finally:
