@@ -79,7 +79,11 @@ PINS: dict[str, list[tuple[str, int | None, int | None]]] = {
     "q1_pricing_summary": [("Exchange", None, 1), ("lineitem.parquet", 1, 1)],
     "q6_forecast_revenue": [("Exchange", None, 1), ("lineitem.parquet", 1, 1)],
     "sessionize_events": [("Exchange", None, 1), ("events.parquet", 1, 1)],
-    "events_json_kpi": [("Exchange", None, 1), ("events.parquet", 1, 1)],
+    # r15: +1 Exchange allowance — ensure_min_partitions round-robins
+    # the single-split local scan before the CPU-heavy from_json
+    # (no-op at scale where the scan already has >= parallelism
+    # splits); the aggregate exchange stays the only keyed shuffle.
+    "events_json_kpi": [("Exchange", None, 2), ("events.parquet", 1, 1)],
     "activity_windowed_count": [("Exchange", None, 1), ("events.parquet", 1, 1)],
     "session_windows_per_user": [("Exchange", None, 1), ("events.parquet", 1, 1)],
     "dedup_exact_docs": [("Exchange", None, 1), ("documents.parquet", 1, 1)],
