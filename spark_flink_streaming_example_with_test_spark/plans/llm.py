@@ -266,13 +266,21 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
+    # r15: both legs share ONE persisted token frame (the
+    # dedup_method_comparison convention) — the corpus is scanned and
+    # split once instead of twice; each leg derives its own gram form
+    # (string vs hashed) from the same token arrays, so outputs are
+    # bit-identical to the standalone queries'.
+    tok = register(
+        dd.tokenized_docs(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     exact = (
-        dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5)
+        dd.ngram_jaccard_pairs(docs, shingle_len=3, threshold=0.5, tokens=tok)
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     lsh = (
-        dd.minhash_near_duplicates(docs, threshold=0.5)
+        dd.minhash_near_duplicates(docs, threshold=0.5, tokens=tok)
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
